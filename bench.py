@@ -1,0 +1,81 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": <sf>}
+
+Each query executes to completion through the noop DataSource sink
+(full computation, no driver-side collect — measures the engine, not
+the pickle pipe). One warm-up run of a trivial action first so JVM/
+codegen startup isn't charged to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+#: The headline set: one per operator family (agg spine, join spine,
+#: window, graph, dedup/LSH, text, similarity).
+HEADLINE = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "range_join",
+    "agg_distinct",
+    "window_rank",
+    "graph_2hop",
+    "explode_words",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash",
+    "text_quality",
+    "ann_bruteforce_topk",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from wd2duckdb_spark import get_spark
+    from wd2duckdb_spark.registry import all_queries
+
+    spark = get_spark(app_name="wd2duckdb_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = all_queries()
+    # Warm up: JVM, parquet footer reads, codegen.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,146 @@
+"""Ingest golden tests — every FIXTURES.md §1 expectation, pinned.
+
+The reference has zero tests (SURVEY §5.1); these fixtures ARE the
+behavioral spec for the six-table output (SURVEY §1.2 numbered list).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tests.conftest import FIXTURE_DUMP
+
+
+def rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_vertex_rows(kg_tables):
+    got = rows(kg_tables["vertex"], "id", "label", "description")
+    assert got == sorted(
+        [
+            (1, "universe", "all of space-time"),
+            (2, "Earth", None),
+            (3, None, None),
+            (4, "deprecated-holder", None),
+            (5, None, None),  # French-only label → NULL (main.rs:190-194)
+            (1_000_000_031, "instance of",
+             "that class of which this subject is a particular example"),
+            (2_000_000_001, None, None),  # lexeme L1
+        ]
+    )
+
+
+def test_edge_rows(kg_tables):
+    got = rows(kg_tables["edge"], "src_id", "property_id", "dst_id")
+    assert got == sorted(
+        [
+            (1, 1_000_000_031, 223_557),  # Q1 P31 Q223557
+            # Q4: deprecated P31 dropped; novalue P570 + somevalue P569
+            # become self-loops (value.rs:238-239, 429-430)
+            (4, 1_000_000_570, 4),
+            (4, 1_000_000_569, 4),
+            # L1 P5402 → form L1-F1 → wrapped Fid (id.rs:73-75)
+            (2_000_000_001, 1_000_005_402, 705_032_706),
+        ]
+    )
+
+
+def test_string_rows(kg_tables):
+    got = rows(kg_tables["string"], "src_id", "property_id", "dst_id", "string")
+    assert got == sorted(
+        [
+            (3, 1_000_000_373, 3, "Life"),  # CommonsMedia
+            (3, 1_000_001_448, 3, "life"),  # MonolingualText → its text
+            (3, 1_000_002_699, 3, "https://example.org"),  # Url
+            (3, 1_000_000_213, 3, "0000-0001-2345-6789"),  # ExternalID
+        ]
+    )
+
+
+def test_coordinates_rows(kg_tables):
+    got = rows(
+        kg_tables["coordinates"],
+        "src_id", "property_id", "dst_id",
+        "latitude", "longitude", "precision", "globe_id",
+    )
+    assert got == [(2, 1_000_000_625, 2, 0.0, 0.0, 0.01, 2)]
+
+
+def test_quantity_rows(kg_tables):
+    got = rows(
+        kg_tables["quantity"],
+        "src_id", "property_id", "dst_id",
+        "amount", "lower_bound", "upper_bound", "unit_id",
+    )
+    assert got == sorted(
+        [
+            (2, 1_000_002_044, 2, 6371.0, 6353.0, 6384.0, 828_224),
+            # unit "1" (dimensionless) → NULL unit_id
+            (5, 1_000_001_082, 5, 8e9, None, None, None),
+        ]
+    )
+
+
+def test_time_rows(kg_tables):
+    got = rows(
+        kg_tables["time"],
+        "src_id", "property_id",
+        F.date_format("time", "yyyy-MM-dd HH:mm:ss").alias("t"),
+        "precision",
+    )
+    assert got == sorted(
+        [
+            # negative year → -infinity sentinel (engine deviation, documented)
+            (2, 1_000_000_580, "0001-01-01 00:00:00", 3),
+            # year ≥ 9999 → +infinity sentinel (value.rs:271-284)
+            (5, 1_000_000_576, "9999-12-31 23:59:59", 9),
+        ]
+    )
+
+
+def test_self_loop_invariant(kg_tables):
+    """dst_id == src_id on every literal-table row (value.rs:238-284)."""
+    for name in ("string", "coordinates", "quantity", "time"):
+        df = kg_tables[name]
+        assert df.filter(F.col("dst_id") != F.col("src_id")).count() == 0
+
+
+def test_property_id_range(kg_tables):
+    """property_id always in the Pid keyspace [1e9, 2e9)."""
+    bad = kg_tables["triples"].filter(
+        (F.col("property_id") < 1_000_000_000)
+        | (F.col("property_id") >= 2_000_000_000)
+    )
+    assert bad.count() == 0
+
+
+def test_triples_view_counts(kg_tables):
+    # 4 edge + 4 string + 1 coord + 2 quantity + 2 time = 13
+    assert kg_tables["triples"].count() == 13
+    by_dtype = {
+        r["dtype"]: r["n"]
+        for r in kg_tables["triples"].groupBy("dtype").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_dtype == {1: 2, 2: 1, 3: 4, 4: 2, 5: 4}
+
+
+def test_corrupt_quarantine(spark):
+    from wd2duckdb_spark.ingest import (
+        corrupt_records, parse_entities, read_dump_lines, sanitize_lines,
+    )
+
+    parsed = parse_entities(sanitize_lines(read_dump_lines(spark, FIXTURE_DUMP)))
+    bad = corrupt_records(parsed).collect()
+    assert len(bad) == 1
+    assert "not valid JSON" in bad[0]["corrupt"]
+
+
+def test_configurable_lang(spark, tmp_path):
+    """LANG is configurable (README.md:6-8): French pass keeps Q5's label."""
+    from wd2duckdb_spark.ingest import build_tables
+
+    tables = build_tables(spark, FIXTURE_DUMP, lang="fr")
+    got = {r["id"]: r["label"] for r in tables["vertex"].collect()}
+    assert got[5] == "humain"
+    assert got[1] is None  # English-only labels disappear under fr

@@ -1,0 +1,41 @@
+"""Similarity-search operator tests beyond the oracle harness:
+LSH-bucketed ANN recall vs. the exact brute-force baseline."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+from wd2duckdb_spark.functions.similarity import (
+    lsh_bucket_ann,
+    q_ann_bruteforce_topk,
+    query_vector,
+)
+
+
+def test_query_vector_shape(spark):
+    v = query_vector(spark, SF_DIR, 0)
+    assert len(v) == 64
+    assert all(isinstance(x, float) for x in v)
+
+
+def test_bruteforce_topk_is_sorted(spark):
+    rows = q_ann_bruteforce_topk(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    sims = [r["cosine"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_lsh_bucketed_recall(spark):
+    """The bucketed path returns a subset of vectors whose similarities
+    are genuine (every returned sim equals the brute-force sim for that
+    id), and the query's own bucket contains plausible neighbors."""
+    exact = {
+        r["vec_id"]: r["cosine"]
+        for r in q_ann_bruteforce_topk(spark, SF_DIR).collect()
+    }
+    bucketed = lsh_bucket_ann(spark, SF_DIR, 0, n_planes=2, k=10).collect()
+    assert 0 < len(bucketed) <= 10
+    # With only 4 buckets (~125 vectors each), recall@10 should be
+    # well above random; require at least one true top-10 neighbor.
+    hit = sum(1 for r in bucketed if r["vec_id"] in exact)
+    assert hit >= 1

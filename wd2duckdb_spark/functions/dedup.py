@@ -1,0 +1,324 @@
+"""Deduplication operators (north-star extensions, BASELINE.json):
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Design for 100 TB:
+
+- exact dedup: hash-groupBy on the normalized-content key — one shuffle
+  on a uniformly-distributed md5 key, no skew;
+- MinHash/LSH: shingle → k minhashes → band keys → bucket self-join.
+  The self-join is on band keys, never all-pairs; candidate volume is
+  controlled by (k, bands) — the classic banding trade-off;
+- SimHash: one pass to a 16-bit signature per doc (pure agg), pairs
+  compared only within signature buckets at scale;
+- n-gram Jaccard: exact verification step for candidate pairs (here
+  demonstrated on the deterministic consecutive-id pairing);
+- embedding near-dup: bounded self-join (all-pairs only at fixture
+  scale; production path is the LSH-bucketed variant in similarity.py).
+
+All hashes are md5-derived so every operator is reproducible in ANSI
+SQL — the DuckDB oracles verify signatures, not just row counts. No
+UDFs anywhere: shingling uses higher-order array functions, hashing
+uses md5+conv, all inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wd2duckdb_spark.catalog import tbl
+
+N_MINHASH = 8  #: hash functions in the MinHash signature
+N_BANDS = 4  #: LSH bands (rows per band = N_MINHASH // N_BANDS = 2)
+
+
+def word_shingles_expr(n: int = 3) -> str:
+    """SQL expression producing distinct word n-gram shingles of `text`
+    (shared shape between the Spark plan and the DuckDB oracle)."""
+    gram = " || ' ' || ".join(f"tk[i + {j}]" for j in range(n))
+    return (
+        "list_distinct(list_transform(range(1, len(tk) - 1), "
+        f"i -> {gram}))".replace("tk", "string_split(lower(trim(text)), ' ')")
+    )
+
+
+def _minhash_cols() -> list[Column]:
+    """k md5-derived minhash aggregates over the exploded shingle col."""
+    return [
+        F.min(
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))), 1, 8), 16, 10).cast(
+                "long"
+            )
+        ).alias(f"h{i}")
+        for i in range(N_MINHASH)
+    ]
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, shingle) exploded distinct word-3-grams."""
+    d = tbl(spark, sf_dir, "documents")
+    tokens = F.split(F.lower(F.trim(F.col("text"))), " ")
+    shingles = F.expr(
+        "array_distinct(transform("
+        "  sequence(1, greatest(size(split(lower(trim(text)), ' ')) - 2, 1)),"
+        "  i -> concat_ws(' ',"
+        "       element_at(split(lower(trim(text)), ' '), i),"
+        "       element_at(split(lower(trim(text)), ' '), i + 1),"
+        "       element_at(split(lower(trim(text)), ' '), i + 2))))"
+    )
+    return (
+        d.filter(F.size(tokens) >= 3)
+        .select("doc_id", F.explode(shingles).alias("shingle"))
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature (h0..h7) — one shuffle (groupBy doc_id)."""
+    return _shingled(spark, sf_dir).groupBy("doc_id").agg(*_minhash_cols())
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(spark, sf_dir).orderBy("doc_id")
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing any of the 4 band keys
+    (band = md5 of 2 adjacent signature values). The join is on band
+    keys — the production-scale path (never all-pairs)."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",", F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")
+                            )
+                        ).alias("key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+        .orderBy("a_id", "b_id")
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized content: keep min doc_id per content
+    key, count copies. One shuffle on the uniform md5 key."""
+    d = tbl(spark, sf_dir, "documents")
+    key = F.md5(F.lower(F.trim(F.col("text"))))
+    return (
+        d.groupBy(key.alias("content_key"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .orderBy("keep_id")
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per doc over distinct tokens: bit j of the
+    signature = majority vote of bit j across token hashes."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), " "))).alias(
+            "tok"
+        ),
+    ).filter(F.col("tok") != "")
+    h16 = F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int")
+    bit_sums = [
+        F.sum(F.shiftright(h16, j).bitwiseAND(1)).alias(f"c{j}") for j in range(16)
+    ]
+    agg = toks.groupBy("doc_id").agg(F.count("*").alias("n"), *bit_sums)
+    sim = None
+    for j in range(16):
+        term = F.when(F.col(f"c{j}") * 2 > F.col("n"), F.lit(1 << j)).otherwise(0)
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("int").alias("simhash")).orderBy("doc_id")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard similarity — the verification operator
+    for candidate pairs, demonstrated on consecutive-id pairs."""
+    d = tbl(spark, sf_dir, "documents")
+    tokens = F.split(F.lower(F.trim(F.col("text"))), " ")
+    shingles = F.expr(
+        "array_distinct(transform("
+        "  sequence(1, greatest(size(split(lower(trim(text)), ' ')) - 2, 1)),"
+        "  i -> concat_ws(' ',"
+        "       element_at(split(lower(trim(text)), ' '), i),"
+        "       element_at(split(lower(trim(text)), ' '), i + 1),"
+        "       element_at(split(lower(trim(text)), ' '), i + 2))))"
+    )
+    s = d.filter(F.size(tokens) >= 3).select(
+        "doc_id", shingles.alias("sh")
+    )
+    a = s.alias("a")
+    b = s.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (
+        a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        )
+        .orderBy("a_id")
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above 0.4 (rounded).
+
+    The fixture embeddings are near-orthogonal random vectors (max
+    pairwise cosine ~0.51), so 0.4 is the threshold that exercises the
+    operator non-degenerately; production near-dup would use ~0.95.
+
+    All-pairs is acceptable at fixture scale; the 100 TB path buckets
+    by LSH sign-bits first (similarity.lsh_bucket_ann) so the join is
+    per-bucket."""
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+    sim = F.round(dot / (norm(F.col("a.v")) * norm(F.col("b.v"))), 4)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            sim.alias("cosine"),
+        )
+        .filter(F.col("cosine") > 0.4)
+        .orderBy("a_id", "b_id")
+    )
+
+
+def _minhash_sql_cte() -> str:
+    """Shared oracle CTE: doc_id → h0..h7 minhash signature."""
+    hashes = ", ".join(
+        f"min(('0x' || substr(md5('{i}|' || shingle), 1, 8))::BIGINT) AS h{i}"
+        for i in range(N_MINHASH)
+    )
+    return f"""
+        shingled AS (
+            SELECT doc_id, unnest({word_shingles_expr(3)}) AS shingle
+            FROM documents
+            WHERE len(string_split(lower(trim(text)), ' ')) >= 3
+        ),
+        sig AS (SELECT doc_id, {hashes} FROM shingled GROUP BY doc_id)
+    """
+
+
+ORACLES: dict[str, str] = {
+    "minhash_signatures": f"""
+        WITH {_minhash_sql_cte()}
+        SELECT * FROM sig ORDER BY doc_id
+    """,
+    "minhash_lsh_pairs": f"""
+        WITH {_minhash_sql_cte()},
+        bands AS (
+            {" UNION ALL ".join(
+                f"SELECT doc_id, {b} AS band,"
+                f" md5(CAST(h{2*b} AS VARCHAR) || ',' || CAST(h{2*b+1} AS VARCHAR))"
+                f" AS key FROM sig"
+                for b in range(N_BANDS)
+            )}
+        )
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ORDER BY a_id, b_id
+    """,
+    "dedup_exact": """
+        SELECT md5(lower(trim(text))) AS content_key,
+               min(doc_id) AS keep_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM documents
+        GROUP BY 1
+        ORDER BY keep_id
+    """,
+    "simhash": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_distinct(string_split(lower(trim(text)), ' ')))
+                       AS tok
+            FROM documents
+        ),
+        agg AS (
+            SELECT doc_id, count(*) AS n,
+                   {", ".join(
+                       f"sum((('0x' || substr(md5(tok), 1, 4))::INT >> {j}) & 1)"
+                       f" AS c{j}"
+                       for j in range(16)
+                   )}
+            FROM toks WHERE tok <> '' GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST({" + ".join(
+                   f"CASE WHEN c{j} * 2 > n THEN {1 << j} ELSE 0 END"
+                   for j in range(16)
+               )} AS INT) AS simhash
+        FROM agg
+        ORDER BY doc_id
+    """,
+    "ngram_jaccard": f"""
+        WITH s AS (
+            SELECT doc_id, {word_shingles_expr(3)} AS sh
+            FROM documents
+            WHERE len(string_split(lower(trim(text)), ' ')) >= 3
+        )
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+        FROM s a JOIN s b ON a.doc_id + 1 = b.doc_id
+        ORDER BY a_id
+    """,
+    "embedding_neardup": """
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 4)
+                   AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 4)
+              > 0.4
+        ORDER BY a_id, b_id
+    """,
+}
+
+QUERIES = {
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dedup_exact": q_dedup_exact,
+    "simhash": q_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_neardup": q_embedding_neardup,
+}

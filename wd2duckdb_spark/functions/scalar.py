@@ -1,0 +1,213 @@
+"""Scalar function parity queries: string, date/time, math, JSON,
+array/map, and the id-codec bridge (SURVEY §2.3 function rows; ingest
+usage sites at main.rs:104-119, id.rs:28-59, value.rs:273).
+
+All pure ``Column`` expressions — zero UDFs, fully inside whole-stage
+codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wd2duckdb_spark.catalog import tbl
+from wd2duckdb_spark.ids import encode_id_col
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trim/upper/substring/length/concat/like — the sanitizer family
+    (main.rs:104-119 uses trim/prefix/truncate)."""
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devoweled"),
+    ).orderBy("p_partkey")
+
+
+def q_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/day/date_trunc/datediff (value.rs:273 uses year())."""
+    o = tbl(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("days_since_epoch_start"),
+    ).orderBy("o_orderkey")
+
+
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """abs/floor/ceil/sqrt/ln/pmod — the id-arithmetic family
+    (id.rs:70-88 uses offset add + wrapping mod)."""
+    l = tbl(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("abs_disc_delta"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.pmod("l_orderkey", F.lit(7)).alias("key_mod7"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over the events.props payload column —
+    the from_json path of the ingest (main.rs:124-132)."""
+    e = tbl(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split/size/distinct/element_at — the multilingual-list family
+    (value.rs:394-401, main.rs:192-193)."""
+    d = tbl(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_tokens"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+        F.element_at(words, 1).alias("first_token"),
+        F.element_at(words, -1).alias("last_token"),
+    ).orderBy("doc_id")
+
+
+def q_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode (the claims fan-out primitive, main.rs:200-212) +
+    frequency agg + deterministic top-20."""
+    d = tbl(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(20)
+    )
+
+
+def q_id_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The u32 keyspace codec as a bulk Column expression (id.rs:70-88),
+    driven over testdata keys — Q/P/L offsets + wrapped F/S ids."""
+    n = tbl(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("long")
+    return n.select(
+        "n_nationkey",
+        encode_id_col(F.concat(F.lit("Q"), k)).alias("qid"),
+        encode_id_col(F.concat(F.lit("P"), k)).alias("pid"),
+        encode_id_col(F.concat(F.lit("L"), k)).alias("lid"),
+        encode_id_col(
+            F.concat(F.lit("F"), k, F.lit("-F"), (k + 1))
+        ).alias("fid"),
+        encode_id_col(
+            F.concat(F.lit("S"), k, F.lit("-S"), (k + 2))
+        ).alias("sid"),
+    ).orderBy("n_nationkey")
+
+
+ORACLES: dict[str, str] = {
+    "string_funcs": """
+        SELECT p_partkey,
+               upper(p_name) AS name_upper,
+               substr(p_type, 1, 5) AS type_prefix,
+               CAST(length(p_name) AS INT) AS name_len,
+               concat_ws('#', p_brand, p_type) AS brand_type,
+               regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled
+        FROM part
+        WHERE p_name LIKE '%a%'
+        ORDER BY p_partkey
+    """,
+    "datetime_funcs": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(month(o_orderdate) AS INT) AS mo,
+               CAST(day(o_orderdate) AS INT) AS dom,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               CAST(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS INT)
+                   AS days_since_epoch_start
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+    "math_funcs": """
+        SELECT l_orderkey, l_linenumber,
+               round(abs(l_discount - 0.05), 4) AS abs_disc_delta,
+               CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+               CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+               round(sqrt(l_extendedprice), 6) AS price_sqrt,
+               round(ln(l_extendedprice), 6) AS price_ln,
+               l_orderkey % 7 AS key_mod7
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    "json_funcs": """
+        SELECT event_type,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+                   AS sum_k,
+               round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4)
+                   AS avg_k,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "array_funcs": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS INT)
+                   AS n_distinct,
+               string_split(text, ' ')[1] AS first_token,
+               string_split(text, ' ')[-1] AS last_token
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "explode_words": """
+        SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS word
+            FROM documents
+        ) WHERE word <> ''
+        GROUP BY word
+        ORDER BY freq DESC, word
+        LIMIT 20
+    """,
+    "id_codec": """
+        SELECT n_nationkey,
+               CAST(n_nationkey AS BIGINT) AS qid,
+               CAST(n_nationkey + 1000000000 AS BIGINT) AS pid,
+               CAST(n_nationkey + 2000000000 AS BIGINT) AS lid,
+               CAST((n_nationkey + (n_nationkey + 1) + 5000000000) % 4294967296
+                    AS BIGINT) AS fid,
+               CAST((n_nationkey + (n_nationkey + 2) + 5500000000) % 4294967296
+                    AS BIGINT) AS sid
+        FROM nation
+        ORDER BY n_nationkey
+    """,
+}
+
+QUERIES = {
+    "string_funcs": q_string_funcs,
+    "datetime_funcs": q_datetime_funcs,
+    "math_funcs": q_math_funcs,
+    "json_funcs": q_json_funcs,
+    "array_funcs": q_array_funcs,
+    "explode_words": q_explode_words,
+    "id_codec": q_id_codec,
+}

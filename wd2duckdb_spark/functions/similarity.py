@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Two paths:
+
+- :func:`q_ann_bruteforce_topk` — exact cosine top-k against a query
+  vector. The per-row math is pure higher-order-function expressions
+  (zip_with/aggregate) in whole-stage codegen; top-k is
+  TakeOrderedAndProject. At scale this is one narrow scan — the
+  baseline every ANN variant is measured against.
+- :func:`lsh_bucket_ann` / :func:`q_ann_lsh_bucketed` — the scale path:
+  sign-bit LSH over deterministic md5-derived hyperplanes buckets
+  vectors, and the search only scores the query's bucket. Recall<1 by
+  construction; bucket count trades recall vs. cost. The hyperplanes
+  are pseudo-random but deterministic (seeded by dimension index), so
+  results are reproducible run-to-run and node-to-node.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wd2duckdb_spark.catalog import tbl
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Element-wise dot product of two array<double> columns (no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    """Fetch one query vector to the driver (a single row — the one
+    legitimate collect in this module)."""
+    row = (
+        tbl(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of vec_id=0."""
+    qv = query_vector(spark, sf_dir, 0)
+    q = F.array(*[F.lit(x) for x in qv])
+    e = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    sim = F.round(cosine(_as_double(F.col("embedding")), q), 6)
+    return (
+        e.select("vec_id", sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed scale path
+# ---------------------------------------------------------------------------
+
+
+def _plane_component(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1),
+    derived from md5(plane|dim) — no RNG state, reproducible anywhere."""
+    import hashlib
+
+    h = hashlib.md5(f"{plane}|{dim}".encode()).hexdigest()[:8]
+    return (int(h, 16) / 0x7FFFFFFF) - 1.0
+
+
+def lsh_bucket_col(vec: Column, n_planes: int, n_dims: int) -> Column:
+    """Sign-bit LSH bucket id (0 .. 2^n_planes-1) of an array<double>."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array(
+            *[F.lit(_plane_component(p, d)) for d in range(n_dims)]
+        )
+        bucket = bucket + F.when(dot(vec, plane) >= 0, F.lit(1 << p)).otherwise(0)
+    return bucket
+
+
+def lsh_bucket_ann(
+    spark: SparkSession,
+    sf_dir: str,
+    vec_id: int = 0,
+    n_planes: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """ANN top-k scoring only the query's LSH bucket.
+
+    At 100 TB: bucket once at write time (a stored column / partition
+    key), so a query prunes to ~1/2^n_planes of the data before any
+    scoring. Here bucketing happens inline on the fixture table.
+    """
+    qv = query_vector(spark, sf_dir, vec_id)
+    n_dims = len(qv)
+    q = F.array(*[F.lit(x) for x in qv])
+    # the query's bucket id, computed driver-side with the same planes
+    q_bucket = sum(
+        (1 << p)
+        for p in range(n_planes)
+        if sum(qv[d] * _plane_component(p, d) for d in range(n_dims)) >= 0
+    )
+    e = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") != vec_id)
+    v = _as_double(F.col("embedding"))
+    bucketed = e.withColumn("bucket", lsh_bucket_col(v, n_planes, n_dims))
+    sim = F.round(cosine(_as_double(F.col("embedding")), q), 6)
+    return (
+        bucketed.filter(F.col("bucket") == q_bucket)
+        .select("vec_id", sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )
+
+
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_bucket_ann(spark, sf_dir, 0, 4, 10)
+
+
+ORACLES: dict[str, str] = {
+    "ann_bruteforce_topk": """
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE vec_id = 0
+        )
+        SELECT vec_id,
+               round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            (SELECT e FROM q)), 6) AS cosine
+        FROM embeddings
+        WHERE vec_id <> 0
+        ORDER BY cosine DESC, vec_id
+        LIMIT 10
+    """
+    # ann_lsh_bucketed: deliberately no oracle — the bucketed variant's
+    # result depends on the engine-defined hyperplane constants; checked
+    # by tests/test_similarity.py (recall vs. brute force) instead.
+}
+
+QUERIES = {
+    "ann_bruteforce_topk": q_ann_bruteforce_topk,
+    "ann_lsh_bucketed": q_ann_lsh_bucketed,
+}

@@ -1,0 +1,150 @@
+"""Text-analysis operators for LLM-data pipelines (north-star
+extensions, BASELINE.json): language-ID, quality scoring, token
+statistics, document fingerprinting.
+
+All operators are pure Column expressions over the ``documents`` table —
+they run inside whole-stage codegen and scale linearly with no shuffle
+except the final aggregations. At 100 TB these are the cheapest class
+of operator in the engine: scan-bound, trivially partition-parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wd2duckdb_spark.catalog import tbl
+
+#: Tiny high-frequency English function-word set for the n-gram/stopword
+#: language heuristic. Deliberately small + deterministic — this is the
+#: public-knowledge "stopword ratio" heuristic, not a trained model.
+EN_STOPWORDS = ("the", "and", "of", "to", "in", "a", "is", "that")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (int)."""
+    return F.size(F.split(F.trim(text), " "))
+
+
+def en_stopword_hits(text: Column) -> Column:
+    """How many distinct EN stopwords appear as whole tokens."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    hits = [
+        F.when(padded.contains(f" {w} "), 1).otherwise(0) for w in EN_STOPWORDS
+    ]
+    out = hits[0]
+    for h in hits[1:]:
+        out = out + h
+    return out
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language heuristic: ≥2 distinct EN function words →
+    'en'. Returns prediction next to the gold ``lang`` column."""
+    d = tbl(spark, sf_dir, "documents")
+    pred = F.when(en_stopword_hits(F.col("text")) >= 2, "en").otherwise("other")
+    return d.select(
+        "doc_id",
+        "lang",
+        pred.alias("lang_pred"),
+        en_stopword_hits(F.col("text")).alias("en_hits"),
+    ).orderBy("doc_id")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features: length, token count, mean token length,
+    non-alnum ratio — the standard pre-training filter signals."""
+    d = tbl(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_chars = F.length(text)
+    n_tokens = token_count(text)
+    compact = F.replace(text, F.lit(" "), F.lit(""))
+    non_alnum = F.length(F.regexp_replace(text, "[A-Za-z0-9 ]", ""))
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(F.length(compact) / n_tokens, 4).alias("avg_token_len"),
+        F.round(non_alnum / n_chars, 4).alias("non_alnum_ratio"),
+    ).orderBy("doc_id")
+
+
+def q_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source — the budget query every
+    training-data pipeline runs."""
+    d = tbl(spark, sf_dir, "documents")
+    n_tokens = token_count(F.col("text"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum(n_tokens).alias("total_tokens"),
+            F.round(F.avg(n_tokens), 2).alias("avg_tokens"),
+            F.max(n_tokens).alias("max_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 of the normalized text (lower+trim) —
+    the exact-dup key. Deterministic across engines."""
+    d = tbl(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+ORACLES: dict[str, str] = {
+    "lang_id": f"""
+        WITH hits AS (
+            SELECT doc_id, lang,
+                   ({" + ".join(
+                       f"CASE WHEN contains(' ' || lower(text) || ' ', ' {w} ')"
+                       " THEN 1 ELSE 0 END"
+                       for w in EN_STOPWORDS
+                   )}) AS en_hits
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE WHEN en_hits >= 2 THEN 'en' ELSE 'other' END AS lang_pred,
+               CAST(en_hits AS INT) AS en_hits
+        FROM hits
+        ORDER BY doc_id
+    """,
+    "text_quality": """
+        SELECT doc_id,
+               CAST(length(text) AS INT) AS n_chars,
+               CAST(len(string_split(trim(text), ' ')) AS INT) AS n_tokens,
+               round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / len(string_split(trim(text), ' ')), 4) AS avg_token_len,
+               round(CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                     AS DOUBLE) / length(text), 4) AS non_alnum_ratio
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "token_stats_by_source": """
+        SELECT source,
+               CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+                   AS total_tokens,
+               round(avg(len(string_split(trim(text), ' '))), 2) AS avg_tokens,
+               CAST(max(len(string_split(trim(text), ' '))) AS INT) AS max_tokens,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents
+        GROUP BY source
+        ORDER BY source
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id, md5(lower(trim(text))) AS fingerprint
+        FROM documents
+        ORDER BY doc_id
+    """,
+}
+
+QUERIES = {
+    "lang_id": q_lang_id,
+    "text_quality": q_text_quality,
+    "token_stats_by_source": q_token_stats_by_source,
+    "doc_fingerprint": q_doc_fingerprint,
+}

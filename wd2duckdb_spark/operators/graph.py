@@ -1,0 +1,111 @@
+"""Graph-shaped query patterns (SURVEY §2.2): neighbor expansion,
+k-hop traversal, as-of lookup.
+
+The reference's schema is built for exactly these: `edge(src_id,
+property_id, dst_id)` with endpoint indices (value.rs:332-350). On the
+driver's testdata the same patterns run over the order graph
+(customer —orders→ order —lineitem→ supplier).
+
+Scale: traversals are equi-joins on the hop key; Catalyst picks
+broadcast for dim-sized sides and AQE splits skewed hub keys
+(the P31/Q5 problem, SURVEY §4.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wd2duckdb_spark.catalog import tbl
+
+
+def q_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop neighbor expansion: customer → orders → lineitem →
+    distinct supplier set size per customer."""
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders")
+    l = tbl(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("c_custkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+        .orderBy("c_custkey")
+    )
+
+
+def q_graph_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-pattern matching: (customer, supplier) pairs in the same
+    nation connected through an order — the triple-pattern self-join
+    shape of `edge ⋈ edge` (SURVEY §2.2 traversal row)."""
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders")
+    l = tbl(spark, sf_dir, "lineitem")
+    s = tbl(spark, sf_dir, "supplier")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .select("c_custkey", "s_suppkey")
+        .distinct()
+        .orderBy("c_custkey", "s_suppkey")
+    )
+
+
+def q_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of lookup: for each user, the latest event at-or-before a
+    cutoff, plus its value (max_by = DuckDB arg_max).
+
+    Spark realization: filter + groupBy max/max_by — the distributed
+    as-of pattern (sort-merge per key); no per-row subquery.
+    """
+    e = tbl(spark, sf_dir, "events").filter(F.col("ts") <= "2024-01-15 00:00:00")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("asof_ts"),
+            F.expr("max_by(value, struct(ts, event_id))").alias("asof_value"),
+        )
+        .select(
+            "user_id", "asof_ts", F.round("asof_value", 2).alias("asof_value")
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLES: dict[str, str] = {
+    "graph_2hop": """
+        SELECT c_custkey, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+        FROM customer
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY c_custkey
+        ORDER BY c_custkey
+    """,
+    "graph_triangle": """
+        SELECT DISTINCT c_custkey, s_suppkey
+        FROM customer
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        WHERE c_nationkey = s_nationkey
+        ORDER BY c_custkey, s_suppkey
+    """,
+    "asof_latest_event": """
+        SELECT user_id, asof_ts, asof_value FROM (
+            SELECT user_id, ts AS asof_ts, round(value, 2) AS asof_value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+            WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+        ) WHERE rn = 1
+        ORDER BY user_id
+    """,
+}
+
+QUERIES = {
+    "graph_2hop": q_graph_2hop,
+    "graph_triangle": q_graph_triangle,
+    "asof_latest_event": q_asof_latest_event,
+}

@@ -1,0 +1,36 @@
+"""Central query registry: name → (Spark callable, DuckDB oracle SQL).
+
+Assembles every operator module's QUERIES/ORACLES pair. The driver
+contract (``__spark_entry__.py``) and ``bench.py`` both read from here,
+so adding an operator = adding it to its module's two dicts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from wd2duckdb_spark.functions import dedup, scalar, similarity, text
+from wd2duckdb_spark.operators import graph, relational
+
+_MODULES = (relational, graph, scalar, text, dedup, similarity)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def all_queries() -> dict[str, QueryFn]:
+    out: dict[str, QueryFn] = {}
+    for m in _MODULES:
+        overlap = out.keys() & m.QUERIES.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _MODULES:
+        out.update(m.ORACLES)
+    return out
