@@ -43,32 +43,86 @@ def word_shingles_expr(n: int = 3) -> str:
 
 
 def _minhash_cols() -> list[Column]:
-    """k md5-derived minhash aggregates over the exploded shingle col."""
+    """k md5-derived minhash aggregates over the exploded shingle col.
+
+    One md5 yields four independent 32-bit values (128/32), so the 8
+    hash functions cost 2 md5 evaluations per shingle, not 8.
+    """
     return [
         F.min(
-            F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))), 1, 8), 16, 10).cast(
-                "long"
-            )
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i // 4}|"), F.col("shingle"))),
+                    1 + 8 * (i % 4),
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
         ).alias(f"h{i}")
         for i in range(N_MINHASH)
     ]
 
 
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → (doc_id, shingle) exploded distinct word-3-grams."""
-    d = tbl(spark, sf_dir, "documents")
-    tokens = F.split(F.lower(F.trim(F.col("text"))), " ")
-    shingles = F.expr(
-        "array_distinct(transform("
-        "  sequence(1, greatest(size(split(lower(trim(text)), ' ')) - 2, 1)),"
-        "  i -> concat_ws(' ',"
-        "       element_at(split(lower(trim(text)), ' '), i),"
-        "       element_at(split(lower(trim(text)), ' '), i + 1),"
-        "       element_at(split(lower(trim(text)), ' '), i + 2))))"
-    )
+def _with_shingles(d: DataFrame) -> DataFrame:
+    """documents → (doc_id, sh: array<string>) distinct word-3-grams.
+
+    Tokenizes ONCE into a materialized ``toks`` column before the
+    sliding-window transform — evaluating ``split()`` inside the lambda
+    would re-split the text per window element (O(tokens²) per doc).
+
+    Repartitions on doc_id first: the fixture table is one small
+    parquet file (one input split), and the higher-order-function
+    shingling is interpreted (non-codegen) — without the repartition
+    the whole corpus shingles on a single core. On a real multi-split
+    corpus the scan parallelizes anyway, and hash-partitioning by
+    doc_id pre-aligns the downstream groupBy(doc_id) so the minhash
+    aggregation needs no second exchange.
+    """
     return (
-        d.filter(F.size(tokens) >= 3)
-        .select("doc_id", F.explode(shingles).alias("shingle"))
+        d.repartition("doc_id")
+        .select(
+            "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks")
+        )
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.expr(
+                "array_distinct(transform(sequence(1, size(toks) - 2),"
+                " i -> concat_ws(' ', element_at(toks, i),"
+                " element_at(toks, i + 1), element_at(toks, i + 2))))"
+            ).alias("sh"),
+        )
+    )
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, shingle) exploded distinct word-3-grams.
+
+    The generator expression is inlined into ``explode`` rather than
+    projected first: with a separate projection, Catalyst infers a
+    ``size(sh) > 0 AND isnotnull(sh)`` filter from the Generate and
+    pushes the WHOLE shingle expression (re-expanded, evaluated twice)
+    below the exchange — a 15x slowdown observed at sf0.1. Inline, the
+    Generate evaluates it once per input row.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    toks = (
+        d.repartition("doc_id")
+        .select(
+            "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks")
+        )
+        .filter(F.size("toks") >= 3)
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, size(toks) - 2),"
+                " i -> concat_ws(' ', element_at(toks, i),"
+                " element_at(toks, i + 1), element_at(toks, i + 2))))"
+            )
+        ).alias("shingle"),
     )
 
 
@@ -84,7 +138,14 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: docs sharing any of the 4 band keys
     (band = md5 of 2 adjacent signature values). The join is on band
-    keys — the production-scale path (never all-pairs)."""
+    keys — the production-scale path (never all-pairs).
+
+    Implementation: bands → groupBy(band, key) collecting the (small)
+    bucket membership → in-bucket pair expansion with a nested
+    transform. One shuffle, signature pipeline computed exactly once —
+    no self-join, no cache. Bucket sizes are bounded by the LSH banding
+    parameters (pathological all-identical corpora excepted, which is
+    inherent to the operator)."""
     sig = minhash_signatures(spark, sf_dir)
     bands = sig.select(
         "doc_id",
@@ -104,15 +165,21 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(ids, (x, i) ->"
+            " transform(slice(ids, i + 2, size(ids)),"
+            " y -> struct(x AS a_id, y AS b_id))))"
         )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+    )
+    return (
+        buckets.select(pair.alias("p"))
+        .select("p.a_id", "p.b_id")
         .distinct()
         .orderBy("a_id", "b_id")
     )
@@ -158,19 +225,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard similarity — the verification operator
     for candidate pairs, demonstrated on consecutive-id pairs."""
-    d = tbl(spark, sf_dir, "documents")
-    tokens = F.split(F.lower(F.trim(F.col("text"))), " ")
-    shingles = F.expr(
-        "array_distinct(transform("
-        "  sequence(1, greatest(size(split(lower(trim(text)), ' ')) - 2, 1)),"
-        "  i -> concat_ws(' ',"
-        "       element_at(split(lower(trim(text)), ' '), i),"
-        "       element_at(split(lower(trim(text)), ' '), i + 1),"
-        "       element_at(split(lower(trim(text)), ' '), i + 2))))"
-    )
-    s = d.filter(F.size(tokens) >= 3).select(
-        "doc_id", shingles.alias("sh")
-    )
+    s = _with_shingles(tbl(spark, sf_dir, "documents")).cache()
     a = s.alias("a")
     b = s.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
@@ -224,7 +279,8 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_sql_cte() -> str:
     """Shared oracle CTE: doc_id → h0..h7 minhash signature."""
     hashes = ", ".join(
-        f"min(('0x' || substr(md5('{i}|' || shingle), 1, 8))::BIGINT) AS h{i}"
+        f"min(('0x' || substr(md5('{i // 4}|' || shingle), {1 + 8 * (i % 4)}, 8))"
+        f"::BIGINT) AS h{i}"
         for i in range(N_MINHASH)
     )
     return f"""
