@@ -1,0 +1,86 @@
+"""DuckDB export parity: the parquet knowledge graph materialized as a
+real wd2duckdb-shaped database file (DDL, indices, infinity sentinels,
+existing-target guard), and the reverse hand-off."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from tests.conftest import FIXTURE_DUMP
+
+
+@pytest.fixture(scope="module")
+def kg_parquet(spark, tmp_path_factory):
+    from wd2duckdb_spark.ingest import ingest
+
+    out = str(tmp_path_factory.mktemp("kgdb")) + "/kg"
+    ingest(spark, FIXTURE_DUMP, out)
+    return out
+
+
+def test_export_and_schema(kg_parquet, tmp_path):
+    from wd2duckdb_spark.sources.duckdb_io import export_duckdb
+
+    db = str(tmp_path / "out.duckdb")
+    export_duckdb(kg_parquet, db)
+    con = duckdb.connect(db, read_only=True)
+
+    tables = {r[0] for r in con.execute("SHOW TABLES").fetchall()}
+    assert tables == {"vertex", "edge", "string", "coordinates", "quantity", "time"}
+
+    # Reference DDL types (value.rs:146-198)
+    cols = con.execute("DESCRIBE vertex").fetchall()
+    assert [(c[0], c[1]) for c in cols] == [
+        ("id", "UINTEGER"), ("label", "VARCHAR"), ("description", "VARCHAR")
+    ]
+
+    # Index set mirrors value.rs:332-350 (src_id/dst_id + vertex.id)
+    idx = {
+        r[0]
+        for r in con.execute(
+            "SELECT index_name FROM duckdb_indexes()"
+        ).fetchall()
+    }
+    assert "edge_src_id_index" in idx and "edge_dst_id_index" in idx
+    assert "vertex_id_index" in idx
+    assert not any(i.endswith("label_index") for i in idx)
+
+    # Infinity sentinel → real DuckDB +infinity (value.rs:271-284)
+    inf = con.execute(
+        "SELECT count(*) FROM time WHERE time = TIMESTAMP 'infinity'"
+    ).fetchone()[0]
+    assert inf == 1  # Q5's year-9999 claim
+    ninf = con.execute(
+        "SELECT count(*) FROM time WHERE time = TIMESTAMP '-infinity'"
+    ).fetchone()[0]
+    assert ninf == 1  # Q2's negative-year claim
+
+    # Row counts match the parquet side
+    assert con.execute("SELECT count(*) FROM vertex").fetchone()[0] == 7
+    assert con.execute("SELECT count(*) FROM edge").fetchone()[0] == 4
+    con.close()
+
+
+def test_existing_target_guard(kg_parquet, tmp_path):
+    from wd2duckdb_spark.sources.duckdb_io import export_duckdb
+
+    db = str(tmp_path / "guard.duckdb")
+    export_duckdb(kg_parquet, db)
+    with pytest.raises(FileExistsError):
+        export_duckdb(kg_parquet, db)
+    export_duckdb(kg_parquet, db, overwrite=True)  # explicit opt-in
+
+
+def test_read_back(spark, kg_parquet, tmp_path):
+    from wd2duckdb_spark.sources.duckdb_io import export_duckdb, read_duckdb_table
+
+    db = str(tmp_path / "rb.duckdb")
+    export_duckdb(kg_parquet, db)
+    edge = read_duckdb_table(spark, db, "edge", str(tmp_path))
+    got = sorted(tuple(r) for r in edge.collect())
+    want = sorted(tuple(r) for r in spark.read.parquet(f"{kg_parquet}/edge").collect())
+    assert got == want
+
+    with pytest.raises(ValueError):
+        read_duckdb_table(spark, db, "nope", str(tmp_path))

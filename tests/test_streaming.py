@@ -1,0 +1,86 @@
+"""Streaming ingest: identical output to batch for identical input,
+incremental appends across micro-batches, windowed event analytics."""
+
+from __future__ import annotations
+
+import shutil
+
+import pyspark.sql.functions as F
+
+from tests.conftest import FIXTURE_DUMP, SF_DIR
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    """availableNow streaming pass over the fixture dump produces the
+    same six tables as the batch ingest."""
+    from wd2duckdb_spark.ingest import build_tables
+    from wd2duckdb_spark.streaming import ingest_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    shutil.copy(FIXTURE_DUMP, in_dir / "shard-000.json")
+    out = str(tmp_path / "out")
+
+    q = ingest_stream(
+        spark, str(in_dir), out, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+
+    batch = build_tables(spark, FIXTURE_DUMP)
+    for name in ("vertex", "edge", "string", "coordinates", "quantity", "time"):
+        # cast to string before collect: the 0001-01-01 -infinity
+        # sentinel is unrepresentable by Python's local-TZ fromtimestamp
+        def strings(df):
+            cast = df.selectExpr(
+                *[f"cast({c} as string) as {c}" for c in df.columns]
+            )
+            return sorted(tuple(r) for r in cast.collect())
+
+        got = strings(spark.read.parquet(f"{out}/{name}"))
+        want = strings(batch[name])
+        assert got == want, f"stream/batch mismatch for {name}"
+
+
+def test_stream_incremental_append(spark, tmp_path):
+    """A second shard arriving later appends without duplicating the
+    first shard's rows (checkpointed exactly-once)."""
+    from wd2duckdb_spark.streaming import ingest_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    (in_dir / "s0.json").write_text(
+        '{"id":"Q10","labels":{"en":{"language":"en","value":"ten"}},'
+        '"descriptions":{},"claims":{}}\n'
+    )
+    q = ingest_stream(spark, str(in_dir), out, ckpt, available_now=True)
+    q.awaitTermination(120)
+    assert spark.read.parquet(f"{out}/vertex").count() == 1
+
+    (in_dir / "s1.json").write_text(
+        '{"id":"Q11","labels":{"en":{"language":"en","value":"eleven"}},'
+        '"descriptions":{},"claims":{}}\n'
+    )
+    q = ingest_stream(spark, str(in_dir), out, ckpt, available_now=True)
+    q.awaitTermination(120)
+    v = spark.read.parquet(f"{out}/vertex")
+    assert v.count() == 2
+    assert {r["id"] for r in v.collect()} == {10, 11}
+
+
+def test_windowed_event_counts_batch_parity(spark):
+    """The watermarked window aggregation, run in batch mode over the
+    events fixture, matches a plain tumbling-window groupBy."""
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.streaming.ingest_stream import windowed_event_counts
+
+    e = tbl(spark, SF_DIR, "events")
+    got = windowed_event_counts(e, "1 hour").orderBy("window_start", "event_type")
+    want = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+    )
+    assert got.count() == want.count()
+    row = got.first()
+    assert row["n_events"] > 0 and row["window_end"] > row["window_start"]
