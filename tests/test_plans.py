@@ -1,0 +1,103 @@
+"""Plan-property tests: the scale guarantees, pinned.
+
+These assert what .explain() shows — pushdown, pruning, broadcast
+choice, top-k physical op, bucketed-join exchange elimination, salted
+join correctness — so a regression in plan shape fails CI even when
+results stay correct.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_DIR
+from wd2duckdb_spark.plans import plan_summary, pushed_filters, read_schema
+
+
+def test_filter_projection_pushdown(spark):
+    from wd2duckdb_spark.operators.relational import q_filter_project
+
+    df = q_filter_project(spark, SF_DIR)
+    pf = " ".join(pushed_filters(df))
+    assert "GreaterThan(l_quantity,45.0)" in pf
+    assert "EqualTo(l_returnflag,R)" in pf
+    # column pruning: only the 3 projected + 1 filter column are read
+    cols = read_schema(df)[0]
+    assert set(c.split(":")[0] for c in cols.split(",")) == {
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    }
+
+
+def test_q5_joins_are_broadcast(spark):
+    from wd2duckdb_spark.operators.relational import q_q5_local_supplier_volume
+
+    s = plan_summary(q_q5_local_supplier_volume(spark, SF_DIR))
+    assert s["broadcast_hash_join"] >= 4  # customer/supplier/nation/region
+    assert s["nested_loop_join"] == 0
+
+
+def test_topk_uses_take_ordered(spark):
+    from wd2duckdb_spark.operators.relational import q_topk_orders
+
+    assert plan_summary(q_topk_orders(spark, SF_DIR))["take_ordered"] >= 1
+
+
+def test_no_python_udf_in_core_queries(spark):
+    """Every core operator stays JVM-side (SURVEY §2.3 UDF row)."""
+    from wd2duckdb_spark.registry import all_queries
+
+    for name, fn in all_queries().items():
+        s = plan_summary(fn(spark, SF_DIR))
+        assert s["python_udf"] == 0, f"{name} fell back to a Python UDF"
+
+
+def test_bucketed_join_has_no_exchange(spark, kg_tables, tmp_path):
+    """edge ⋈ vertex on the bucket key: zero Exchange on either side —
+    the co-located-join layout (the reference's index intent)."""
+    from wd2duckdb_spark.layout import bucketed_table, write_bucketed
+
+    # clear any orphan location left by an interrupted previous run
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql("DROP DATABASE IF EXISTS kg_test CASCADE")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/kg_test.db", ignore_errors=True)
+
+    write_bucketed(
+        {"edge": kg_tables["edge"], "vertex": kg_tables["vertex"]},
+        database="kg_test",
+        n_buckets=4,
+    )
+    e = bucketed_table(spark, "edge", "kg_test")
+    v = bucketed_table(spark, "vertex", "kg_test")
+    joined = e.groupBy("src_id").count()
+    assert plan_summary(joined)["exchange"] == 0, "bucketed agg should not shuffle"
+
+    j2 = e.join(v.withColumnRenamed("id", "src_id"), "src_id")
+    assert plan_summary(j2)["exchange"] <= 1  # at most the small side
+
+
+def test_salted_join_correctness(spark):
+    """Salted join == plain join, row-for-row, on a skewed key set."""
+    from wd2duckdb_spark.operators.skew import salted_join
+
+    # 10k rows, 90% on one hot key — the P31 shape
+    skewed = spark.range(10000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(31)).otherwise(F.col("id") % 97)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(100).select(
+        F.col("id").cast("long").alias("k"),
+        F.concat(F.lit("label_"), F.col("id")).alias("label"),
+    )
+    plain = skewed.join(dim, "k").select("k", "payload", "label")
+    salted = salted_join(skewed, dim, "k", n_salts=8)
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_aqe_skew_config_on(spark):
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
