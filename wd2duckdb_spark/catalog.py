@@ -19,6 +19,13 @@ TESTDATA_TABLES = (
 )
 
 
+#: (session id, sf_dir, name) → DataFrame. A DataFrame is an immutable
+#: logical plan, so reuse is safe; caching skips the parquet footer /
+#: schema-inference read that otherwise repeats per query (~100 ms each
+#: on the driver — pure plan-build latency, no effect on executors).
+_scan_cache: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (parquet scan with pushdown/pruning).
 
@@ -28,6 +35,15 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     arithmetic (``div`` — not double division, which loses low bits at
     1e18-scale nanos). DuckDB truncates nanos→micros the same way.
     """
+    key = (id(spark), sf_dir, name)
+    cached = _scan_cache.get(key)
+    if cached is not None:
+        return cached
+    _scan_cache[key] = df = _read(spark, sf_dir, name)
+    return df
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -78,9 +78,15 @@ def _with_shingles(d: DataFrame) -> DataFrame:
     corpus the scan parallelizes anyway, and hash-partitioning by
     doc_id pre-aligns the downstream groupBy(doc_id) so the minhash
     aggregation needs no second exchange.
+
+    The partition count is explicit: a bare ``repartition("doc_id")``
+    exchange gets AQE-coalesced back to ONE partition (input bytes are
+    tiny pre-explosion), silently re-serializing the shingle work.
+    Cost is per-shingle CPU, not input bytes, so bytes-based coalescing
+    is the wrong heuristic here.
     """
     return (
-        d.repartition("doc_id")
+        d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
         .select(
             "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks")
         )
@@ -108,7 +114,9 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = tbl(spark, sf_dir, "documents")
     toks = (
-        d.repartition("doc_id")
+        # explicit count: see _with_shingles — AQE would coalesce a
+        # bare key-repartition to 1 task and single-thread the md5s
+        d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select(
             "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks")
         )
@@ -204,7 +212,11 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per doc over distinct tokens: bit j of the
     signature = majority vote of bit j across token hashes."""
     d = tbl(spark, sf_dir, "documents")
-    toks = d.select(
+    toks = d.repartition(
+        # explicit count: see _with_shingles — the md5-per-token work
+        # must spread over all cores, AQE would coalesce to 1 task
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), " "))).alias(
             "tok"

@@ -95,7 +95,11 @@ def q_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency agg + deterministic top-20."""
     d = tbl(spark, sf_dir, "documents")
     return (
-        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        # round-robin repartition: the corpus is one input split, and
+        # the tokenize+explode work must spread across cores (AQE's
+        # bytes-based view of the pre-explosion input says "tiny")
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
