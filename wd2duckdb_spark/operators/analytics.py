@@ -1,0 +1,256 @@
+"""Analytics-surface completion: pivot, map functions, statistical
+aggregates, GROUPING SETS, binary-column ops, reproducible sampling,
+approximate distinct (SURVEY §2.3 rows: multiplex/demultiplex,
+array/map functions, aggregations, sampling/approx ops).
+
+The reference delegates all of these to DuckDB SQL over its 6-table
+output (README.md:9-10); our engine supplies them as stock Spark.
+
+Scale notes:
+
+- pivot: fixed value list → a single partial+final aggregate, no extra
+  shuffle vs a plain groupBy (never let pivot infer values at 100 TB —
+  that is an extra distinct scan);
+- map ops: per-group maps built by map_from_entries(collect_list)
+  stay bounded because the key domain (event types) is bounded;
+- hash sampling: md5-mod sampling is the reproducible, cross-engine,
+  cluster-stable way to sample — TABLESAMPLE output depends on
+  partitioning and seed plumbing, a content hash does not;
+- approx_count_distinct: HLL++ sketches merge associatively — the
+  100 TB path for cardinality (exact distinct = full shuffle of the
+  key; the sketch shuffles KBs per partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wd2duckdb_spark.catalog import tbl
+
+#: Pivot value list is pinned — at scale, letting pivot() infer values
+#: costs an extra pass over the fact table.
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demultiplex-to-columns: per-user event_type → summed value
+    matrix (the columnar cousin of the 19→6 type dispatch,
+    value.rs:373-433)."""
+    e = tbl(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.round(F.sum("value"), 2))
+        .orderBy("user_id")
+    )
+    return out
+
+
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + lookup (the per-language map access pattern,
+    main.rs:192-193): per-user map of event_type → event count, then
+    key-set size and point lookups."""
+    e = tbl(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    m = F.map_from_entries(
+        F.collect_list(F.struct("event_type", "cnt"))
+    )
+    return (
+        per_type.groupBy("user_id")
+        .agg(m.alias("type_counts"))
+        .select(
+            "user_id",
+            F.size(F.map_keys("type_counts")).alias("n_types"),
+            F.element_at("type_counts", "click").alias("n_clicks"),
+            F.element_at("type_counts", "purchase").alias("n_purchases"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_stats_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family per return flag: stddev, variance,
+    correlation, covariance, exact median (percentile).
+
+    Small-magnitude columns (quantity ~25, discount ~0.05) keep the
+    float roundoff from partial-aggregation order far below the 4 dp
+    rounding on both engines."""
+    l = tbl(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+            F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_corr"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
+                "qty_disc_covar"
+            ),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 2).alias(
+                "qty_median"
+            ),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping() discriminators — the exact
+    multi-granularity aggregate (finer than cube/rollup, which the
+    surface also has as cube_orders/rollup_acctbal)."""
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               round(sum(o_totalprice), 2) AS total,
+               count(*) AS n
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY status, priority
+        """
+    )
+
+
+def q_binary_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column operations (the multimodal plumbing primitive):
+    utf-8 encode → byte length, base64, md5-of-bytes. The same path a
+    binary image/audio payload column takes (functions/multimodal.py),
+    exercised here on text-derived bytes so a DuckDB oracle exists."""
+    d = tbl(spark, sf_dir, "documents")
+    bin_col = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(bin_col).alias("n_bytes"),
+        F.base64(F.encode(F.substring("text", 1, 12), "UTF-8")).alias(
+            "b64_prefix"
+        ),
+        F.md5(bin_col).alias("bin_md5"),
+    ).orderBy("doc_id")
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% sample via content hash (md5(key) mod 10 = 0),
+    then the sampled aggregate. Deterministic across engines, cluster
+    layouts, and retries — unlike seeded TABLESAMPLE."""
+    o = tbl(spark, sf_dir, "orders")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(10),
+    )
+    return (
+        o.filter(bucket == 0)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.round(F.sum("o_totalprice"), 2).alias("sampled_total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct customers per market segment, next to
+    the exact count. No oracle entry: the sketch estimate is
+    engine-specific by construction (DuckDB's approx_count_distinct
+    uses a different HLL variant); tests/test_queries.py bounds the
+    relative error instead."""
+    c = tbl(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.approx_count_distinct("c_custkey", 0.02).alias("approx_customers"),
+            F.countDistinct("c_custkey").alias("exact_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def _pivot_oracle() -> str:
+    cols = ",\n               ".join(
+        f"round(sum(value) FILTER (event_type = '{t}'), 2) AS \"{t}\""
+        for t in EVENT_TYPES
+    )
+    return f"""
+        SELECT user_id,
+               {cols}
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """
+
+
+ORACLES: dict[str, str] = {
+    "pivot_event_values": _pivot_oracle(),
+    "map_funcs": """
+        SELECT user_id,
+               CAST(count(DISTINCT event_type) AS INT) AS n_types,
+               count(*) FILTER (event_type = 'click') AS n_clicks,
+               count(*) FILTER (event_type = 'purchase') AS n_purchases
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    "stats_funcs": """
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 4) AS qty_stddev,
+               round(var_samp(l_discount), 6) AS disc_var,
+               round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+               round(covar_samp(l_quantity, l_discount), 6) AS qty_disc_covar,
+               round(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 2)
+                   AS qty_median,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "grouping_sets_revenue": """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               round(sum(o_totalprice), 2) AS total,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY status, priority
+    """,
+    "binary_funcs": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+               to_base64(encode(substr(text, 1, 12))) AS b64_prefix,
+               md5(text) AS bin_md5
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "hash_sample": """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_sampled,
+               round(sum(o_totalprice), 2) AS sampled_total
+        FROM orders
+        WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+              % 10 = 0
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+}
+
+QUERIES = {
+    "pivot_event_values": q_pivot_event_values,
+    "map_funcs": q_map_funcs,
+    "stats_funcs": q_stats_funcs,
+    "grouping_sets_revenue": q_grouping_sets_revenue,
+    "binary_funcs": q_binary_funcs,
+    "hash_sample": q_hash_sample,
+    "approx_distinct": q_approx_distinct,
+}

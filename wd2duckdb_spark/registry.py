@@ -12,9 +12,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from wd2duckdb_spark.functions import dedup, scalar, similarity, text
-from wd2duckdb_spark.operators import graph, relational
+from wd2duckdb_spark.operators import analytics, graph, relational
 
-_MODULES = (relational, graph, scalar, text, dedup, similarity)
+_MODULES = (relational, graph, analytics, scalar, text, dedup, similarity)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
