@@ -83,6 +83,8 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    ingest_stats = _bench_ingest(spark)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -92,10 +94,39 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "ingest": ingest_stats,
             }
         )
     )
     spark.stop()
+
+
+def _bench_ingest(spark) -> dict:
+    """Wikidata-dump ingest throughput — the reference's headline
+    function (single-threaded Rust+DuckDB loop, main.rs:311-326).
+    Generates a deterministic 20k-line dump once (cached in /tmp),
+    then times the full 6-table ETL."""
+    import shutil
+    import tempfile
+
+    from tools.gen_dump import write_dump
+    from wd2duckdb_spark.ingest import ingest
+
+    n_lines = int(os.environ.get("SPARK_GRAFT_INGEST_LINES", "20000"))
+    dump = f"{tempfile.gettempdir()}/wd_bench_dump_{n_lines}.json"
+    if not os.path.exists(dump):
+        write_dump(dump, n_lines)
+    out = tempfile.mkdtemp(prefix="wd_bench_kg_")
+    shutil.rmtree(out)
+    t0 = time.perf_counter()
+    ingest(spark, dump, out)
+    dt = time.perf_counter() - t0
+    shutil.rmtree(out, ignore_errors=True)
+    return {
+        "lines": n_lines,
+        "sec": round(dt, 3),
+        "lines_per_sec": round(n_lines / dt, 1),
+    }
 
 
 if __name__ == "__main__":

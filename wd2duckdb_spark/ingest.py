@@ -101,6 +101,16 @@ TIME_SCHEMA_OUT = EDGE_SCHEMA + ", time TIMESTAMP, precision INT"
 # ---------------------------------------------------------------------------
 
 
+#: Input split size for the dump scan. The default 128 MB targets
+#: IO-bound scans; JSON-dump parsing is CPU-bound (~10 MB/s/core of
+#: from_json), so 16 MB splits keep every core busy even on dumps that
+#: fit in one default split (a 123 MB dump = ONE 128 MB task = a
+#: single-threaded parse — measured 6k lines/s vs 17k with splits).
+#: At 100 TB this yields ~6.5M tasks, well within scheduler capacity,
+#: and each task stays seconds-long.
+DUMP_SPLIT_BYTES = 16 * 1024 * 1024
+
+
 def read_dump_lines(spark: SparkSession, path: str) -> DataFrame:
     """Dump file → one row per line, column ``line`` (main.rs:264-269).
 
@@ -108,6 +118,7 @@ def read_dump_lines(spark: SparkSession, path: str) -> DataFrame:
     stdin pipe is unnecessary; see streaming.ingest_stream for the
     unbounded-source variant.
     """
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(DUMP_SPLIT_BYTES))
     return spark.read.text(path).withColumnRenamed("value", "line")
 
 
