@@ -84,3 +84,64 @@ def test_windowed_event_counts_batch_parity(spark):
     assert got.count() == want.count()
     row = got.first()
     assert row["n_events"] > 0 and row["window_end"] > row["window_start"]
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """The applyInPandasWithState sessionizer, fed the same events in
+    two micro-batches, agrees with the batch lag+cumsum twin: taking
+    the LAST update per (user, session_start) from the update-mode
+    output reproduces every batch session."""
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.streaming.sessionize import sessionize, sessionize_stream
+
+    # Small deterministic slice: 5 users' events, split at mid-time so
+    # sessions straddle the two micro-batches.
+    e = (
+        tbl(spark, SF_DIR, "events")
+        .filter(F.col("user_id") < 5)
+        .select("ts", "event_id", "user_id", "value")
+    )
+    rows = sorted(e.collect(), key=lambda r: (r.ts, r.event_id))
+    cut = rows[len(rows) // 2].ts
+    in_dir = tmp_path / "sess_in"
+    in_dir.mkdir()
+    e.filter(F.col("ts") <= F.lit(cut)).coalesce(1).write.parquet(
+        str(in_dir / "b0.parquet")
+    )
+    e.filter(F.col("ts") > F.lit(cut)).coalesce(1).write.parquet(
+        str(in_dir / "b1.parquet")
+    )
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*.parquet")
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sess_updates")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    updates = spark.sql(
+        "SELECT * FROM sess_updates ORDER BY user_id, session_start"
+    ).collect()
+    # last update per (user, start) wins (update-mode semantics)
+    final = {}
+    for r in updates:
+        final[(r.user_id, r.session_start)] = (
+            r.session_end, r.n_events, round(r.total_value, 2)
+        )
+
+    want = {
+        (r.user_id, r.session_start): (
+            r.session_end, r.n_events, round(r.total_value, 2)
+        )
+        for r in sessionize(e).collect()
+    }
+    assert final == want

@@ -13,8 +13,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from wd2duckdb_spark.functions import dedup, scalar, similarity, text
 from wd2duckdb_spark.operators import analytics, graph, relational
+from wd2duckdb_spark.streaming import sessionize
 
-_MODULES = (relational, graph, analytics, scalar, text, dedup, similarity)
+_MODULES = (
+    relational, graph, analytics, scalar, text, dedup, similarity, sessionize
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
