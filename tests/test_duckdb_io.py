@@ -84,3 +84,37 @@ def test_read_back(spark, kg_parquet, tmp_path):
 
     with pytest.raises(ValueError):
         read_duckdb_table(spark, db, "nope", str(tmp_path))
+
+
+def test_cli_end_to_end(tmp_path):
+    """python -m wd2duckdb_spark --json X --database Y — the reference's
+    exact CLI surface (main.rs:21-31) — builds an indexed 6-table DB.
+    Runs in a subprocess: main() owns (and stops) its SparkSession."""
+    import subprocess
+    import sys
+
+    import duckdb
+
+    db = tmp_path / "cli.duckdb"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "wd2duckdb_spark",
+            "--json", FIXTURE_DUMP, "--database", str(db),
+        ],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "entities processed in" in r.stdout
+    con = duckdb.connect(str(db), read_only=True)
+    tables = {t[0] for t in con.sql("SELECT table_name FROM duckdb_tables()").fetchall()}
+    assert tables == {"vertex", "edge", "string", "coordinates", "quantity", "time"}
+    assert con.sql("SELECT count(*) FROM vertex").fetchone()[0] == 7
+    # guard: rerun without --overwrite refuses (main.rs:249-255)
+    r2 = subprocess.run(
+        [
+            sys.executable, "-m", "wd2duckdb_spark",
+            "--json", FIXTURE_DUMP, "--database", str(db),
+        ],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert r2.returncode == 1 and "already exists" in r2.stderr

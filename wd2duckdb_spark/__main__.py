@@ -1,0 +1,106 @@
+"""CLI — same surface as the reference binary (main.rs:21-31, 246-331):
+
+    python -m wd2duckdb_spark --json dump.json --database out.duckdb
+
+Pipeline: dump → distributed 6-table ingest (parquet) → DuckDB export
+with the reference's DDL + indices. A user of ``wd2duckdb --json X
+--database Y`` runs this with the same two flags and gets the same
+database file, built by a Spark cluster instead of a single-threaded
+loop.
+
+Differences from the reference, by design:
+
+- ``--json -`` (stdin) is replaced by pointing ``--json`` at a
+  compressed dump directly — Spark reads .bz2/.gz natively, so the
+  ``bzcat … | -`` pipe (README.md:31-55) is unnecessary; for true
+  continuous arrival use ``--stream-dir`` (Structured Streaming).
+- ``--parquet-out`` keeps the distributed parquet tables (the
+  engine-native form) next to the DuckDB file.
+- ``--lang`` makes the English-only projection configurable
+  (README.md:6-8 invites exactly this).
+"""
+
+from __future__ import annotations
+
+import argparse
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="wd2duckdb_spark",
+        description="Wikidata JSON dump -> queryable DuckDB, on Spark",
+    )
+    p.add_argument("--json", required=True, help="dump path (.json/.bz2/.gz)")
+    p.add_argument("--database", required=True, help="output DuckDB file")
+    p.add_argument("--lang", default="en", help="label/description language")
+    p.add_argument(
+        "--parquet-out",
+        default=None,
+        help="keep the parquet tables at this path (default: temp dir)",
+    )
+    p.add_argument(
+        "--overwrite", action="store_true", help="replace an existing target"
+    )
+    p.add_argument(
+        "--stream-dir",
+        default=None,
+        help="treat --json as a directory of arriving shards (streaming)",
+    )
+    args = p.parse_args(argv)
+
+    from wd2duckdb_spark import get_spark
+    from wd2duckdb_spark.sources.duckdb_io import export_duckdb
+
+    import os
+
+    if os.path.exists(args.database) and not args.overwrite:
+        # the reference's existing-target guard (main.rs:249-255)
+        print(f"error: {args.database} already exists", file=sys.stderr)
+        return 1
+
+    spark = get_spark(app_name="wd2duckdb_spark_cli")
+    spark.sparkContext.setLogLevel("WARN")
+    out = args.parquet_out or tempfile.mkdtemp(prefix="wd2duckdb_spark_")
+    t0 = time.perf_counter()
+    try:
+        if args.stream_dir:
+            from wd2duckdb_spark.streaming import ingest_stream
+
+            q = ingest_stream(
+                spark,
+                args.stream_dir,
+                out,
+                f"{out}/_checkpoint",
+                lang=args.lang,
+                available_now=True,
+            )
+            q.awaitTermination()
+        else:
+            from wd2duckdb_spark.ingest import ingest
+
+            ingest(
+                spark,
+                args.json,
+                out,
+                lang=args.lang,
+                mode="overwrite" if args.overwrite else "error",
+            )
+        n = spark.read.parquet(f"{out}/vertex").count()
+        export_duckdb(out, args.database, overwrite=args.overwrite)
+        # the reference's progress line shape (main.rs:229-236)
+        print(
+            f"{n} entities processed in {time.perf_counter() - t0:.1f} seconds"
+        )
+        return 0
+    finally:
+        if args.parquet_out is None:
+            shutil.rmtree(out, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
