@@ -96,7 +96,72 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: BPE-ish tokenizer regex: alphanumeric runs OR single non-space
+#: symbols — the standard pre-BPE word/punct split; identical regex
+#: semantics in Spark (Java regex) and DuckDB (RE2) for this class.
+BPE_TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+#: Rolling-hash parameters (Rabin-Karp polynomial fold).
+RH_BASE = 131
+RH_MOD = 2147483647  # 2^31-1; acc*131+2^32 stays far inside int64
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both ways (north-star text-analysis row):
+    whitespace tokens vs a BPE-ish regex token estimate, plus the
+    punct-token surplus — the pre-training cost-estimate signals."""
+    d = tbl(spark, sf_dir, "documents")
+    ws = token_count(F.col("text"))
+    bpe = F.expr(f"regexp_count(text, '{BPE_TOKEN_RE}')".replace("\\", "\\\\"))
+    return d.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        (bpe - ws).alias("punct_surplus"),
+    ).orderBy("doc_id")
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: Rabin-Karp polynomial fold
+    over the token stream, ``h = (h*B + md5_32(tok)) mod M``. Unlike
+    the md5 content key (q_doc_fingerprint), equal token MULTISETS in
+    different order fingerprint differently — the shape a rolling-hash
+    shingle fingerprint needs. Pure sequential fold per row: one scan,
+    no shuffle, identical arithmetic on both engines."""
+    d = tbl(spark, sf_dir, "documents")
+    fold = F.expr(
+        "aggregate("
+        "  transform(split(lower(trim(text)), ' '),"
+        "            t -> cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint)),"
+        "  cast(0 as bigint),"
+        f"  (acc, x) -> (acc * {RH_BASE} + x) % {RH_MOD})"
+    )
+    return d.select("doc_id", fold.alias("rolling_hash")).orderBy("doc_id")
+
+
 ORACLES: dict[str, str] = {
+    "token_count_bpe": f"""
+        SELECT doc_id,
+               CAST(len(string_split(trim(text), ' ')) AS INT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS INT)
+                   AS bpe_tokens,
+               CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))
+                    - len(string_split(trim(text), ' ')) AS INT)
+                   AS punct_surplus
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "rolling_fingerprint": f"""
+        SELECT doc_id,
+               list_reduce(
+                   [CAST(0 AS BIGINT)] ||
+                   list_transform(string_split(lower(trim(text)), ' '),
+                       t -> ('0x' || substr(md5(t), 1, 8))::BIGINT),
+                   (acc, x) -> (acc * {RH_BASE} + x) % {RH_MOD}
+               ) AS rolling_hash
+        FROM documents
+        ORDER BY doc_id
+    """,
     "lang_id": f"""
         WITH hits AS (
             SELECT doc_id, lang,
@@ -143,6 +208,8 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "token_count_bpe": q_token_count_bpe,
+    "rolling_fingerprint": q_rolling_fingerprint,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,
     "token_stats_by_source": q_token_stats_by_source,
