@@ -1,0 +1,59 @@
+"""k-hop iterative traversal: exact-hop semantics on a known graph and
+on the ingested wikidata fixture."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(s, 31, d) for s, d in pairs], "src_id long, property_id long, dst_id long"
+    )
+
+
+def _start(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id long")
+
+
+def test_k_hop_chain_and_diamond(spark):
+    from wd2duckdb_spark.operators.graph import k_hop
+
+    # chain 1→2→3→4 plus diamond 1→5→4
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (1, 5), (5, 4)])
+
+    def hop(k, starts=(1,)):
+        return sorted(
+            r.id for r in k_hop(e, _start(spark, starts), k).collect()
+        )
+
+    assert hop(1) == [2, 5]
+    assert hop(2) == [3, 4]       # via 2 and via 5, deduped
+    assert hop(3) == [4]          # only the chain path remains
+    assert hop(4) == []           # walked off the graph
+    assert hop(0) == [1]          # zero hops = the start set
+
+
+def test_k_hop_property_filter(spark):
+    from wd2duckdb_spark.operators.graph import k_hop
+
+    e = _edges(spark, [(1, 2)]).union(
+        spark.createDataFrame([(1, 99, 7)], "src_id long, property_id long, dst_id long")
+    )
+    only_p31 = k_hop(e, _start(spark, [1]), 1, property_id=31)
+    assert sorted(r.id for r in only_p31.collect()) == [2]
+
+
+def test_k_hop_on_fixture_kg(spark, kg_tables):
+    """1-hop from every vertex of the ingested fixture = the distinct
+    dst set of the edge table (self-loop markers included — they are
+    ordinary edges in the reference's model, value.rs:238-239)."""
+    from wd2duckdb_spark.operators.graph import k_hop
+
+    edge = kg_tables["edge"]
+    start = kg_tables["vertex"].select("id")
+    got = sorted(r.id for r in k_hop(edge, start, 1).collect())
+    want = sorted(
+        r.dst_id for r in edge.select("dst_id").distinct().collect()
+    )
+    assert got == want

@@ -101,3 +101,23 @@ def test_salted_join_correctness(spark):
 def test_aqe_skew_config_on(spark):
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_date_partitioned_write_prunes(spark, tmp_path):
+    """A date predicate over a hive-partitioned events table shows up
+    as PartitionFilters (directory pruning), not just a data filter."""
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.layout import write_date_partitioned
+    from wd2duckdb_spark.plans import partition_filters
+
+    e = tbl(spark, SF_DIR, "events")
+    out = str(tmp_path / "events_by_date")
+    write_date_partitioned(e, out)
+
+    back = spark.read.parquet(out)
+    one_day = back.filter(F.col("event_date") == "2024-01-10")
+    pf = " ".join(partition_filters(one_day))
+    assert "event_date" in pf, "date predicate must prune partitions"
+    # row parity with the unpartitioned filter
+    want = e.filter(F.to_date("ts") == "2024-01-10").count()
+    assert one_day.count() == want

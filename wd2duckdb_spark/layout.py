@@ -56,3 +56,29 @@ def write_bucketed(
 
 def bucketed_table(spark: SparkSession, name: str, database: str = "kg") -> DataFrame:
     return spark.table(f"{database}.{name}")
+
+
+def write_date_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    mode: str = "overwrite",
+) -> None:
+    """Write an event-style table hive-partitioned by event date.
+
+    The scale tier above row-group stats: a date predicate prunes whole
+    directories before any file is opened (``PartitionFilters`` in the
+    scan, probed by :func:`wd2duckdb_spark.plans.partition_filters`).
+    At 100 TB with daily arrival this makes time-bounded queries touch
+    only their days — and it composes with the in-file sort/min-max
+    tier of :func:`write_bucketed`/``ingest(edge_sort=True)``.
+    """
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn("event_date", F.to_date(ts_col))
+        .repartition("event_date")  # one writer set per partition dir
+        .write.mode(mode)
+        .partitionBy("event_date")
+        .parquet(path)
+    )

@@ -175,6 +175,30 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation via ``F.window`` — the
+    batch twin of the streaming watermarked aggregation
+    (streaming.ingest_stream.windowed_event_counts shares the shape).
+    For 1-hour tumbling windows the result is exactly the
+    date_trunc('hour') grouping, which is what the oracle checks."""
+    e = tbl(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 def _pivot_oracle() -> str:
     cols = ",\n               ".join(
         f"round(sum(value) FILTER (event_type = '{t}'), 2) AS \"{t}\""
@@ -191,6 +215,16 @@ def _pivot_oracle() -> str:
 
 ORACLES: dict[str, str] = {
     "pivot_event_values": _pivot_oracle(),
+    "window_tumbling": """
+        SELECT date_trunc('hour', ts) AS window_start,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2, 3
+        ORDER BY window_start, event_type
+    """,
     "map_funcs": """
         SELECT user_id,
                CAST(count(DISTINCT event_type) AS INT) AS n_types,
@@ -247,6 +281,7 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "pivot_event_values": q_pivot_event_values,
+    "window_tumbling": q_window_tumbling,
     "map_funcs": q_map_funcs,
     "stats_funcs": q_stats_funcs,
     "grouping_sets_revenue": q_grouping_sets_revenue,

@@ -74,6 +74,45 @@ def q_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def k_hop(
+    edge: DataFrame,
+    start: DataFrame,
+    k: int,
+    property_id: int | None = None,
+) -> DataFrame:
+    """Distinct vertices reachable in exactly ``k`` hops from ``start``
+    (a DataFrame with an ``id`` column) — the iterative-join traversal
+    over ``edge(src_id, property_id, dst_id)`` that the reference's
+    endpoint indices exist to serve (value.rs:332-350; SURVEY §2.2).
+
+    Each hop is one equi-join on the frontier + distinct. Scale:
+
+    - the frontier is persisted per hop — without it, hop N recomputes
+      the whole lineage N times and the plan grows exponentially;
+    - the join key is ``src_id``, so a bucketed edge table (layout.py)
+      makes every hop a shuffle of the FRONTIER only (edge side stays
+      in place) — at 100 TB the frontier is the small side and
+      Catalyst broadcasts it per hop;
+    - hub-key skew (P31/Q5) is handled by AQE skew-join; pathological
+      frontiers can use operators.skew.salted_join per hop.
+    """
+    if property_id is not None:
+        edge = edge.filter(F.col("property_id") == property_id)
+    edge = edge.select("src_id", "dst_id")
+    frontier = start.select(F.col("id").cast("long").alias("id")).distinct()
+    for _ in range(k):
+        nxt = (
+            frontier.join(edge, frontier["id"] == edge["src_id"])
+            .select(F.col("dst_id").alias("id"))
+            .distinct()
+            .persist()
+        )
+        nxt.count()  # materialize before unpersisting the parent
+        frontier.unpersist()
+        frontier = nxt
+    return frontier
+
+
 ORACLES: dict[str, str] = {
     "graph_2hop": """
         SELECT c_custkey, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers

@@ -32,6 +32,16 @@ def pushed_filters(df: DataFrame) -> list[str]:
     ]
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """PartitionFilters bracket bodies per scan — non-empty means the
+    scan prunes hive partition directories before opening files."""
+    return [
+        m.group(1).strip()
+        for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", explain_str(df))
+        if m.group(1).strip()
+    ]
+
+
 def read_schema(df: DataFrame) -> list[str]:
     """Column sets actually read by each scan (column-pruning check)."""
     return [
