@@ -130,6 +130,120 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_ann(spark, sf_dir, 0, 4, 10)
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) scale path
+# ---------------------------------------------------------------------------
+
+#: IVF parameters: centroid vectors are the embeddings of these fixed
+#: vec_ids (deterministic "training" stand-in — production swaps in
+#: k-means centroids; the index/probe mechanics are identical), and
+#: NPROBE nearest cells are scanned per query.
+IVF_CENTROID_IDS = tuple(range(1, 9))
+IVF_NPROBE = 2
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
+    rows = (
+        tbl(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isin(*IVF_CENTROID_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows
+    )
+
+
+def ivf_assign_col(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid cell id of an array<double> vector (first-max
+    tie-break on ascending centroid id — same rule as the oracle's
+    ``ORDER BY sim DESC, cid``)."""
+    sims = F.array(
+        *[cosine(vec, F.array(*[F.lit(x) for x in c])) for _cid, c in cents]
+    )
+    return F.element_at(
+        F.array(*[F.lit(cid) for cid, _c in cents]),
+        F.array_position(sims, F.array_max(sims)).cast("int"),
+    )
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10: assign every candidate to its nearest centroid
+    cell, probe the query's ``IVF_NPROBE`` nearest cells, score only
+    those candidates.
+
+    At 100 TB the assignment happens at WRITE time (a stored/partition
+    column, exactly like the LSH bucket), so a query scans
+    nprobe/n_cells of the data; the centroid table is broadcast-sized
+    by construction. Candidate set excludes the query vector and the
+    centroid ids themselves."""
+    cents = _centroids(spark, sf_dir)
+    qv = query_vector(spark, sf_dir, 0)
+    q = F.array(*[F.lit(x) for x in qv])
+    # driver-side: the query's nprobe nearest cells (tiny, exact)
+    def _cos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return d / (na * nb)
+
+    probe = [
+        cid
+        for cid, _ in sorted(
+            ((cid, _cos(qv, c)) for cid, c in cents),
+            key=lambda t: (-t[1], t[0]),
+        )[:IVF_NPROBE]
+    ]
+    e = tbl(spark, sf_dir, "embeddings").filter(
+        ~F.col("vec_id").isin(0, *IVF_CENTROID_IDS)
+    )
+    v = _as_double(F.col("embedding"))
+    assigned = e.withColumn("cell", ivf_assign_col(v, cents))
+    sim = F.round(cosine(_as_double(F.col("embedding")), q), 6)
+    return (
+        assigned.filter(F.col("cell").isin(*probe))
+        .select("vec_id", "cell", sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+
+
+def _ivf_oracle() -> str:
+    cents = ",".join(str(c) for c in IVF_CENTROID_IDS)
+    return f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE vec_id IN ({cents})
+        ),
+        q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE vec_id = 0
+        ),
+        probe AS (
+            SELECT cid FROM cents
+            ORDER BY list_cosine_similarity(e, (SELECT e FROM q)) DESC, cid
+            LIMIT {IVF_NPROBE}
+        ),
+        assigned AS (
+            SELECT v.vec_id,
+                   CAST(v.embedding AS DOUBLE[]) AS ve,
+                   (SELECT cid FROM cents
+                    ORDER BY list_cosine_similarity(
+                        cents.e, CAST(v.embedding AS DOUBLE[])) DESC, cid
+                    LIMIT 1) AS cell
+            FROM embeddings v
+            WHERE v.vec_id NOT IN (0, {cents})
+        )
+        SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+               round(list_cosine_similarity(ve, (SELECT e FROM q)), 6)
+                   AS cosine
+        FROM assigned
+        WHERE cell IN (SELECT cid FROM probe)
+        ORDER BY cosine DESC, vec_id
+        LIMIT 10
+    """
+
+
 ORACLES: dict[str, str] = {
     "ann_bruteforce_topk": """
         WITH q AS (
@@ -144,6 +258,8 @@ ORACLES: dict[str, str] = {
         ORDER BY cosine DESC, vec_id
         LIMIT 10
     """
+    ,
+    "ivf_ann_topk": _ivf_oracle(),
     # ann_lsh_bucketed: deliberately no oracle — the bucketed variant's
     # result depends on the engine-defined hyperplane constants; checked
     # by tests/test_similarity.py (recall vs. brute force) instead.
@@ -152,4 +268,5 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
+    "ivf_ann_topk": q_ivf_ann_topk,
 }
