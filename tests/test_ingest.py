@@ -7,6 +7,8 @@ behavioral spec for the six-table output (SURVEY §1.2 numbered list).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from tests.conftest import FIXTURE_DUMP
 
@@ -144,3 +146,37 @@ def test_configurable_lang(spark, tmp_path):
     got = {r["id"]: r["label"] for r in tables["vertex"].collect()}
     assert got[5] == "humain"
     assert got[1] is None  # English-only labels disappear under fr
+
+
+@settings(deadline=None, max_examples=5)
+@given(
+    st.lists(
+        st.one_of(
+            st.text(max_size=80),  # arbitrary junk incl. unicode
+            st.just("["), st.just("]"), st.just(""),
+            st.text(alphabet="{}[],:\"qlQ0123 ", max_size=40),  # JSON-ish
+            st.builds(
+                lambda n: '{"id":"Q%d","labels":{},"descriptions":{},"claims":{}},' % n,
+                st.integers(1, 10**9),
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_sanitize_parse_never_throws(spark, lines):
+    """SURVEY §5.2(3): sanitize→parse is total — every input line either
+    parses to an entity or lands in the corrupt quarantine; nothing
+    throws, nothing is silently dropped (main.rs:316-321 semantics)."""
+    from wd2duckdb_spark.ingest import (
+        corrupt_records, parse_entities, sanitize_lines, vertex_table,
+    )
+
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    sanitized = sanitize_lines(df)
+    parsed = parse_entities(sanitized)
+    n_kept = sanitized.count()
+    n_ok = parsed.filter(F.col("entity.id").isNotNull()).count()
+    n_bad = corrupt_records(parsed).count()
+    assert n_ok + n_bad == n_kept
+    vertex_table(parsed).collect()  # projection is total too
