@@ -74,9 +74,11 @@ def ingest_stream(
     """
 
     def write_batch(lines: DataFrame, batch_id: int) -> None:
-        parsed = parse_entities(sanitize_lines(lines))
-        claims = with_sink(exploded_claims(parsed)).persist()
+        # persist the parsed structs, not the claims — one parse pass
+        # for all 6 sinks (same rationale as ingest.ingest)
+        parsed = parse_entities(sanitize_lines(lines)).persist()
         try:
+            claims = with_sink(exploded_claims(parsed))
             tables = {
                 "vertex": vertex_table(parsed, lang),
                 "edge": edge_table(claims),
@@ -88,7 +90,7 @@ def ingest_stream(
             for name, df in tables.items():
                 df.write.mode("append").parquet(f"{out_path}/{name}")
         finally:
-            claims.unpersist()
+            parsed.unpersist()
 
     writer = (
         read_dump_stream(spark, in_dir)
