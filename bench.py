@@ -121,11 +121,36 @@ def _bench_ingest(spark) -> dict:
     t0 = time.perf_counter()
     ingest(spark, dump, out)
     dt = time.perf_counter() - t0
+
+    # Query the graph we just built — the reference's actual workload
+    # (DuckDB SQL over the 6-table schema, README.md:9-10): a 2-hop
+    # traversal and a label join over the triples/vertex views.
+    from pyspark.sql import functions as F
+
+    from wd2duckdb_spark.operators.graph import k_hop
+    from wd2duckdb_spark.views import register_views
+
+    t = register_views(spark, out)
+    t1 = time.perf_counter()
+    start = t["vertex"].select("id").filter(F.col("id") % 97 == 0)
+    k_hop(t["edge"], start, 2).count()
+    t2 = time.perf_counter()
+    (
+        t["edge"]
+        .join(t["vertex"].withColumnRenamed("id", "dst_id"), "dst_id")
+        .groupBy("property_id")
+        .agg(F.count("*").alias("n"), F.max("label").alias("sample_label"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    t3 = time.perf_counter()
+
     shutil.rmtree(out, ignore_errors=True)
     return {
         "lines": n_lines,
         "sec": round(dt, 3),
         "lines_per_sec": round(n_lines / dt, 1),
+        "kg_2hop_sec": round(t2 - t1, 3),
+        "kg_label_join_sec": round(t3 - t2, 3),
     }
 
 
