@@ -133,7 +133,9 @@ def _bench_ingest(spark) -> dict:
     t = register_views(spark, out)
     t1 = time.perf_counter()
     start = t["vertex"].select("id").filter(F.col("id") % 97 == 0)
-    k_hop(t["edge"], start, 2).count()
+    hops = k_hop(t["edge"], start, 2)
+    hops.count()
+    hops.unpersist()
     t2 = time.perf_counter()
     (
         t["edge"]

@@ -145,3 +145,63 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
         for r in sessionize(e).collect()
     }
     assert final == want
+
+
+def test_sessionize_stream_late_event_semantics(spark, tmp_path):
+    """A late out-of-order event admitted by the watermark must follow
+    batch semantics: >gap before the open session's start → its own
+    earlier session; within gap → extends the session backwards."""
+    import datetime as dt
+
+    from wd2duckdb_spark.streaming.sessionize import sessionize_stream
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def rows(*specs):
+        return [
+            (base + dt.timedelta(minutes=m), eid, uid, 1.0)
+            for m, eid, uid in specs
+        ]
+
+    schema = "ts timestamp, event_id long, user_id long, value double"
+    in_dir = tmp_path / "late_in"
+    in_dir.mkdir()
+    # batch 0: user 1 at 10:00/10:05; user 2 at 10:00
+    spark.createDataFrame(
+        rows((0, 1, 1), (5, 2, 1), (0, 1, 2)), schema
+    ).coalesce(1).write.parquet(str(in_dir / "b0.parquet"))
+    # batch 1 (late events): user 1 at 09:00 (>gap before start → own
+    # session); user 2 at 09:45 (within gap → extends start backwards)
+    spark.createDataFrame(
+        rows((-60, 3, 1), (-15, 2, 2)), schema
+    ).coalesce(1).write.parquet(str(in_dir / "b1.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*.parquet")
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("late_sess")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    final = {}
+    for r in spark.sql("SELECT * FROM late_sess").collect():
+        final[(r.user_id, r.session_start)] = (
+            r.session_end, r.n_events, r.status
+        )
+    u1 = {k[1].minute + 60 * k[1].hour: v for k, v in final.items() if k[0] == 1}
+    # user 1: separate 09:00 session (1 event) + open 10:00-10:05 (2)
+    assert u1[9 * 60] == (base - dt.timedelta(minutes=60), 1, "closed")
+    assert u1[10 * 60][1] == 2 and u1[10 * 60][2] == "open"
+    # user 2: single session extended backwards to 09:45, 2 events
+    u2 = {k[1]: v for k, v in final.items() if k[0] == 2}
+    assert (base - dt.timedelta(minutes=15)) in u2
+    assert u2[base - dt.timedelta(minutes=15)][1] == 2

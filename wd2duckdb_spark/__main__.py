@@ -34,7 +34,11 @@ def main(argv: list[str] | None = None) -> int:
         prog="wd2duckdb_spark",
         description="Wikidata JSON dump -> queryable DuckDB, on Spark",
     )
-    p.add_argument("--json", required=True, help="dump path (.json/.bz2/.gz)")
+    p.add_argument(
+        "--json",
+        default=None,
+        help="dump path (.json/.bz2/.gz); required unless --stream-dir",
+    )
     p.add_argument("--database", required=True, help="output DuckDB file")
     p.add_argument("--lang", default="en", help="label/description language")
     p.add_argument(
@@ -48,9 +52,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--stream-dir",
         default=None,
-        help="treat --json as a directory of arriving shards (streaming)",
+        help="directory of arriving dump shards (streaming mode; "
+        "replaces --json)",
     )
     args = p.parse_args(argv)
+    if (args.json is None) == (args.stream_dir is None):
+        p.error("exactly one of --json or --stream-dir is required")
 
     from wd2duckdb_spark import get_spark
     from wd2duckdb_spark.sources.duckdb_io import export_duckdb
@@ -62,9 +69,23 @@ def main(argv: list[str] | None = None) -> int:
         print(f"error: {args.database} already exists", file=sys.stderr)
         return 1
 
+    out = args.parquet_out or tempfile.mkdtemp(prefix="wd2duckdb_spark_")
+    if (
+        args.stream_dir
+        and not args.overwrite
+        and os.path.exists(f"{out}/vertex")
+    ):
+        # the streaming sink appends — guard against silent duplication
+        # (the batch path refuses via mode='error' already)
+        print(
+            f"error: {out} already holds tables; pass --overwrite to "
+            "resume/append intentionally",
+            file=sys.stderr,
+        )
+        return 1
+
     spark = get_spark(app_name="wd2duckdb_spark_cli")
     spark.sparkContext.setLogLevel("WARN")
-    out = args.parquet_out or tempfile.mkdtemp(prefix="wd2duckdb_spark_")
     t0 = time.perf_counter()
     try:
         if args.stream_dir:

@@ -97,9 +97,10 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: BPE-ish tokenizer regex: alphanumeric runs OR single non-space
-#: symbols — the standard pre-BPE word/punct split; identical regex
-#: semantics in Spark (Java regex) and DuckDB (RE2) for this class.
-BPE_TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+#: symbols — the standard pre-BPE word/punct split. ``\x0B`` is listed
+#: explicitly because Java's ``\s`` includes vertical tab and RE2's
+#: does not; with it, the excluded class is identical in both engines.
+BPE_TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s\x0B]"
 
 #: Rolling-hash parameters (Rabin-Karp polynomial fold).
 RH_BASE = 131
@@ -112,7 +113,8 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     punct-token surplus — the pre-training cost-estimate signals."""
     d = tbl(spark, sf_dir, "documents")
     ws = token_count(F.col("text"))
-    bpe = F.expr(f"regexp_count(text, '{BPE_TOKEN_RE}')".replace("\\", "\\\\"))
+    # pattern passed as data (lit), not spliced into SQL — no escaping
+    bpe = F.regexp_count("text", F.lit(BPE_TOKEN_RE))
     return d.select(
         "doc_id",
         ws.alias("ws_tokens"),

@@ -449,7 +449,8 @@ def ingest(
         sanitize_lines(read_dump_lines(spark, dump_path))
     ).persist()
     try:
-        claims = with_sink(exploded_claims(parsed))
+        # each table fn applies with_sink itself — no pre-tagging here
+        claims = exploded_claims(parsed)
         tables = {
             "vertex": vertex_table(parsed, lang),
             "edge": edge_table(claims),

@@ -95,6 +95,11 @@ def k_hop(
       Catalyst broadcasts it per hop;
     - hub-key skew (P31/Q5) is handled by AQE skew-join; pathological
       frontiers can use operators.skew.salted_join per hop.
+
+    The returned frontier is persisted and already materialized —
+    callers reuse it without recompute and should ``.unpersist()`` it
+    when done (intermediate frontiers are unpersisted here; unreleased
+    ones are eventually reclaimed by the ContextCleaner on GC).
     """
     if property_id is not None:
         edge = edge.filter(F.col("property_id") == property_id)

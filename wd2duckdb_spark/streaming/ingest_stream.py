@@ -37,7 +37,6 @@ from wd2duckdb_spark.ingest import (
     string_table,
     time_table,
     vertex_table,
-    with_sink,
 )
 
 
@@ -78,7 +77,7 @@ def ingest_stream(
         # for all 6 sinks (same rationale as ingest.ingest)
         parsed = parse_entities(sanitize_lines(lines)).persist()
         try:
-            claims = with_sink(exploded_claims(parsed))
+            claims = exploded_claims(parsed)
             tables = {
                 "vertex": vertex_table(parsed, lang),
                 "edge": edge_table(claims),

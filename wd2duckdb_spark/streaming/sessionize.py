@@ -112,10 +112,22 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sessionize_fn(
     key: tuple, pdfs: Iterator["pd.DataFrame"], state: Any
 ) -> Iterator["pd.DataFrame"]:
-    """Per-user stateful update: merge this batch's events (sorted by
-    event time) into the open session, sealing sessions at every
-    >gap break. Emits sealed sessions as ``closed`` plus the current
-    open session as ``open`` (update-mode provisional row)."""
+    """Per-user stateful update with session-window MERGE semantics:
+    fold this batch's events (sorted by event time) into mini-sessions,
+    insert the open session from state in start order, and merge every
+    adjacent pair whose gap is ≤ the session gap. This makes late
+    out-of-order events admitted by the watermark behave exactly like
+    the batch twin — an event more than ``gap`` before the open
+    session's start becomes its own (earlier) session instead of being
+    absorbed; one within the gap extends the session backwards.
+    Emits sealed sessions as ``closed`` plus the latest still-open
+    session as ``open`` (update-mode provisional row).
+
+    Boundary: only the LATEST session stays in state (O(1) per key), so
+    a session sealed because a newer one superseded it cannot be
+    re-opened by a yet-later straggler — the watermark bounds how long
+    that window is; full fidelity would keep every session younger than
+    the watermark in state."""
     import pandas as pd
 
     gap_us = SESSION_GAP_MIN * 60 * 1_000_000
@@ -128,22 +140,48 @@ def _sessionize_fn(
             yield _session_pdf(pd, user_id, [(s, e, n, v, "closed")])
         return
 
-    events = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    frames = list(pdfs)
+    events = (
+        pd.concat(frames).sort_values(["ts", "event_id"])
+        if frames
+        else pd.DataFrame(columns=["ts", "event_id", "value"])
+    )
     ts_us = (events["ts"].astype("int64") // 1000).tolist()  # ns → µs
     values = events["value"].tolist()
+    if not ts_us and not state.exists:
+        return
 
-    cur = list(state.get) if state.exists else None
-    out: list[tuple] = []
+    # 1. fold the batch's events into mini-sessions
+    minis: list[list] = []
     for t, val in zip(ts_us, values):
-        if cur is None:
-            cur = [t, t, 0, 0.0]
-        elif t - cur[1] > gap_us:
-            out.append((cur[0], cur[1], cur[2], round(cur[3], 2), "closed"))
-            cur = [t, t, 0, 0.0]
-        cur[1] = max(cur[1], t)
-        cur[2] += 1
-        cur[3] += val
+        if minis and t - minis[-1][1] <= gap_us:
+            m = minis[-1]
+            m[1] = max(m[1], t)
+            m[2] += 1
+            m[3] += val
+        else:
+            minis.append([t, t, 1, float(val)])
 
+    # 2. insert the open session from state, keep start order
+    if state.exists:
+        minis.append(list(state.get))
+        minis.sort(key=lambda m: (m[0], m[1]))
+
+    # 3. merge adjacent sessions whose inter-gap closed
+    merged: list[list] = []
+    for m in minis:
+        if merged and m[0] - merged[-1][1] <= gap_us:
+            p = merged[-1]
+            p[1] = max(p[1], m[1])
+            p[2] += m[2]
+            p[3] += m[3]
+        else:
+            merged.append(m)
+
+    out = [
+        (m[0], m[1], m[2], round(m[3], 2), "closed") for m in merged[:-1]
+    ]
+    cur = merged[-1]
     state.update(tuple(cur))
     # Event-time timeout: the watermark passing end+gap seals the session.
     state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
