@@ -193,6 +193,84 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Undirected connected components over ``(a_id, b_id)`` pairs by
+    iterative min-label propagation: every node repeatedly adopts the
+    minimum label among itself and its neighbors until fixpoint.
+
+    Returns ``(node, cluster_id)`` where cluster_id = the component's
+    minimum node id. Converges in O(component diameter) rounds (early
+    exit on no-change); each round is one join + one aggregation, both
+    on the node key — the standard distributed-CC shape (the
+    large-star/small-star family reduces rounds to ~log n at extreme
+    diameters; LSH dedup components are shallow, so plain propagation
+    is the right cost here).
+    """
+    edges = (
+        pairs.selectExpr("a_id AS u", "b_id AS v")
+        .union(pairs.selectExpr("b_id AS u", "a_id AS v"))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("cluster_id", F.col("node"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iters):
+            neighbor_min = (
+                edges.join(labels, edges["v"] == labels["node"])
+                .groupBy(edges["u"].alias("node"))
+                .agg(F.min("cluster_id").alias("nbr_min"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        "cluster_id", F.coalesce("nbr_min", "cluster_id")
+                    ).alias("cluster_id"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+    finally:
+        edges.unpersist()
+
+
+def q_neardup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup KEEP-LIST — what a training-data pipeline actually
+    consumes: every document with its near-dup cluster id (component
+    of the MinHash-LSH candidate graph, canonical = min doc_id) and a
+    keep flag. Docs in no candidate pair are their own singleton
+    cluster and are kept."""
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    cc = connected_components(pairs)
+    d = tbl(spark, sf_dir, "documents").select("doc_id")
+    out = (
+        d.join(cc, d["doc_id"] == cc["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+    )
+    return out.orderBy("doc_id")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on normalized content: keep min doc_id per content
     key, count copies. One shuffle on the uniform md5 key."""
@@ -325,6 +403,38 @@ ORACLES: dict[str, str] = {
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
         ORDER BY a_id, b_id
     """,
+    "neardup_keep_list": f"""
+        WITH RECURSIVE
+        {_minhash_sql_cte()},
+        bands AS (
+            {" UNION ALL ".join(
+                f"SELECT doc_id, {b} AS band,"
+                f" md5(CAST(h{2*b} AS VARCHAR) || ',' || CAST(h{2*b+1} AS VARCHAR))"
+                f" AS key FROM sig"
+                for b in range(N_BANDS)
+            )}
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT a_id AS u, b_id AS v FROM pairs
+            UNION SELECT b_id, a_id FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT u, u FROM (SELECT u FROM edges)
+            UNION
+            SELECT e.u, re.r FROM edges e JOIN reach re ON re.node = e.v
+        ),
+        cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+        SELECT d.doc_id,
+               coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+               d.doc_id = coalesce(cc.cluster_id, d.doc_id) AS keep
+        FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+        ORDER BY d.doc_id
+    """,
     "dedup_exact": """
         SELECT md5(lower(trim(text))) AS content_key,
                min(doc_id) AS keep_id,
@@ -385,6 +495,7 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "neardup_keep_list": q_neardup_keep_list,
     "dedup_exact": q_dedup_exact,
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
