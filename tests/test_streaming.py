@@ -205,3 +205,52 @@ def test_sessionize_stream_late_event_semantics(spark, tmp_path):
     u2 = {k[1]: v for k, v in final.items() if k[0] == 2}
     assert (base - dt.timedelta(minutes=15)) in u2
     assert u2[base - dt.timedelta(minutes=15)][1] == 2
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    """Duplicate event_ids arriving in a LATER micro-batch (within the
+    watermark) are dropped; distinct events all survive."""
+    import datetime as dt
+
+    from wd2duckdb_spark.streaming.ingest_stream import dedup_stream
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    schema = "ts timestamp, event_id long, user_id long, value double"
+    in_dir = tmp_path / "dd_in"
+    in_dir.mkdir()
+    b0 = [(base, 1, 1, 1.0), (base + dt.timedelta(minutes=1), 2, 1, 2.0)]
+    # batch 1 re-delivers event 2 and adds event 3
+    b1 = [
+        (base + dt.timedelta(minutes=1), 2, 1, 2.0),
+        (base + dt.timedelta(minutes=2), 3, 1, 3.0),
+    ]
+    spark.createDataFrame(b0, schema).coalesce(1).write.parquet(
+        str(in_dir / "b0.parquet")
+    )
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        str(in_dir / "b1.parquet")
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*.parquet")
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dd_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        r.event_id for r in spark.sql("SELECT event_id FROM dd_out").collect()
+    )
+    assert got == [1, 2, 3]
+
+    # batch fallback: same helper, plain DataFrame
+    batch = spark.createDataFrame(b0 + b1, schema)
+    assert dedup_stream(batch).count() == 3

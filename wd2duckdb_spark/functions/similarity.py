@@ -208,6 +208,28 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding vectors as (label, pos,
+    centroid) rows — the reduction that produces IVF/k-means centroids
+    and class prototypes at scale.
+
+    posexplode → groupBy(label, pos) keeps everything in native
+    codegen and shuffles (n_labels × n_dims) rows of partial sums —
+    no array-valued aggregation buffer, no UDAF. Emitting positional
+    rows (not re-assembled arrays) is deliberate: it is the
+    exchange-friendly form AND directly comparable to DuckDB's
+    ``unnest WITH ORDINALITY``."""
+    e = tbl(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            "label", F.posexplode(_as_double(F.col("embedding")))
+        )
+        .groupBy("label", F.col("pos").cast("int").alias("pos"))
+        .agg(F.round(F.avg("col"), 6).alias("centroid"))
+        .orderBy("label", "pos")
+    )
+
+
 def _ivf_oracle() -> str:
     cents = ",".join(str(c) for c in IVF_CENTROID_IDS)
     return f"""
@@ -260,6 +282,19 @@ ORACLES: dict[str, str] = {
     """
     ,
     "ivf_ann_topk": _ivf_oracle(),
+    "embedding_centroids": """
+        WITH flat AS (
+            -- parallel unnests zip element-wise (Postgres semantics)
+            SELECT label,
+                   CAST(unnest(range(len(embedding))) AS INT) AS pos,
+                   unnest(CAST(embedding AS DOUBLE[])) AS x
+            FROM embeddings
+        )
+        SELECT label, pos, round(avg(x), 6) AS centroid
+        FROM flat
+        GROUP BY label, pos
+        ORDER BY label, pos
+    """,
     # ann_lsh_bucketed: deliberately no oracle — the bucketed variant's
     # result depends on the engine-defined hyperplane constants; checked
     # by tests/test_similarity.py (recall vs. brute force) instead.
@@ -269,4 +304,5 @@ QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ivf_ann_topk": q_ivf_ann_topk,
+    "embedding_centroids": q_embedding_centroids,
 }

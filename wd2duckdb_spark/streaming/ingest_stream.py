@@ -101,6 +101,28 @@ def ingest_stream(
     return writer.start()
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeated ``keys`` arriving within
+    the watermark horizon — the at-least-once → effectively-once
+    repair stage in front of any streaming sink.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until
+    the watermark passes (bounded state), unlike plain
+    ``dropDuplicates`` whose state grows forever on a stream. Works on
+    batch DataFrames too (falls back to plain dropDuplicates
+    semantics), so the same code path serves both.
+    """
+    keys = keys or ["event_id"]
+    wm = events.withWatermark("ts", watermark)
+    if events.isStreaming:
+        return wm.dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",
