@@ -57,3 +57,30 @@ def test_k_hop_on_fixture_kg(spark, kg_tables):
         r.dst_id for r in edge.select("dst_id").distinct().collect()
     )
     assert got == want
+
+
+def test_connected_components_long_chain(spark):
+    """A 41-node chain (40 rounds of propagation) — the shape that
+    OOMed the driver before per-round lineage truncation — converges
+    to a single component."""
+    from wd2duckdb_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "a_id long, b_id long"
+    )
+    got = {
+        (r.node, r.cluster_id) for r in connected_components(pairs).collect()
+    }
+    assert got == {(i, 0) for i in range(41)}
+
+
+def test_connected_components_unconverged_raises(spark):
+    from wd2duckdb_spark.functions.dedup import connected_components
+
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "a_id long, b_id long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=3)

@@ -193,7 +193,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     """Undirected connected components over ``(a_id, b_id)`` pairs by
     iterative min-label propagation: every node repeatedly adopts the
     minimum label among itself and its neighbors until fixpoint.
@@ -205,6 +205,17 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     large-star/small-star family reduces rounds to ~log n at extreme
     diameters; LSH dedup components are shallow, so plain propagation
     is the right cost here).
+
+    Every round's labels are ``localCheckpoint``-ed (eager): iterative
+    plans grow per round, and without lineage truncation the driver
+    OOMs on plan analysis after ~12 rounds. Local (not reliable)
+    checkpointing trades executor-loss recomputability for zero
+    external storage — acceptable for a deterministic re-runnable
+    batch job; swap in ``spark.sparkContext.setCheckpointDir`` +
+    ``.checkpoint()`` on clusters where executor loss is routine.
+
+    Raises ``RuntimeError`` if still unconverged after ``max_iters`` —
+    silently returning partial labels would split real components.
     """
     edges = (
         pairs.selectExpr("a_id AS u", "b_id AS v")
@@ -216,7 +227,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("cluster_id", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     try:
         for _ in range(max_iters):
@@ -233,7 +244,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                         "cluster_id", F.coalesce("nbr_min", "cluster_id")
                     ).alias("cluster_id"),
                 )
-                .persist()
+                .localCheckpoint(eager=True)  # truncate lineage per round
             )
             changed = (
                 new_labels.alias("n")
@@ -245,10 +256,22 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             labels.unpersist()
             labels = new_labels
             if changed == 0:
-                break
-        return labels
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters); raise max_iters or "
+            "switch to a large-star/small-star variant"
+        )
     finally:
         edges.unpersist()
+
+
+#: (session id, sf_dir) → component labels. connected_components is
+#: iterative (eager jobs at build time, unlike every other lazy
+#: queries() entry); memoizing bounds that cost — and the checkpoint
+#: blocks it pins — to once per session+dataset across plan sweeps,
+#: bench, and the driver contract.
+_cc_cache: dict[tuple[int, str], DataFrame] = {}
 
 
 def q_neardup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,9 +279,16 @@ def q_neardup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumes: every document with its near-dup cluster id (component
     of the MinHash-LSH candidate graph, canonical = min doc_id) and a
     keep flag. Docs in no candidate pair are their own singleton
-    cluster and are kept."""
-    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
-    cc = connected_components(pairs)
+    cluster and are kept.
+
+    NOTE: unlike the other registered queries this runs eager Spark
+    jobs at DataFrame-construction time (iterative CC cannot be
+    expressed lazily); results are memoized per (session, sf_dir)."""
+    key = (id(spark), sf_dir)
+    cc = _cc_cache.get(key)
+    if cc is None:
+        pairs = q_minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+        _cc_cache[key] = cc = connected_components(pairs)
     d = tbl(spark, sf_dir, "documents").select("doc_id")
     out = (
         d.join(cc, d["doc_id"] == cc["node"], "left")

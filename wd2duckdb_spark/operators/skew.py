@@ -54,7 +54,18 @@ def salted_join(
     excess, not more.
 
     Returns columns of both inputs (salt dropped).
+
+    Only ``inner`` and ``left`` (outer on the skewed side) are
+    supported: replication of ``other`` makes right/full outer emit
+    each unmatched replica (n_salts duplicates), and semi/anti joins
+    drop ``other``'s columns that the output select needs.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left', got {how!r}: "
+            "replicating the small side breaks right/full/semi/anti "
+            "semantics"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     a = with_salt(skewed, n_salts)
     b = replicate(other, n_salts)

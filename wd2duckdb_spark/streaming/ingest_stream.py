@@ -117,9 +117,10 @@ def dedup_stream(
     semantics), so the same code path serves both.
     """
     keys = keys or ["event_id"]
-    wm = events.withWatermark("ts", watermark)
     if events.isStreaming:
-        return wm.dropDuplicatesWithinWatermark(keys)
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
     return events.dropDuplicates(keys)
 
 
