@@ -125,6 +125,46 @@ def extract_features(
     return media.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal decode pipeline under the driver's oracle gate:
+    synthesize the binary media table from ``documents``, run the
+    Arrow-batched ``mapInPandas`` feature extraction with the
+    deterministic fake decoder, and emit the SQL-expressible outputs
+    (byte length, md5 checksum, decoded dimensions). The oracle
+    recomputes the same header+text bytes in DuckDB — so the batch
+    plumbing (binary schema, Arrow transfer, batch iteration, UDF
+    output contract) is verified end-to-end, not just unit-tested."""
+    feats = extract_features(synthesize_media(spark, sf_dir))
+    return feats.select(
+        "media_id", "kind", "n_bytes", "checksum", "width", "height"
+    ).orderBy("media_id")
+
+
+ORACLES: dict[str, str] = {
+    "multimodal_features": """
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   'image' AS kind,
+                   'IMG|' || (doc_id % 64 + 16) || '|'
+                          || (doc_id % 48 + 16) || '|' || text AS payload,
+                   CAST(doc_id % 64 + 16 AS INT) AS width,
+                   CAST(doc_id % 48 + 16 AS INT) AS height
+            FROM documents
+        )
+        SELECT media_id, kind,
+               CAST(octet_length(encode(payload)) AS INT) AS n_bytes,
+               md5(payload) AS checksum,
+               width, height
+        FROM m
+        ORDER BY media_id
+    """,
+}
+
+QUERIES = {
+    "multimodal_features": q_multimodal_features,
+}
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expand each video item into frame
     timestamps (pure Column exprs; the decode of each frame is the

@@ -11,12 +11,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from wd2duckdb_spark.functions import dedup, scalar, similarity, text
+from wd2duckdb_spark.functions import dedup, multimodal, scalar, similarity, text
 from wd2duckdb_spark.operators import analytics, graph, relational
 from wd2duckdb_spark.streaming import sessionize
 
 _MODULES = (
-    relational, graph, analytics, scalar, text, dedup, similarity, sessionize
+    relational,
+    graph,
+    analytics,
+    scalar,
+    text,
+    dedup,
+    similarity,
+    sessionize,
+    multimodal,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
