@@ -70,3 +70,30 @@ def test_frame_sample_plan(spark):
     # 0,1000,2000,3000 per video
     assert frames.count() == 3 * 4
     assert frames.groupBy("media_id").count().first()["count"] == 4
+
+
+def test_frame_sample_plan_fanout(spark):
+    """Each video expands to one row per sampled timestamp:
+    floor(duration/step)+1 frames at 0, step, 2*step, ..."""
+    from wd2duckdb_spark.functions.multimodal import (
+        frame_sample_plan,
+        synthesize_video_media,
+    )
+
+    v = synthesize_video_media(spark, SF_DIR)
+    frames = frame_sample_plan(v, every_ms=1000)
+    got = {
+        r["media_id"]: r["n"]
+        for r in frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()
+    }
+    want = {
+        r["media_id"]: r["meta"]["duration_ms"] // 1000 + 1
+        for r in v.select("media_id", "meta").collect()
+    }
+    assert got == want
+    # frame timestamps are the arithmetic sequence, not arbitrary
+    ts = sorted(
+        r["frame_ts_ms"]
+        for r in frames.filter(F.col("media_id") == 7).collect()
+    )
+    assert ts == list(range(0, 7 % 20 * 1000 + 500 + 1, 1000))

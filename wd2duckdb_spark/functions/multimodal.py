@@ -65,6 +65,28 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def synthesize_video_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake VIDEO table (content = header + text bytes,
+    duration derived from doc_id) — drives the frame-sample fan-out
+    path the way :func:`synthesize_media` drives image decode."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dur = (F.col("doc_id") % 20 * 1000 + 500).cast("int")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.concat(F.lit("VID|"), F.col("text")), "utf-8").alias(
+            "content"
+        ),
+        F.struct(
+            F.lit("video/x-fake").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            dur.alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
 def fake_decode(content: bytes) -> dict[str, Any]:
     """Deterministic stand-in decoder for the synthesize_media format.
 
