@@ -121,3 +121,49 @@ def test_date_partitioned_write_prunes(spark, tmp_path):
     # row parity with the unpartitioned filter
     want = e.filter(F.to_date("ts") == "2024-01-10").count()
     assert one_day.count() == want
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE's runtime skew handling ACTUALLY fires — the P31/Q5 hub-key
+    defense (SURVEY §4.3) demonstrated, not just config-asserted.
+    Thresholds are lowered so fixture-scale skew triggers the split;
+    the final adaptive plan must carry the skew=true join marker."""
+    from wd2duckdb_spark.plans import executed_plan_str
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+
+        big = spark.range(200000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(31))
+            .otherwise(F.col("id") % 997)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("lbl")
+        )
+        j = big.join(dim, "k")
+        # collect() executes j's own query; count() would finalize a
+        # different QueryExecution and leave j's plan non-final
+        assert len(j.collect()) == 200000  # hot key still joins correctly
+        assert "skew=true" in executed_plan_str(j)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

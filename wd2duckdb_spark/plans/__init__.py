@@ -1,6 +1,7 @@
 """Physical-plan inspection & assertion utilities."""
 
 from wd2duckdb_spark.plans.inspect import (
+    executed_plan_str,
     explain_str,
     partition_filters,
     plan_summary,
@@ -9,6 +10,7 @@ from wd2duckdb_spark.plans.inspect import (
 )
 
 __all__ = [
+    "executed_plan_str",
     "explain_str",
     "partition_filters",
     "plan_summary",

@@ -32,6 +32,13 @@ def pushed_filters(df: DataFrame) -> list[str]:
     ]
 
 
+def executed_plan_str(df: DataFrame) -> str:
+    """The FINAL physical plan after AQE re-planning — only meaningful
+    after an action has run on ``df``; explain() before execution shows
+    isFinalPlan=false placeholders instead."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def partition_filters(df: DataFrame) -> list[str]:
     """PartitionFilters bracket bodies per scan — non-empty means the
     scan prunes hive partition directories before opening files."""
