@@ -29,6 +29,21 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
+def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex capture groups + translate/lpad/reverse — the id-parsing
+    family (the reference's Id::from parses 'Q42'/'F12-F3' by prefix
+    and split, id.rs:28-59; regex capture is the general form)."""
+    p = tbl(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_no"),
+        F.regexp_extract("p_type", r"^(\w+) (\w+)", 2).alias("type_mid"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("name_caps_vowels"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.reverse("p_brand").alias("brand_rev"),
+    ).orderBy("p_partkey")
+
+
 def q_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """year/month/day/date_trunc/datediff (value.rs:273 uses year())."""
     o = tbl(spark, sf_dir, "orders")
@@ -139,6 +154,16 @@ ORACLES: dict[str, str] = {
         WHERE p_name LIKE '%a%'
         ORDER BY p_partkey
     """,
+    "regexp_funcs": r"""
+        SELECT p_partkey,
+               regexp_extract(p_brand, '#(\d+)', 1) AS brand_no,
+               regexp_extract(p_type, '^(\w+) (\w+)', 2) AS type_mid,
+               translate(p_name, 'aeiou', 'AEIOU') AS name_caps_vowels,
+               lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+               reverse(p_brand) AS brand_rev
+        FROM part
+        ORDER BY p_partkey
+    """,
     "datetime_funcs": """
         SELECT o_orderkey,
                CAST(year(o_orderdate) AS INT) AS yr,
@@ -208,6 +233,7 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "string_funcs": q_string_funcs,
+    "regexp_funcs": q_regexp_funcs,
     "datetime_funcs": q_datetime_funcs,
     "math_funcs": q_math_funcs,
     "json_funcs": q_json_funcs,

@@ -326,6 +326,29 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window functions over an explicit unbounded frame:
+    first/last/nth order value per customer — completes the window
+    family (ranking=window_rank, offset=window_lag,
+    frame-agg=window_running_sum, navigation=here)."""
+    o = tbl(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.last("o_orderkey").over(w).alias("last_order"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sort / top-k / set ops
 # ---------------------------------------------------------------------------
@@ -508,6 +531,18 @@ ORACLES: dict[str, str] = {
         ) WHERE rn <= 3
         ORDER BY o_custkey, rn
     """,
+    "window_nav": """
+        SELECT o_custkey, o_orderkey,
+               first_value(o_orderkey) OVER w AS first_order,
+               last_value(o_orderkey) OVER w AS last_order,
+               nth_value(o_orderkey, 2) OVER w AS second_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+        ORDER BY o_custkey, o_orderkey
+    """,
     "window_running_sum": """
         SELECT user_id, event_id,
                round(sum(value) OVER (
@@ -581,6 +616,7 @@ QUERIES = {
     "cube_orders": q_cube_orders,
     "window_rank": q_window_rank,
     "window_running_sum": q_window_running_sum,
+    "window_nav": q_window_nav,
     "window_lag": q_window_lag,
     "topk_orders": q_topk_orders,
     "set_union": q_set_union,
