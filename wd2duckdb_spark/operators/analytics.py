@@ -175,6 +175,30 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — wide measure columns → long (name, value)
+    rows, the inverse of pivot_event_values and the shape that feeds
+    generic per-measure pipelines. Narrow operation: each input row
+    expands in place, no shuffle before the output sort."""
+    l = tbl(spark, sf_dir, "lineitem")
+    return (
+        l.select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_discount", "l_tax"],
+            "name",
+            "raw_value",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "name",
+            F.round("raw_value", 2).alias("value"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "name")
+    )
+
+
 def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time window aggregation via ``F.window`` — the
     batch twin of the streaming watermarked aggregation
@@ -215,6 +239,16 @@ def _pivot_oracle() -> str:
 
 ORACLES: dict[str, str] = {
     "pivot_event_values": _pivot_oracle(),
+    "unpivot_measures": """
+        SELECT l_orderkey, l_linenumber, name, round(value, 2) AS value
+        FROM (
+            UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+                            l_discount, l_tax FROM lineitem)
+            ON l_quantity, l_discount, l_tax
+            INTO NAME name VALUE value
+        )
+        ORDER BY l_orderkey, l_linenumber, name
+    """,
     "window_tumbling": """
         SELECT date_trunc('hour', ts) AS window_start,
                date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
@@ -282,6 +316,7 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "pivot_event_values": q_pivot_event_values,
     "window_tumbling": q_window_tumbling,
+    "unpivot_measures": q_unpivot_measures,
     "map_funcs": q_map_funcs,
     "stats_funcs": q_stats_funcs,
     "grouping_sets_revenue": q_grouping_sets_revenue,
