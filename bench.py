@@ -116,6 +116,18 @@ def _bench_ingest(spark) -> dict:
     dump = f"{tempfile.gettempdir()}/wd_bench_dump_{n_lines}.json"
     if not os.path.exists(dump):
         write_dump(dump, n_lines)
+
+    # Warm up the ingest path's codegen (from_json, explodes, parquet
+    # writers) on a 500-line slice so the measured run is steady-state,
+    # consistent with the query warm-up above.
+    warm_dump = f"{tempfile.gettempdir()}/wd_bench_warm_500.json"
+    if not os.path.exists(warm_dump):
+        write_dump(warm_dump, 500)
+    warm_out = tempfile.mkdtemp(prefix="wd_warm_")
+    shutil.rmtree(warm_out)
+    ingest(spark, warm_dump, warm_out)
+    shutil.rmtree(warm_out, ignore_errors=True)
+
     out = tempfile.mkdtemp(prefix="wd_bench_kg_")
     shutil.rmtree(out)
     t0 = time.perf_counter()
