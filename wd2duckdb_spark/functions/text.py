@@ -141,7 +141,76 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fold.alias("rolling_hash")).orderBy("doc_id")
 
 
+def q_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pipeline — the end-to-end
+    reason this engine exists: language filter (≥2 EN stopword hits) →
+    quality thresholds (≥20 tokens, non-alnum ratio < 0.1) → exact
+    dedup (keep min doc_id per normalized content) → per-source
+    accounting of the surviving corpus.
+
+    One narrow filter chain into one dedup shuffle into one tiny agg —
+    at 100 TB the only data movement is the md5-key dedup exchange."""
+    d = tbl(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tokens = token_count(text)
+    non_alnum_ratio = F.length(
+        F.regexp_replace(text, "[A-Za-z0-9 ]", "")
+    ) / F.length(text)
+    filtered = d.filter(
+        (en_stopword_hits(text) >= 2)
+        & (n_tokens >= 20)
+        & (non_alnum_ratio < 0.1)
+    )
+    kept = (
+        filtered.withColumn("n_tokens", n_tokens)
+        .groupBy(F.md5(F.lower(F.trim(text))).alias("content_key"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            # deterministic representative: the kept (min-id) doc's
+            # attributes, matching the oracle's arg_min
+            F.expr("min_by(source, doc_id)").alias("source"),
+            F.expr("min_by(n_tokens, doc_id)").alias("n_tokens"),
+        )
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "clean_corpus_pipeline": f"""
+        WITH filtered AS (
+            SELECT doc_id, source, text,
+                   len(string_split(trim(text), ' ')) AS n_tokens
+            FROM documents
+            WHERE ({" + ".join(
+                f"CASE WHEN contains(' ' || lower(text) || ' ', ' {w} ')"
+                " THEN 1 ELSE 0 END"
+                for w in EN_STOPWORDS
+            )}) >= 2
+              AND len(string_split(trim(text), ' ')) >= 20
+              AND CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                       AS DOUBLE) / length(text) < 0.1
+        ),
+        kept AS (
+            SELECT min(doc_id) AS doc_id,
+                   arg_min(source, doc_id) AS source,
+                   arg_min(n_tokens, doc_id) AS n_tokens
+            FROM filtered
+            GROUP BY md5(lower(trim(text)))
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM kept
+        GROUP BY source
+        ORDER BY source
+    """,
     "token_count_bpe": f"""
         SELECT doc_id,
                CAST(len(string_split(trim(text), ' ')) AS INT) AS ws_tokens,
@@ -210,6 +279,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "clean_corpus_pipeline": q_clean_corpus_pipeline,
     "token_count_bpe": q_token_count_bpe,
     "rolling_fingerprint": q_rolling_fingerprint,
     "lang_id": q_lang_id,
