@@ -26,6 +26,22 @@ def token_count(text: Column) -> Column:
     return F.size(F.split(F.trim(text), " "))
 
 
+def non_alnum_ratio(text: Column) -> Column:
+    """Share of characters outside [A-Za-z0-9 ] — the punctuation/noise
+    quality signal (shared by q_text_quality and the cleaning pipeline)."""
+    return F.length(F.regexp_replace(text, "[A-Za-z0-9 ]", "")) / F.length(text)
+
+
+def _stopword_hits_sql() -> str:
+    """The EN_STOPWORDS hit-count as a DuckDB SQL expression — single
+    source for every oracle that filters or scores by stopword hits."""
+    return "(" + " + ".join(
+        f"CASE WHEN contains(' ' || lower(text) || ' ', ' {w} ')"
+        " THEN 1 ELSE 0 END"
+        for w in EN_STOPWORDS
+    ) + ")"
+
+
 def en_stopword_hits(text: Column) -> Column:
     """How many distinct EN stopwords appear as whole tokens."""
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
@@ -59,13 +75,12 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars = F.length(text)
     n_tokens = token_count(text)
     compact = F.replace(text, F.lit(" "), F.lit(""))
-    non_alnum = F.length(F.regexp_replace(text, "[A-Za-z0-9 ]", ""))
     return d.select(
         "doc_id",
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         F.round(F.length(compact) / n_tokens, 4).alias("avg_token_len"),
-        F.round(non_alnum / n_chars, 4).alias("non_alnum_ratio"),
+        F.round(non_alnum_ratio(text), 4).alias("non_alnum_ratio"),
     ).orderBy("doc_id")
 
 
@@ -153,13 +168,10 @@ def q_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents")
     text = F.col("text")
     n_tokens = token_count(text)
-    non_alnum_ratio = F.length(
-        F.regexp_replace(text, "[A-Za-z0-9 ]", "")
-    ) / F.length(text)
     filtered = d.filter(
         (en_stopword_hits(text) >= 2)
         & (n_tokens >= 20)
-        & (non_alnum_ratio < 0.1)
+        & (non_alnum_ratio(text) < 0.1)
     )
     kept = (
         filtered.withColumn("n_tokens", n_tokens)
@@ -188,11 +200,7 @@ ORACLES: dict[str, str] = {
             SELECT doc_id, source, text,
                    len(string_split(trim(text), ' ')) AS n_tokens
             FROM documents
-            WHERE ({" + ".join(
-                f"CASE WHEN contains(' ' || lower(text) || ' ', ' {w} ')"
-                " THEN 1 ELSE 0 END"
-                for w in EN_STOPWORDS
-            )}) >= 2
+            WHERE {_stopword_hits_sql()} >= 2
               AND len(string_split(trim(text), ' ')) >= 20
               AND CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
                        AS DOUBLE) / length(text) < 0.1
@@ -236,11 +244,7 @@ ORACLES: dict[str, str] = {
     "lang_id": f"""
         WITH hits AS (
             SELECT doc_id, lang,
-                   ({" + ".join(
-                       f"CASE WHEN contains(' ' || lower(text) || ' ', ' {w} ')"
-                       " THEN 1 ELSE 0 END"
-                       for w in EN_STOPWORDS
-                   )}) AS en_hits
+                   {_stopword_hits_sql()} AS en_hits
             FROM documents
         )
         SELECT doc_id, lang,

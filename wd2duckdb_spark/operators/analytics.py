@@ -189,6 +189,10 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
             "name",
             "raw_value",
         )
+        # Spark's unpivot keeps NULL-valued rows; DuckDB's UNPIVOT
+        # drops them — align on drop-NULLs (lineitem measures are NOT
+        # NULL, but the semantics must not depend on that)
+        .filter(F.col("raw_value").isNotNull())
         .select(
             "l_orderkey",
             "l_linenumber",
