@@ -175,6 +175,23 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregates with deterministic ordering: per-region
+    sorted nation array + csv. collect_list order is shuffle-dependent,
+    so BOTH engines sort inside the aggregate — the only way collection
+    aggregates are reproducible on a cluster."""
+    n = tbl(spark, sf_dir, "nation")
+    nations = F.sort_array(F.collect_list("n_name"))
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            nations.alias("nations"),
+            F.array_join(nations, ",").alias("nation_csv"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
 def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt) — wide measure columns → long (name, value)
     rows, the inverse of pivot_event_values and the shape that feeds
@@ -243,6 +260,14 @@ def _pivot_oracle() -> str:
 
 ORACLES: dict[str, str] = {
     "pivot_event_values": _pivot_oracle(),
+    "agg_collect_sorted": """
+        SELECT n_regionkey,
+               list_sort(list(n_name)) AS nations,
+               string_agg(n_name, ',' ORDER BY n_name) AS nation_csv
+        FROM nation
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey
+    """,
     "unpivot_measures": """
         SELECT l_orderkey, l_linenumber, name, round(value, 2) AS value
         FROM (
@@ -321,6 +346,7 @@ QUERIES = {
     "pivot_event_values": q_pivot_event_values,
     "window_tumbling": q_window_tumbling,
     "unpivot_measures": q_unpivot_measures,
+    "agg_collect_sorted": q_agg_collect_sorted,
     "map_funcs": q_map_funcs,
     "stats_funcs": q_stats_funcs,
     "grouping_sets_revenue": q_grouping_sets_revenue,
