@@ -180,3 +180,25 @@ def test_sanitize_parse_never_throws(spark, lines):
     n_bad = corrupt_records(parsed).count()
     assert n_ok + n_bad == n_kept
     vertex_table(parsed).collect()  # projection is total too
+
+
+def test_sense_valued_claim_wrapping(spark, tmp_path):
+    """A sense-valued claim routes to edge with the wrapping Sid
+    formula (id.rs:79-84): dst = (lid + idx + 5.5e9) mod 2^32 —
+    the only §1.3 id kind not in the golden fixture."""
+    from wd2duckdb_spark.ingest import build_tables
+
+    line = (
+        '{"id":"L7","labels":{},"descriptions":{},"claims":{"P5973":'
+        '[{"mainsnak":{"snaktype":"value","property":"P5973","datavalue":'
+        '{"value":{"entity-type":"sense","id":"L7-S2"},"type":'
+        '"wikibase-entityid"},"datatype":"wikibase-sense"},"rank":"normal"}]}}'
+    )
+    p = tmp_path / "sense.json"
+    p.write_text(line + "\n")
+    t = build_tables(spark, str(p))
+    rows = t["edge"].collect()
+    assert len(rows) == 1
+    # (7 + 2 + 5_500_000_000) mod 2**32 = 1_205_032_713
+    assert rows[0].dst_id == (7 + 2 + 5_500_000_000) % 2**32 == 1_205_032_713
+    assert rows[0].src_id == 2_000_000_007

@@ -167,3 +167,30 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_left_join_correctness(spark):
+    """Left salted join == plain left join, including unmatched rows
+    (each skewed row carries exactly one salt, so no duplication)."""
+    from wd2duckdb_spark.operators.skew import salted_join
+
+    skewed = spark.range(1000).select(
+        (F.col("id") % 150).alias("k"), F.col("id").alias("payload")
+    )
+    dim = spark.range(100).select(  # keys 100-149 unmatched
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("lbl")
+    )
+    plain = skewed.join(dim, "k", "left").select("k", "payload", "lbl")
+    salted = salted_join(skewed, dim, "k", n_salts=4, how="left")
+
+    def key(row):
+        return tuple((v is None, v) for v in row)
+
+    assert sorted(map(tuple, salted.collect()), key=key) == sorted(
+        map(tuple, plain.collect()), key=key
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(skewed, dim, "k", how="full")
