@@ -51,9 +51,12 @@ def q_graph_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = tbl(spark, sf_dir, "orders")
     l = tbl(spark, sf_dir, "lineitem")
     s = tbl(spark, sf_dir, "supplier")
+    # shuffle-hash hint: same broadcast-the-pruned-fact trap as
+    # q_graph_2hop — without it Catalyst broadcasts lineitem's
+    # 2-column projection (see that docstring for the measurement)
+    co = c.join(o, c.c_custkey == o.o_custkey).hint("shuffle_hash")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, o.o_orderkey == l.l_orderkey)
+        co.join(l, co.o_orderkey == l.l_orderkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .select("c_custkey", "s_suppkey")
