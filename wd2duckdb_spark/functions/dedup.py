@@ -103,7 +103,14 @@ def _with_shingles(d: DataFrame) -> DataFrame:
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → (doc_id, shingle) exploded distinct word-3-grams.
+    """documents → (doc_id, shingle) exploded word-3-grams.
+
+    NOT deduplicated per doc: the only consumer is the MinHash min()
+    aggregation, which is invariant to duplicate shingles, so the
+    per-doc ``array_distinct`` pass (interpreted, O(n·k)) is pure
+    cost here. The DuckDB oracle keeps ``list_distinct`` and matches
+    bit-for-bit. Jaccard (set semantics) uses ``_with_shingles``,
+    which stays distinct.
 
     The generator expression is inlined into ``explode`` rather than
     projected first: with a separate projection, Catalyst infers a
@@ -126,9 +133,9 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                "array_distinct(transform(sequence(1, size(toks) - 2),"
+                "transform(sequence(1, size(toks) - 2),"
                 " i -> concat_ws(' ', element_at(toks, i),"
-                " element_at(toks, i + 1), element_at(toks, i + 2))))"
+                " element_at(toks, i + 1), element_at(toks, i + 2)))"
             )
         ).alias("shingle"),
     )

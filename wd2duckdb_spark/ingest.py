@@ -440,6 +440,15 @@ def ingest(
     size and spills via MEMORY_AND_DISK, the same budget the exploded
     claims would need.
 
+    The cache is materialized with one ``count()`` job FIRST, then the
+    6 sink writes run CONCURRENTLY (driver-side thread pool — Spark
+    schedules jobs from multiple threads natively). Concurrent writes
+    over a cold cache would each re-parse in-flight partitions (the
+    block store dedupes stored blocks, not in-progress computation),
+    so priming is what makes the fan-out safe. Sequential writes waste
+    wall-clock on per-job latency at small inputs and leave the
+    cluster under-utilized between job tails at large ones.
+
     ``edge_sort``: sort edge-class tables within partitions by
     ``(src_id, dst_id)`` so parquet min/max row-group stats act as the
     moral equivalent of the reference's src_id/dst_id indices
@@ -459,15 +468,21 @@ def ingest(
             "quantity": quantity_table(claims),
             "time": time_table(claims),
         }
-        out = {}
-        for name, df in tables.items():
+        parsed.count()  # materialize the cache before the parallel fan-out
+
+        def _write(name: str, df: DataFrame) -> tuple[str, str]:
             if edge_sort and name != "vertex":
                 df = df.sortWithinPartitions("src_id", "dst_id")
             elif edge_sort and name == "vertex":
                 df = df.sortWithinPartitions("id")
             path = f"{out_path}/{name}"
             df.write.mode(mode).parquet(path)
-            out[name] = path
-        return out
+            return name, path
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(tables)) as pool:
+            futures = [pool.submit(_write, n, df) for n, df in tables.items()]
+            return dict(f.result() for f in futures)
     finally:
         parsed.unpersist()
