@@ -15,15 +15,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from wd2duckdb_spark.operators.relational import q_q5_local_supplier_volume
+from wd2duckdb_spark.functions.text import q_clean_corpus_pipeline
 from wd2duckdb_spark.registry import all_oracles, all_queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: the 6-way-join
-    local-supplier-volume aggregation (scan + broadcast joins +
-    groupBy/agg + orderBy — the operator spine)."""
-    return q_q5_local_supplier_volume(spark, "/root/testdata/sf0.001")
+    """Flagship on /root/testdata/sf0.001: the composed training-data
+    cleaning pipeline — language filter → quality thresholds → exact
+    dedup → per-source accounting of the surviving corpus. One narrow
+    filter chain into one dedup shuffle into one tiny agg; the
+    end-to-end shape this engine is built around."""
+    return q_clean_corpus_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
