@@ -458,6 +458,12 @@ def ingest(
     moral equivalent of the reference's src_id/dst_id indices
     (value.rs:332-350) — point/range lookups prune row groups.
     """
+    # read_dump_lines narrows spark.sql.files.maxPartitionBytes to
+    # 16 MB for the CPU-bound JSON parse; scope that override to this
+    # call so later parquet scans in the same session keep the
+    # IO-tuned default (128 MB) — 8x the task count on every
+    # downstream query is the wrong trade there.
+    prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
     parsed = parse_entities(
         sanitize_lines(read_dump_lines(spark, dump_path))
     ).persist()
@@ -492,3 +498,4 @@ def ingest(
         return out
     finally:
         parsed.unpersist()
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
