@@ -202,3 +202,38 @@ def test_sense_valued_claim_wrapping(spark, tmp_path):
     # (7 + 2 + 5_500_000_000) mod 2**32 = 1_205_032_713
     assert rows[0].dst_id == (7 + 2 + 5_500_000_000) % 2**32 == 1_205_032_713
     assert rows[0].src_id == 2_000_000_007
+
+
+def test_ingest_restores_split_conf(spark, tmp_path):
+    """ingest() narrows spark.sql.files.maxPartitionBytes to 16 MB for
+    the CPU-bound parse but must restore the session value afterwards —
+    leaking it 8x'es the task count of every later parquet scan."""
+    import pytest
+
+    from wd2duckdb_spark.ingest import ingest
+
+    key = "spark.sql.files.maxPartitionBytes"
+    before = spark.conf.get(key)
+    ingest(spark, FIXTURE_DUMP, str(tmp_path / "kg"))
+    assert spark.conf.get(key) == before
+
+    # the error path (mode="error" target-exists refusal, raised from
+    # the materializing vertex write) must restore it too
+    with pytest.raises(Exception):
+        ingest(spark, FIXTURE_DUMP, str(tmp_path / "kg"))
+    assert spark.conf.get(key) == before
+
+
+def test_ingest_concurrent_sink_failure_propagates(spark, tmp_path):
+    """A claim sink failing inside the parallel fan-out must surface to
+    the caller, not vanish in a thread. Pre-creating only the `time`
+    dir makes the vertex write succeed and exactly one pooled sink
+    refuse (mode="error")."""
+    import pytest
+
+    from wd2duckdb_spark.ingest import ingest
+
+    out = tmp_path / "kg"
+    (out / "time").mkdir(parents=True)
+    with pytest.raises(Exception, match="(?i)already exists|error"):
+        ingest(spark, FIXTURE_DUMP, str(out))
