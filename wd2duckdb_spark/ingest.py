@@ -31,7 +31,8 @@ Semantics pinned to the reference (SURVEY §1.2 numbered list):
 Scale notes (100 TB design point): the whole pipeline is narrow
 (no shuffle!) until the sinks — text scan → filter → project → explode
 are all pipelined within a task; each of the 6 writes is an independent
-narrow job over the persisted claim DF. Input splits parallelize by
+narrow job over the persisted PARSE (the vertex write fills the cache,
+the 5 claim sinks then run concurrently — see ``ingest``). Input splits parallelize by
 file block; a .bz2 dump is splittable in Hadoop, .gz is not (prefer
 decompressed or bz2 input at scale, matching the reference's bzcat
 pipe guidance, README.md:31-55).
