@@ -142,7 +142,35 @@ def q_id_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("n_nationkey")
 
 
+def q_posexplode_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode — explode WITH ORDINALITY: token position survives
+    the flatten (needed for positional n-grams / rolling hashes where
+    plain explode loses order). Narrow per-row fan-out, no shuffle
+    before the (tiny-key) aggregation."""
+    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "word"),
+        )
+        .filter(F.col("word") != "")
+        .select("doc_id", "pos", "word")
+        .orderBy("doc_id", "pos")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "posexplode_ordinality": """
+        SELECT doc_id, pos, word FROM (
+            SELECT doc_id,
+                   CAST(generate_subscripts(str_split(lower(text), ' '), 1) - 1
+                        AS INT) AS pos,
+                   unnest(str_split(lower(text), ' ')) AS word
+            FROM documents
+            WHERE doc_id < 50
+        ) WHERE word <> ''
+        ORDER BY doc_id, pos
+    """,
     "string_funcs": """
         SELECT p_partkey,
                upper(p_name) AS name_upper,
@@ -240,4 +268,5 @@ QUERIES = {
     "array_funcs": q_array_funcs,
     "explode_words": q_explode_words,
     "id_codec": q_id_codec,
+    "posexplode_ordinality": q_posexplode_ordinality,
 }

@@ -244,6 +244,58 @@ def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (``percentile`` —
+    DuckDB ``quantile_cont``). Exact quantiles are a full sort within
+    each group's aggregation buffer; at 100 TB you'd reach for
+    approx_percentile (t-digest sketches merge associatively), but the
+    exact form is part of the SQL surface and groups here are few.
+
+    Oracle-parity note: Spark and DuckDB interpolate with different FP
+    expression order (ulp-level divergence), so cross-engine-stable
+    percentiles need a quantized column — l_quantity's integer values
+    duplicate heavily, every quantile position lands inside a run of
+    equal values, and interpolation degenerates to the exact value."""
+    l = tbl(spark, sf_dir, "lineitem")
+
+    def pct(p: float, alias: str):
+        return F.round(F.expr(f"percentile(l_quantity, {p})"), 2).alias(alias)
+
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            pct(0.25, "p25"),
+            pct(0.5, "p50"),
+            pct(0.9, "p90"),
+            F.round(F.max("l_quantity"), 2).alias("p100"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine generation + gap-filling left join (sequence →
+    explode): orders per day including zero-order days — the
+    time-series densification primitive every training-data pipeline
+    needs. The spine derives from a 1-row min/max aggregate, so the
+    generated side is ~#days rows regardless of fact-table size; the
+    per-day aggregate shuffles only #days groups."""
+    o = tbl(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    spine = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    per_day = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    return (
+        spine.join(per_day, "day", "left")
+        .select("day", F.coalesce("n", F.lit(0)).alias("n_orders"))
+        .orderBy("day")
+    )
+
+
 def _pivot_oracle() -> str:
     cols = ",\n               ".join(
         f"round(sum(value) FILTER (event_type = '{t}'), 2) AS \"{t}\""
@@ -340,6 +392,34 @@ ORACLES: dict[str, str] = {
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
     """,
+    "percentiles_exact": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.25), 2) AS p25,
+               round(quantile_cont(l_quantity, 0.5), 2) AS p50,
+               round(quantile_cont(l_quantity, 0.9), 2) AS p90,
+               round(max(l_quantity), 2) AS p100
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "date_spine": """
+        WITH bounds AS (
+            SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+                   max(CAST(o_orderdate AS DATE)) AS d1
+            FROM orders
+        ), days AS (
+            SELECT CAST(unnest(generate_series(
+                       CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                       INTERVAL 1 DAY)) AS DATE) AS day
+            FROM bounds
+        ), per_day AS (
+            SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+            FROM orders GROUP BY 1
+        )
+        SELECT day, CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+        FROM days LEFT JOIN per_day USING (day)
+        ORDER BY day
+    """,
 }
 
 QUERIES = {
@@ -353,4 +433,6 @@ QUERIES = {
     "binary_funcs": q_binary_funcs,
     "hash_sample": q_hash_sample,
     "approx_distinct": q_approx_distinct,
+    "percentiles_exact": q_percentiles_exact,
+    "date_spine": q_date_spine,
 }

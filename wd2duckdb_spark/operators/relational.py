@@ -206,6 +206,101 @@ def q_outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with a non-equi predicate (TPC-H Q4 shape):
+    priority counts of orders having at least one line shipped >90 days
+    after the order date. The correlated subquery decorrelates to a
+    left-semi join on the equi key with the range predicate attached —
+    one shuffle on orderkey, no nested-loop."""
+    o = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    l = tbl(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey)
+            & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_scalar_subquery_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): yearly revenue of
+    small-quantity orders for one brand, threshold = 0.2 × per-part avg
+    quantity. Decorrelated as aggregate-then-join: the per-part
+    threshold table is computed once (after semi-reducing lineitem by
+    the broadcast part filter) and broadcast back — two scans of the
+    brand slice, zero scans of the full fact table beyond the pushed
+    partkey filter."""
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    l = tbl(spark, sf_dir, "lineitem")
+    lp = l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+    thresholds = lp.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    return (
+        lp.join(F.broadcast(thresholds), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def q_full_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two sparse aggregates (rich customers vs rich
+    suppliers per nation) — both null sides exercised. Aggregate before
+    the join: the outer join sees #nations rows, not #customers."""
+    c = (
+        tbl(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    s = (
+        tbl(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return (
+        c.join(s, "nationkey", "full")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (SQL FILTER clause / count_if): several
+    differently-filtered aggregates in ONE pass over the fact table —
+    the scale-friendly alternative to N filtered scans."""
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+            F.count(F.when(F.col("o_totalprice") > 150000, 1)).alias("n_big"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("o_orderstatus") == "F", F.col("o_totalprice")
+                    ).otherwise(F.lit(0.0))
+                ),
+                2,
+            ).alias("finished_value"),
+            F.count("*").alias("n_total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed equi + range join condition (theta-join class): lineitems
     shipped >60 days after their order date. Equi key keeps it a hash
@@ -485,6 +580,51 @@ ORACLES: dict[str, str] = {
         GROUP BY c_custkey
         ORDER BY c_custkey
     """,
+    "exists_correlated": """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "scalar_subquery_part": """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+    "full_outer_nation_counts": """
+        WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+                   FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+             s AS (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+                   FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+        SELECT nationkey,
+               CAST(coalesce(n_customers, 0) AS BIGINT) AS n_customers,
+               CAST(coalesce(n_suppliers, 0) AS BIGINT) AS n_suppliers
+        FROM c FULL JOIN s USING (nationkey)
+        ORDER BY nationkey
+    """,
+    "conditional_agg": """
+        SELECT o_orderpriority,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+                   AS n_finished,
+               CAST(count(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT)
+                   AS n_big,
+               round(coalesce(
+                   sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0), 2)
+                   AS finished_value,
+               CAST(count(*) AS BIGINT) AS n_total
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
     "range_join": """
         SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_late
         FROM lineitem JOIN orders
@@ -610,6 +750,10 @@ QUERIES = {
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
     "outer_join_order_counts": q_outer_join_order_counts,
+    "exists_correlated": q_exists_correlated,
+    "scalar_subquery_part": q_scalar_subquery_part,
+    "full_outer_nation_counts": q_full_outer_nation_counts,
+    "conditional_agg": q_conditional_agg,
     "range_join": q_range_join,
     "agg_distinct": q_agg_distinct,
     "rollup_acctbal": q_rollup_acctbal,
