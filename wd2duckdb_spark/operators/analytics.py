@@ -244,6 +244,29 @@ def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time windows: 1-hour windows every 30
+    minutes — each event lands in exactly 2 windows. Spark expands the
+    window set before the aggregation (a bounded ×2 fan-out), so the
+    shuffle still carries only (window, agg) pairs; grid alignment is
+    the Unix epoch on both engines, which 30-minute buckets share."""
+    e = tbl(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )
+
+
 def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (``percentile`` —
     DuckDB ``quantile_cont``). Exact quantiles are a full sort within
@@ -392,6 +415,24 @@ ORACLES: dict[str, str] = {
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
     """,
+    "window_sliding": """
+        WITH slides AS (
+            SELECT unnest(generate_series(
+                       CAST(time_bucket(INTERVAL 30 MINUTE, ts) AS TIMESTAMP)
+                           - INTERVAL 30 MINUTE,
+                       CAST(time_bucket(INTERVAL 30 MINUTE, ts) AS TIMESTAMP),
+                       INTERVAL 30 MINUTE)) AS window_start,
+                   value
+            FROM events
+        )
+        SELECT window_start,
+               window_start + INTERVAL 1 HOUR AS window_end,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM slides
+        GROUP BY window_start
+        ORDER BY window_start
+    """,
     "percentiles_exact": """
         SELECT l_returnflag,
                round(quantile_cont(l_quantity, 0.25), 2) AS p25,
@@ -435,4 +476,5 @@ QUERIES = {
     "approx_distinct": q_approx_distinct,
     "percentiles_exact": q_percentiles_exact,
     "date_spine": q_date_spine,
+    "window_sliding": q_window_sliding,
 }

@@ -301,6 +301,36 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_having_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING over an aggregate subquery + IN-list membership (TPC-H
+    Q18 shape): large-volume orders with their customer. The IN
+    subquery decorrelates to a join against the filtered aggregate —
+    the aggregate output (#qualifying orders) is small, so it
+    broadcasts back to orders; customer is a broadcast dim; top-100 is
+    TakeOrderedAndProject."""
+    l = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("price"),
+            "total_qty",
+        )
+        .orderBy(F.desc("price"), "o_orderkey")
+        .limit(100)
+    )
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed equi + range join condition (theta-join class): lineitems
     shipped >60 days after their order date. Equi key keeps it a hash
@@ -625,6 +655,19 @@ ORACLES: dict[str, str] = {
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
     """,
+    "having_in_subquery": """
+        SELECT c_name, o_orderkey, o_orderdate,
+               round(o_totalprice, 2) AS price,
+               round((SELECT sum(l_quantity) FROM lineitem
+                      WHERE l_orderkey = o_orderkey), 2) AS total_qty
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey
+                             HAVING sum(l_quantity) > 200)
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
     "range_join": """
         SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_late
         FROM lineitem JOIN orders
@@ -754,6 +797,7 @@ QUERIES = {
     "scalar_subquery_part": q_scalar_subquery_part,
     "full_outer_nation_counts": q_full_outer_nation_counts,
     "conditional_agg": q_conditional_agg,
+    "having_in_subquery": q_having_in_subquery,
     "range_join": q_range_join,
     "agg_distinct": q_agg_distinct,
     "rollup_acctbal": q_rollup_acctbal,
