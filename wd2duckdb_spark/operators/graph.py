@@ -86,6 +86,134 @@ def q_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PageRank constants — shared by the Spark loop and the unrolled SQL
+#: oracle. The teleport term uses the literal 0.15 on BOTH sides
+#: (Python's `1 - 0.85` is 0.15000000000000002 — a different double —
+#: so the complement is never computed arithmetically).
+PR_DAMPING = 0.85
+PR_TELEPORT = 0.15
+PR_ITERS = 5
+_SUPP_NS = 1_000_000  # supplier ids namespaced above customer ids
+
+
+def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed edge list of the customer↔supplier trade graph:
+    one edge each way per distinct (customer, supplier) trading pair,
+    suppliers offset into their own id namespace."""
+    o = tbl(spark, sf_dir, "orders")
+    l = tbl(spark, sf_dir, "lineitem")
+    cs = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    fwd = cs.select(
+        F.col("c").alias("src"), (F.col("s") + _SUPP_NS).alias("dst")
+    )
+    rev = cs.select(
+        (F.col("s") + _SUPP_NS).alias("src"), F.col("c").alias("dst")
+    )
+    return fwd.union(rev)
+
+
+def q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PageRank (5 synchronous iterations, d=0.85) over the
+    customer↔supplier trade graph — the iterative-dataflow pattern
+    (repeated join → groupBy per superstep), oracle-verified against an
+    unrolled recursive-CTE DuckDB formulation.
+
+    Each rank vector feeds exactly ONE downstream superstep, so the
+    lineage is a linear chain with no recompute amplification — the
+    whole loop stays lazy and compiles into a single DAG (~2 shuffle
+    stages per superstep) instead of one Spark job per iteration (the
+    per-superstep persist+count variant measured 10× slower here: all
+    fixed job-scheduling overhead). Only the rank-independent
+    transition structure (src, dst, deg), which every superstep reuses,
+    is persisted. At a real 100 TB scale you would additionally
+    checkpoint the rank vector every few supersteps to bound
+    failure-recovery replay, and bucket the edge table on src
+    (layout.py) so each superstep shuffles only the rank vector.
+
+    The bidirectional construction guarantees every vertex has both in-
+    and out-degree ≥ 1 — no dangling-mass term, and the contribution
+    aggregation alone reaches every vertex (no left-join backfill).
+    """
+    edges = _bipartite_edges(spark, sf_dir)
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # Rank-independent per-edge transition structure, reused every
+    # superstep: (src, dst, deg).
+    trans = edges.join(outdeg, "src").persist()
+    n = trans.select("src").distinct().count()  # also warms the cache
+
+    ranks = (
+        trans.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.lit(1.0 / n).alias("rank"))
+    )
+    for _ in range(PR_ITERS):
+        contribs = (
+            trans.join(ranks, trans.src == ranks.id)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        ranks = contribs.select(
+            F.col("dst").alias("id"),
+            (F.lit(PR_TELEPORT / n) + PR_DAMPING * F.col("contrib")).alias(
+                "rank"
+            ),
+        )
+    return (
+        ranks.select(
+            F.col("id").alias("node_id"), F.round("rank", 6).alias("rank")
+        )
+        .orderBy(F.desc("rank"), "node_id")
+        .limit(20)
+    )
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 5-iteration PageRank as chained CTEs (DuckDB)."""
+    steps = []
+    for i in range(1, PR_ITERS + 1):
+        steps.append(
+            f"""pr{i} AS (
+            SELECT n.id,
+                   {PR_TELEPORT}::DOUBLE / p.n
+                     + {PR_DAMPING}::DOUBLE * coalesce(c.contrib, 0) AS rank
+            FROM nodes n CROSS JOIN params p LEFT JOIN (
+                SELECT e.dst AS id, sum(pr.rank / e.deg) AS contrib
+                FROM trans e JOIN pr{i - 1} pr ON pr.id = e.src
+                GROUP BY e.dst
+            ) c ON c.id = n.id)"""
+        )
+    chained = ",\n        ".join(steps)
+    return f"""
+        WITH cs AS (
+            SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ), edges AS (
+            SELECT c AS src, s + {_SUPP_NS} AS dst FROM cs
+            UNION ALL
+            SELECT s + {_SUPP_NS} AS src, c AS dst FROM cs
+        ), outdeg AS (
+            SELECT src, count(*) AS deg FROM edges GROUP BY src
+        ), trans AS (
+            SELECT e.src, e.dst, o.deg FROM edges e JOIN outdeg o USING (src)
+        ), nodes AS (
+            SELECT DISTINCT src AS id FROM edges
+        ), params AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+        ), pr0 AS (
+            SELECT id, 1.0::DOUBLE / p.n AS rank FROM nodes, params p
+        ),
+        {chained}
+        SELECT id AS node_id, round(rank, 6) AS rank
+        FROM pr{PR_ITERS}
+        ORDER BY round(rank, 6) DESC, id
+        LIMIT 20
+    """
+
+
 def k_hop(
     edge: DataFrame,
     start: DataFrame,
@@ -160,8 +288,11 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["pagerank_topk"] = _pagerank_oracle()
+
 QUERIES = {
     "graph_2hop": q_graph_2hop,
+    "pagerank_topk": q_pagerank_topk,
     "graph_triangle": q_graph_triangle,
     "asof_latest_event": q_asof_latest_event,
 }
