@@ -43,6 +43,40 @@ def test_topk_uses_take_ordered(spark):
     assert plan_summary(q_topk_orders(spark, SF_DIR))["take_ordered"] >= 1
 
 
+def test_exists_correlated_is_semi_join(spark):
+    """The correlated EXISTS decorrelates to a (left semi) join — never
+    a per-row nested loop."""
+    from wd2duckdb_spark.operators.relational import q_exists_correlated
+    from wd2duckdb_spark.plans import explain_str, plan_summary
+
+    df = q_exists_correlated(spark, SF_DIR)
+    assert "LeftSemi" in explain_str(df, "simple")
+    assert plan_summary(df)["nested_loop_join"] == 0
+
+
+def test_scalar_subquery_broadcasts_threshold(spark):
+    """Aggregate-then-join decorrelation: the per-part threshold table
+    and the part filter both broadcast — the fact table is never the
+    build side."""
+    from wd2duckdb_spark.operators.relational import q_scalar_subquery_part
+    from wd2duckdb_spark.plans import plan_summary
+
+    s = plan_summary(q_scalar_subquery_part(spark, SF_DIR))
+    assert s["broadcast_hash_join"] >= 2
+    assert s["nested_loop_join"] == 0
+
+
+def test_having_in_subquery_topk_physical(spark):
+    """Q18 shape: broadcast joins + TakeOrderedAndProject (no global
+    sort materialization for the top-100)."""
+    from wd2duckdb_spark.operators.relational import q_having_in_subquery
+    from wd2duckdb_spark.plans import plan_summary
+
+    s = plan_summary(q_having_in_subquery(spark, SF_DIR))
+    assert s["broadcast_hash_join"] >= 2
+    assert s["take_ordered"] >= 1
+
+
 def test_no_python_udf_in_core_queries(spark):
     """Every core operator stays JVM-side (SURVEY §2.3 UDF row)."""
     from wd2duckdb_spark.registry import all_queries
