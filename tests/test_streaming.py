@@ -254,3 +254,124 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
     # batch fallback: same helper, plain DataFrame
     batch = spark.createDataFrame(b0 + b1, schema)
     assert dedup_stream(batch).count() == 3
+
+
+def test_enrich_stream_static_broadcast_parity(spark, tmp_path):
+    """Stream-static enrichment: each micro-batch left-joins the
+    broadcast dim; two-batch streaming output equals the batch twin."""
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.streaming.joins import enrich_stream
+
+    e = (
+        tbl(spark, SF_DIR, "events")
+        .filter(F.col("user_id") < 8)
+        .select("ts", "event_id", "user_id", "value")
+    )
+    dim = (
+        e.select("user_id")
+        .distinct()
+        .withColumn(
+            "segment",
+            F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"),
+        )
+    )
+    rows = sorted(e.collect(), key=lambda r: (r.ts, r.event_id))
+    cut = rows[len(rows) // 2].ts
+    in_dir = tmp_path / "en_in"
+    in_dir.mkdir()
+    e.filter(F.col("ts") <= F.lit(cut)).coalesce(1).write.parquet(
+        str(in_dir / "b0.parquet")
+    )
+    e.filter(F.col("ts") > F.lit(cut)).coalesce(1).write.parquet(
+        str(in_dir / "b1.parquet")
+    )
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*.parquet")
+    )
+    q = (
+        enrich_stream(stream, dim)
+        .writeStream.format("memory")
+        .queryName("en_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "en_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        (r.event_id, r.segment)
+        for r in spark.sql("SELECT event_id, segment FROM en_out").collect()
+    )
+    want = sorted(
+        (r.event_id, r.segment) for r in enrich_stream(e, dim).collect()
+    )
+    assert got == want and len(got) == e.count()
+
+
+def test_stream_stream_interval_join_parity(spark, tmp_path):
+    """Watermarked stream-stream interval join (purchase attribution):
+    clicks and purchases arrive as separate 2-batch streams; the inner
+    join output equals the batch twin. The generous watermark keeps
+    every pair inside the horizon, so parity is exact."""
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.streaming.joins import attribute_purchases
+
+    base = (
+        tbl(spark, SF_DIR, "events")
+        .filter(F.col("user_id") < 8)
+        .select("ts", "event_id", "user_id", "event_type", "value")
+    )
+    clicks = base.filter(F.col("event_type") == "click").drop("event_type")
+    purchases = base.filter(F.col("event_type") == "purchase").drop(
+        "event_type"
+    )
+
+    dirs = {}
+    for name, df in (("clicks", clicks), ("purchases", purchases)):
+        rows = sorted(df.collect(), key=lambda r: (r.ts, r.event_id))
+        cut = rows[len(rows) // 2].ts
+        d = tmp_path / f"ss_{name}"
+        d.mkdir()
+        df.filter(F.col("ts") <= F.lit(cut)).coalesce(1).write.parquet(
+            str(d / "b0.parquet")
+        )
+        df.filter(F.col("ts") > F.lit(cut)).coalesce(1).write.parquet(
+            str(d / "b1.parquet")
+        )
+        dirs[name] = (d, df.schema)
+
+    def mkstream(name):
+        d, schema = dirs[name]
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d) + "/*.parquet")
+        )
+
+    joined = attribute_purchases(
+        mkstream("clicks"), mkstream("purchases"), watermark="60 days"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    key = lambda r: (r.click_id, r.purchase_id)  # noqa: E731
+    got = sorted(
+        key(r) for r in spark.sql("SELECT * FROM ss_out").collect()
+    )
+    want = sorted(
+        key(r)
+        for r in attribute_purchases(clicks, purchases).collect()
+    )
+    assert got == want
+    assert len(got) > 0  # non-vacuous: some purchases attribute
