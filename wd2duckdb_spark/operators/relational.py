@@ -508,6 +508,21 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.subtract(s).orderBy("nationkey")  # EXCEPT DISTINCT semantics
 
 
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference (duplicates preserved by
+    count arithmetic, not row identity)."""
+    c = tbl(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = tbl(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s).orderBy("nationkey")
+
+
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection (min of per-side counts)."""
+    c = tbl(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = tbl(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s).orderBy("nationkey")
+
+
 def q_case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE WHEN demultiplex (the 19→6 type-dispatch pattern,
     value.rs:373-433, on testdata)."""
@@ -770,6 +785,18 @@ ORACLES: dict[str, str] = {
         SELECT s_nationkey FROM supplier
         ORDER BY nationkey
     """,
+    "set_except_all": """
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey FROM supplier
+        ORDER BY nationkey
+    """,
+    "set_intersect_all": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey FROM supplier
+        ORDER BY nationkey
+    """,
     "case_bucketing": """
         SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
                     WHEN c_acctbal < 3000 THEN 'low'
@@ -810,5 +837,7 @@ QUERIES = {
     "set_union": q_set_union,
     "set_intersect": q_set_intersect,
     "set_except": q_set_except,
+    "set_except_all": q_set_except_all,
+    "set_intersect_all": q_set_intersect_all,
     "case_bucketing": q_case_bucketing,
 }
