@@ -77,6 +77,20 @@ def test_having_in_subquery_topk_physical(spark):
     assert s["take_ordered"] >= 1
 
 
+def test_band_join_avoids_nested_loop(spark):
+    """The ε-bucket blocking turns the pure non-equi band predicate
+    into a hash join — no BroadcastNestedLoopJoin/CartesianProduct."""
+    from wd2duckdb_spark.operators.relational import q_band_join
+    from wd2duckdb_spark.plans import plan_summary
+
+    s = plan_summary(q_band_join(spark, SF_DIR))
+    assert s["nested_loop_join"] == 0
+    assert (
+        s["broadcast_hash_join"] + s["shuffled_hash_join"] + s["sort_merge_join"]
+        >= 1
+    )
+
+
 def test_no_python_udf_in_core_queries(spark):
     """Every core operator stays JVM-side (SURVEY §2.3 UDF row)."""
     from wd2duckdb_spark.registry import all_queries

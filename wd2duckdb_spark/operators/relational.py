@@ -301,6 +301,41 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure non-equi band join — |c_acctbal − s_acctbal| < ε with NO
+    equi key. Naively this is a BroadcastNestedLoopJoin (O(n·m) —
+    test_plans pins that it is NOT); the scale-safe plan manufactures
+    an equi key by bucketing the band dimension at ε width: the
+    supplier side keeps its own bucket, the customer side explodes to
+    its 3 admissible buckets {b−1, b, b+1}, the join is a plain hash
+    join on the bucket, and the exact band predicate filters after.
+    Each qualifying pair matches in exactly one bucket (the supplier's
+    own), so no dedup pass is needed. Cost: 3× one side's rows instead
+    of n·m pair evaluations — at 100 TB this is the difference between
+    a shuffle and an impossibility."""
+    eps = 1.0
+    c = tbl(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+    s = tbl(spark, sf_dir, "supplier").select("s_acctbal")
+    sb = s.withColumn("bucket", F.floor(F.col("s_acctbal") / eps))
+    cb = c.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.floor(F.col("c_acctbal") / eps) - 1,
+                F.floor(F.col("c_acctbal") / eps),
+                F.floor(F.col("c_acctbal") / eps) + 1,
+            )
+        ),
+    )
+    return (
+        cb.join(sb, "bucket")
+        .filter(F.abs(F.col("c_acctbal") - F.col("s_acctbal")) < eps)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("c_mktsegment")
+    )
+
+
 def q_having_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HAVING over an aggregate subquery + IN-list membership (TPC-H
     Q18 shape): large-volume orders with their customer. The IN
@@ -670,6 +705,13 @@ ORACLES: dict[str, str] = {
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
     """,
+    "band_join": """
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM customer JOIN supplier
+          ON abs(c_acctbal - s_acctbal) < 1.0
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
     "having_in_subquery": """
         SELECT c_name, o_orderkey, o_orderdate,
                round(o_totalprice, 2) AS price,
@@ -824,6 +866,7 @@ QUERIES = {
     "scalar_subquery_part": q_scalar_subquery_part,
     "full_outer_nation_counts": q_full_outer_nation_counts,
     "conditional_agg": q_conditional_agg,
+    "band_join": q_band_join,
     "having_in_subquery": q_having_in_subquery,
     "range_join": q_range_join,
     "agg_distinct": q_agg_distinct,
