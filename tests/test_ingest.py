@@ -237,3 +237,154 @@ def test_ingest_concurrent_sink_failure_propagates(spark, tmp_path):
     (out / "time").mkdir(parents=True)
     with pytest.raises(Exception, match="(?i)already exists|error"):
         ingest(spark, FIXTURE_DUMP, str(out))
+
+
+# --- property-based roundtrip (SURVEY §5.2 item 3) -------------------------
+#
+# Random entities → dump text (with the reference's wrapping/comma
+# format plus whitespace noise) → build_tables → structural invariants.
+# Golden tests pin exact values; this pins that the sanitize → parse →
+# explode → dispatch pipeline never loses, duplicates, or misroutes a
+# claim for arbitrary content (quotes, unicode, brackets, commas).
+
+from hypothesis import given as _given, settings as _settings
+from hypothesis import strategies as _st
+
+_TEXT = _st.text(
+    alphabet=_st.characters(
+        blacklist_categories=("Cs",), blacklist_characters="\r\n"
+    ),
+    max_size=24,
+)
+
+
+@_st.composite
+def _claim(draw):
+    pid = draw(_st.integers(1, 9999))
+    kind = draw(
+        _st.sampled_from(
+            ["item", "string", "quantity", "time", "coord", "novalue", "somevalue"]
+        )
+    )
+    deprecated = draw(_st.booleans()) and draw(_st.booleans())  # ~25%
+    rank = "deprecated" if deprecated else draw(
+        _st.sampled_from(["normal", "preferred"])
+    )
+    snak = {"property": f"P{pid}", "datatype": "wikibase-item"}
+    if kind == "novalue":
+        snak["snaktype"] = "novalue"
+        sink = "edge"
+    elif kind == "somevalue":
+        snak["snaktype"] = "somevalue"
+        sink = "edge"
+    else:
+        snak["snaktype"] = "value"
+        if kind == "item":
+            k = draw(_st.integers(1, 10**8))
+            snak["datavalue"] = {
+                "value": {"entity-type": "item", "numeric-id": k, "id": f"Q{k}"},
+                "type": "wikibase-entityid",
+            }
+            sink = "edge"
+        elif kind == "string":
+            snak["datatype"] = "external-id"
+            snak["datavalue"] = {"value": draw(_TEXT), "type": "string"}
+            sink = "string"
+        elif kind == "quantity":
+            amt = draw(_st.integers(-10**6, 10**6))
+            snak["datatype"] = "quantity"
+            snak["datavalue"] = {
+                "value": {"amount": f"+{amt}" if amt >= 0 else str(amt), "unit": "1"},
+                "type": "quantity",
+            }
+            sink = "quantity"
+        elif kind == "time":
+            y = draw(_st.integers(1, 9998))
+            snak["datatype"] = "time"
+            snak["datavalue"] = {
+                "value": {
+                    "time": f"+{y:04d}-01-01T00:00:00Z",
+                    "precision": draw(_st.integers(0, 14)),
+                },
+                "type": "time",
+            }
+            sink = "time"
+        else:
+            snak["datatype"] = "globe-coordinate"
+            snak["datavalue"] = {
+                "value": {
+                    "latitude": draw(_st.integers(-89, 89)) / 1.0,
+                    "longitude": draw(_st.integers(-179, 179)) / 1.0,
+                    "precision": 0.01,
+                    "globe": "http://www.wikidata.org/entity/Q2",
+                },
+                "type": "globecoordinate",
+            }
+            sink = "coordinates"
+    return {
+        "pid": pid,
+        "claim": {"mainsnak": snak, "rank": rank, "type": "statement"},
+        "sink": None if deprecated else sink,
+    }
+
+
+@_st.composite
+def _entity(draw):
+    kind, off = draw(
+        _st.sampled_from([("Q", 0), ("P", 1_000_000_000), ("L", 2_000_000_000)])
+    )
+    n = draw(_st.integers(1, 10**8))
+    en_label = draw(_st.none() | _TEXT)
+    labels = {} if en_label is None else {"en": {"language": "en", "value": en_label}}
+    if draw(_st.booleans()):
+        labels["de"] = {"language": "de", "value": draw(_TEXT)}
+    claims_list = draw(_st.lists(_claim(), max_size=4))
+    claims: dict = {}
+    for c in claims_list:
+        claims.setdefault(f"P{c['pid']}", []).append(c["claim"])
+    return {
+        "doc": {"id": f"{kind}{n}", "labels": labels, "descriptions": {},
+                "claims": claims},
+        "vid": n + off,
+        "label": en_label,
+        "sinks": [c["sink"] for c in claims_list if c["sink"] is not None],
+    }
+
+
+@_settings(deadline=None, max_examples=6)
+@_given(_st.lists(_entity(), min_size=1, max_size=6), _st.randoms())
+def test_ingest_roundtrip_invariants(spark, tmp_path_factory, ents, rng):
+    import json as _json
+
+    from wd2duckdb_spark.ingest import build_tables
+
+    lines = ["["]
+    for i, e in enumerate(ents):
+        pad = " " * rng.randint(0, 3)
+        comma = "," if i < len(ents) - 1 else ""
+        lines.append(pad + _json.dumps(e["doc"], ensure_ascii=False) + comma)
+        if rng.random() < 0.3:
+            lines.append("")  # blank-line noise the sanitizer must drop
+    lines.append("]")
+    dump = tmp_path_factory.mktemp("hyp") / "dump.json"
+    dump.write_text("\n".join(lines), encoding="utf-8")
+
+    t = build_tables(spark, str(dump))
+
+    # vertex: one row per entity line, correct id + English-only label
+    vrows = t["vertex"].collect()
+    assert sorted(r.id for r in vrows) == sorted(e["vid"] for e in ents)
+    want_labels = sorted((e["vid"], e["label"]) for e in ents)
+    assert sorted((r.id, r.label) for r in vrows) == want_labels
+
+    # claims: exact per-table routing counts; deprecated dropped
+    from collections import Counter
+
+    want = Counter(s for e in ents for s in e["sinks"])
+    for name in ("edge", "string", "quantity", "time", "coordinates"):
+        got = t[name].count()
+        assert got == want.get(name, 0), f"{name}: {got} != {want.get(name, 0)}"
+
+    # self-loop invariant on every literal table
+    for name in ("string", "quantity", "time", "coordinates"):
+        assert t[name].filter(F.col("dst_id") != F.col("src_id")).count() == 0
