@@ -368,6 +368,34 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ANY
+    word-3-gram with a held-out benchmark set (here doc_id < 10) — the
+    eval-leakage filter every training-data pipeline runs before a
+    corpus ships.
+
+    Scale shape: the benchmark gram set is small by construction
+    (benchmarks are KBs-MBs, the corpus is the 100 TB side), so it
+    broadcasts; the corpus side streams through a map-side left-semi
+    probe and never shuffles. Dedup of flagged ids is a distinct on the
+    (tiny) match output."""
+    d = _with_shingles(tbl(spark, sf_dir, "documents"))
+    bench = (
+        d.filter(F.col("doc_id") < 10)
+        .select(F.explode("sh").alias("gram"))
+        .distinct()
+    )
+    corpus = d.filter(F.col("doc_id") >= 10).select(
+        "doc_id", F.explode("sh").alias("gram")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above 0.4 (rounded).
 
@@ -516,6 +544,20 @@ ORACLES: dict[str, str] = {
         FROM s a JOIN s b ON a.doc_id + 1 = b.doc_id
         ORDER BY a_id
     """,
+    "ngram_decontaminate": f"""
+        WITH s AS (
+            SELECT doc_id, {word_shingles_expr(3)} AS sh
+            FROM documents
+            WHERE len(string_split(lower(trim(text)), ' ')) >= 3
+        ), bench AS (
+            SELECT DISTINCT unnest(sh) AS gram FROM s WHERE doc_id < 10
+        ), corpus AS (
+            SELECT doc_id, unnest(sh) AS gram FROM s WHERE doc_id >= 10
+        )
+        SELECT DISTINCT doc_id
+        FROM corpus JOIN bench USING (gram)
+        ORDER BY doc_id
+    """,
     "embedding_neardup": """
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -536,5 +578,6 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
+    "ngram_decontaminate": q_ngram_decontaminate,
     "embedding_neardup": q_embedding_neardup,
 }
