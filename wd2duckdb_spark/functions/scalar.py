@@ -142,6 +142,32 @@ def q_id_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("n_nationkey")
 
 
+def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe cast/arithmetic family (try_cast / try_divide) — the
+    dirty-data path. Spark 4 runs ANSI mode, where a bad cast or /0 in
+    a 100 TB job kills the job at row 3 billion; try_* degrades to NULL
+    row-locally instead (= DuckDB's TRY_CAST and NULL-on-/0
+    semantics), keeping the quarantine decision in the pipeline."""
+    p = tbl(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr("try_cast(p_name AS INT)").alias("name_as_int"),
+        F.expr(
+            "try_cast(regexp_extract(p_brand, '#([0-9]+)', 1) AS INT)"
+        ).alias("brand_num"),
+        F.round(
+            F.try_divide("p_retailprice", F.col("p_size") - F.col("p_size")), 2
+        ).alias("div_zero"),
+        # floor-truncation, not round: a quotient can land within an
+        # ulp of a half-cent, where Spark (decimal-string HALF_UP) and
+        # DuckDB (binary round) disagree; floor(x*100)/100 is pure
+        # binary arithmetic and bit-identical across engines.
+        (F.floor(F.try_divide("p_retailprice", "p_size") * 100) / 100).alias(
+            "price_per_size"
+        ),
+    ).orderBy("p_partkey")
+
+
 def q_posexplode_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """posexplode — explode WITH ORDINALITY: token position survives
     the flatten (needed for positional n-grams / rolling hashes where
@@ -160,6 +186,16 @@ def q_posexplode_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "try_funcs": """
+        SELECT p_partkey,
+               TRY_CAST(p_name AS INT) AS name_as_int,
+               TRY_CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS INT)
+                   AS brand_num,
+               round(p_retailprice / (p_size - p_size), 2) AS div_zero,
+               floor(p_retailprice / p_size * 100) / 100 AS price_per_size
+        FROM part
+        ORDER BY p_partkey
+    """,
     "posexplode_ordinality": """
         SELECT doc_id, pos, word FROM (
             SELECT doc_id,
@@ -269,4 +305,5 @@ QUERIES = {
     "explode_words": q_explode_words,
     "id_codec": q_id_codec,
     "posexplode_ordinality": q_posexplode_ordinality,
+    "try_funcs": q_try_funcs,
 }

@@ -244,6 +244,21 @@ def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE + grouping_id(): the bitmask that distinguishes
+    "NULL because rolled up" from "NULL in the data" — without it a
+    cube over nullable dimensions is ambiguous."""
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
 def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding (hopping) event-time windows: 1-hour windows every 30
     minutes — each event lands in exactly 2 windows. Spark expands the
@@ -415,6 +430,14 @@ ORACLES: dict[str, str] = {
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
     """,
+    "cube_grouping_id": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY gid, o_orderstatus, o_orderpriority
+    """,
     "window_sliding": """
         WITH slides AS (
             SELECT unnest(generate_series(
@@ -477,4 +500,5 @@ QUERIES = {
     "percentiles_exact": q_percentiles_exact,
     "date_spine": q_date_spine,
     "window_sliding": q_window_sliding,
+    "cube_grouping_id": q_cube_grouping_id,
 }
