@@ -142,6 +142,36 @@ def q_id_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("n_nationkey")
 
 
+def q_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse once into the
+    binary variant encoding, then typed path extraction — the
+    schema-on-read pattern for ragged JSON columns at scale (shredded
+    access beats per-query string re-parsing)."""
+    e = tbl(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        e.select(
+            "event_id",
+            F.variant_get(v, "$.k", "int").alias("k_val"),
+            (F.variant_get(v, "$.k", "int") % 10).alias("k_bucket"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q_explode_outer_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer — flatten that PRESERVES rows whose array is
+    empty (a NULL element row), so downstream accounting never loses
+    documents; plain explode silently drops them."""
+    d = tbl(spark, sf_dir, "documents")
+    qwords = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda t: t.startswith("q")
+    )
+    return d.select("doc_id", F.explode_outer(qwords).alias("qword")).orderBy(
+        "doc_id", "qword"
+    )
+
+
 def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-safe cast/arithmetic family (try_cast / try_divide) — the
     dirty-data path. Spark 4 runs ANSI mode, where a bad cast or /0 in
@@ -186,6 +216,25 @@ def q_posexplode_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "variant_funcs": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+               CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket
+        FROM events
+        ORDER BY event_id
+    """,
+    "explode_outer_words": """
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               t -> t LIKE 'q%') AS arr
+            FROM documents
+        )
+        SELECT d.doc_id, u.qword
+        FROM d LEFT JOIN (SELECT doc_id, unnest(arr) AS qword FROM d) u
+               USING (doc_id)
+        ORDER BY doc_id, qword
+    """,
     "try_funcs": """
         SELECT p_partkey,
                TRY_CAST(p_name AS INT) AS name_as_int,
@@ -306,4 +355,6 @@ QUERIES = {
     "id_codec": q_id_codec,
     "posexplode_ordinality": q_posexplode_ordinality,
     "try_funcs": q_try_funcs,
+    "variant_funcs": q_variant_funcs,
+    "explode_outer_words": q_explode_outer_words,
 }
