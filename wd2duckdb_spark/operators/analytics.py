@@ -348,7 +348,105 @@ def _pivot_oracle() -> str:
     """
 
 
+def q_argmax_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by / max_by (argmin/argmax) per nation: which customer holds
+    the extreme balance.
+
+    Tie-break is made deterministic by folding the unique custkey into
+    the ordering value (bal*1e8 + key — exact in a double's 53-bit
+    mantissa at these magnitudes); nondeterministic argmax would flip
+    the value hash run to run. One partial+final aggregate, ≤25 groups;
+    the 100 TB cost is one map-side combine, no sort anywhere.
+    """
+    c = tbl(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.expr(
+                "max_by(c_name, c_acctbal * 100000000 + c_custkey)"
+            ).alias("richest"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.expr(
+                "min_by(c_name, c_acctbal * 100000000 + c_custkey)"
+            ).alias("poorest"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def q_mode_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed deterministic mode: most frequent l_quantity per
+    return flag, built as count-per-value → argmax(value, (count,
+    value)) instead of the engine's ``mode()`` (whose tie choice is
+    engine-defined — it would hash-mismatch across engines).
+
+    Two aggregations, both partial+final: the first shuffles on
+    (flag, qty) — bounded by the value domain, not the row count —
+    the second reduces ≤ domain-size rows. This is THE scale pattern
+    for mode/heavy-hitters: never collect values, count then argmax.
+    """
+    l = tbl(spark, sf_dir, "lineitem")
+    per_val = l.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("cnt"))
+    return (
+        per_val.groupBy("l_returnflag")
+        .agg(
+            F.expr("max_by(l_quantity, cnt * 1000000 + l_quantity)").alias(
+                "mode_qty"
+            ),
+            F.max("cnt").alias("mode_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (bit_and / bit_or / bit_xor) over the
+    orderkey space per order status — set-membership style rollups.
+    Associative+commutative ⇒ full map-side combine at any scale."""
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.expr("bit_and(o_orderkey)").alias("keys_and"),
+            F.expr("bit_or(o_orderkey)").alias("keys_or"),
+            F.expr("bit_xor(o_orderkey)").alias("keys_xor"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "argmax_extremes": """
+        SELECT c_nationkey,
+               arg_max(c_name, c_acctbal * 100000000 + c_custkey) AS richest,
+               round(max(c_acctbal), 2) AS max_bal,
+               arg_min(c_name, c_acctbal * 100000000 + c_custkey) AS poorest,
+               round(min(c_acctbal), 2) AS min_bal
+        FROM customer
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """,
+    "mode_quantity": """
+        SELECT l_returnflag,
+               arg_max(l_quantity, cnt * 1000000 + l_quantity) AS mode_qty,
+               max(cnt) AS mode_count
+        FROM (SELECT l_returnflag, l_quantity, count(*) AS cnt
+              FROM lineitem GROUP BY 1, 2)
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "bitwise_agg": """
+        SELECT o_orderstatus,
+               bit_and(o_orderkey) AS keys_and,
+               bit_or(o_orderkey) AS keys_or,
+               bit_xor(o_orderkey) AS keys_xor,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
     "pivot_event_values": _pivot_oracle(),
     "agg_collect_sorted": """
         SELECT n_regionkey,
@@ -487,6 +585,9 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "argmax_extremes": q_argmax_extremes,
+    "mode_quantity": q_mode_quantity,
+    "bitwise_agg": q_bitwise_agg,
     "pivot_event_values": q_pivot_event_values,
     "window_tumbling": q_window_tumbling,
     "unpivot_measures": q_unpivot_measures,

@@ -760,6 +760,125 @@ def q_q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Distribution windows / per-group top-n / coverage matrix / null-safe join
+# ---------------------------------------------------------------------------
+
+
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window family: ntile / percent_rank / cume_dist
+    over per-nation balance order.
+
+    Partition key = nation (≤25 partitions but each only ~N/25 rows);
+    at 100 TB a distribution window is a per-partition sort — the
+    partition key must bound partition size, which nation does for a
+    customer dimension (it is the fact table you must never window
+    by a tiny key).
+    """
+    c = tbl(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            "c_custkey",
+            "c_nationkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 customers by balance per nation — the QUALIFY /
+    row_number-filter shape (distributed "grouped top-k").
+
+    One shuffle on the group key, per-group heap via window sort;
+    never a global sort. The oracle uses DuckDB's QUALIFY for the
+    same semantics.
+    """
+    c = tbl(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("c_nationkey", "rn", "c_custkey", "c_name",
+                F.round("c_acctbal", 2).alias("acctbal"))
+        .orderBy("c_nationkey", "rn")
+    )
+
+
+def q_cross_coverage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join: full region × linestatus grid, zero-filled
+    with observed line counts (the dimension-coverage / densification
+    pattern). Cross join of two TINY sides (5 × ≤3 rows) — the only
+    kind of cartesian that is ever acceptable at scale; the fact-side
+    counts are pre-aggregated BEFORE joining onto the grid."""
+    r = tbl(spark, sf_dir, "region").select("r_name")
+    ls = tbl(spark, sf_dir, "lineitem").select("l_linestatus").distinct()
+    n = tbl(spark, sf_dir, "nation")
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders")
+    l = tbl(spark, sf_dir, "lineitem")
+    observed = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(tbl(spark, sf_dir, "region")),
+            n.n_regionkey == F.col("r_regionkey"),
+        )
+        .groupBy(F.col("r_name").alias("g_region"),
+                 F.col("l_linestatus").alias("g_status"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    grid = r.crossJoin(ls)
+    return (
+        grid.join(
+            F.broadcast(observed),
+            (grid.r_name == observed.g_region)
+            & (grid.l_linestatus == observed.g_status),
+            "left",
+        )
+        .select(
+            "r_name",
+            "l_linestatus",
+            F.coalesce("cnt", F.lit(0)).alias("n_lines"),
+        )
+        .orderBy("r_name", "l_linestatus")
+    )
+
+
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Spark `<=>` — DuckDB IS NOT DISTINCT
+    FROM): NULL keys match each other instead of vanishing.
+
+    Key = mktsegment with one segment nulled out (the dirty-dimension
+    case). Both sides are pre-aggregated so the null bucket joins as
+    ONE row — at scale you always collapse the null key before a
+    null-safe join, or every null row pairs with every other.
+    """
+    c = tbl(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY"))
+    a = c.groupBy(seg.alias("seg_a")).agg(F.count("*").alias("n_all"))
+    b = (
+        c.filter(F.col("c_acctbal") > 5000)
+        .groupBy(seg.alias("seg_b"))
+        .agg(F.count("*").alias("n_rich"))
+    )
+    return (
+        a.join(b, a.seg_a.eqNullSafe(b.seg_b), "left")
+        .select(
+            F.coalesce("seg_a", F.lit("<null-key>")).alias("segment"),
+            "n_all",
+            F.coalesce("n_rich", F.lit(0)).alias("n_rich"),
+        )
+        .orderBy("segment")
+    )
+
+
 ORACLES: dict[str, str] = {
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -1100,6 +1219,60 @@ ORACLES: dict[str, str] = {
         GROUP BY c_nationkey
         ORDER BY c_nationkey
     """,
+    "window_distribution": """
+        SELECT c_custkey, c_nationkey,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY c_acctbal, c_custkey)
+        ORDER BY c_custkey
+    """,
+    "topn_per_group": """
+        SELECT c_nationkey,
+               CAST(row_number() OVER w AS INTEGER) AS rn,
+               c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY c_acctbal DESC, c_custkey)
+        QUALIFY row_number() OVER w <= 2
+        ORDER BY c_nationkey, rn
+    """,
+    "cross_coverage_matrix": """
+        WITH observed AS (
+            SELECT r_name AS g_region, l_linestatus AS g_status,
+                   count(*) AS cnt
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY 1, 2
+        )
+        SELECT r_name, l_linestatus,
+               CAST(coalesce(cnt, 0) AS BIGINT) AS n_lines
+        FROM region
+        CROSS JOIN (SELECT DISTINCT l_linestatus FROM lineitem)
+        LEFT JOIN observed ON r_name = g_region AND l_linestatus = g_status
+        ORDER BY r_name, l_linestatus
+    """,
+    "null_safe_join": """
+        WITH a AS (
+            SELECT nullif(c_mktsegment, 'MACHINERY') AS seg_a,
+                   count(*) AS n_all
+            FROM customer GROUP BY 1
+        ), b AS (
+            SELECT nullif(c_mktsegment, 'MACHINERY') AS seg_b,
+                   count(*) AS n_rich
+            FROM customer WHERE c_acctbal > 5000 GROUP BY 1
+        )
+        SELECT coalesce(seg_a, '<null-key>') AS segment,
+               CAST(n_all AS BIGINT) AS n_all,
+               CAST(coalesce(n_rich, 0) AS BIGINT) AS n_rich
+        FROM a LEFT JOIN b ON seg_a IS NOT DISTINCT FROM seg_b
+        ORDER BY segment
+    """,
 }
 
 QUERIES = {
@@ -1139,4 +1312,8 @@ QUERIES = {
     "q14_promo_revenue": q_q14_promo_revenue,
     "q19_disjunctive": q_q19_disjunctive,
     "q22_idle_balance": q_q22_idle_balance,
+    "window_distribution": q_window_distribution,
+    "topn_per_group": q_topn_per_group,
+    "cross_coverage_matrix": q_cross_coverage_matrix,
+    "null_safe_join": q_null_safe_join,
 }
