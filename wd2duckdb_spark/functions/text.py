@@ -10,7 +10,7 @@ of operator in the engine: scan-bound, trivially partition-parallel.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wd2duckdb_spark.catalog import tbl
@@ -194,6 +194,126 @@ def q_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher-style filters): per-doc
+    duplicate-word fraction and top-word fraction.
+
+    Plan: explode → count per (doc, word) → per-doc reduce. The
+    shuffle key is (doc_id, word) — cardinality-bounded by corpus
+    vocabulary × docs, and the second aggregate reuses the same
+    hash partitioning on doc_id's prefix. No per-doc collect anywhere.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("word"),
+    )
+    counts = words.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("cnt").alias("top_cnt"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.round(1 - F.col("n_distinct") / F.col("n_tokens"), 4).alias(
+                "dup_word_ratio"
+            ),
+            F.round(F.col("top_cnt") / F.col("n_tokens"), 4).alias(
+                "top_word_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: Chunk width (tokens) for cross-corpus segment dedup.
+CHUNK_TOKENS = 10
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus segment-level dedup: split every document into
+    non-overlapping 10-token chunks, find chunks whose exact text
+    occurs earlier in the corpus (keeper = lowest (doc_id, position)),
+    and report per-doc contamination counts.
+
+    This is the paragraph-dedup shape (dedup below document
+    granularity). Plan: narrow chunk fan-out (no shuffle) → ONE
+    exchange on the chunk string for the keeper argmin → broadcast-able
+    join back → per-doc agg. The keeper ordinal is doc_id*1e6+pos so
+    the argmin is a plain numeric min (same trick in the oracle).
+    """
+    d = tbl(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), " ")
+    n_chunks = F.ceil(F.size(toks) / float(CHUNK_TOKENS)).cast("int")
+    chunks_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "
+        ),
+    )
+    occ = d.select(
+        "doc_id", F.posexplode(chunks_arr).alias("pos", "chunk")
+    ).withColumn("occ_key", F.col("doc_id") * 1000000 + F.col("pos"))
+    keeper = occ.groupBy("chunk").agg(F.min("occ_key").alias("keeper_key"))
+    return (
+        occ.join(keeper, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(
+                (F.col("occ_key") != F.col("keeper_key")).cast("long")
+            ).alias("n_dup_chunks"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source characteristic terms: TF-IDF over source-level
+    pseudo-documents, top-5 terms per source.
+
+    tf = term count within the source; idf = ln(#sources / #sources
+    containing the term). Plan: explode → (source, word) counts → word
+    document-frequency (tiny, broadcast back) → per-source top-k via
+    window. The vocabulary table is the only thing that moves twice,
+    and it is bounded by |vocab|, not corpus size.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    words = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("word"),
+    )
+    tf = words.groupBy("source", "word").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n_src = d.agg(F.countDistinct("source").alias("n_src"))  # 1-row, broadcast
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n_src))
+        .withColumn(
+            "score",
+            F.col("tf") * F.log(F.col("n_src").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.col("word"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "source",
+            F.col("rnk").cast("int").alias("rnk"),
+            "word",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round("score", 4).alias("tfidf"),
+        )
+        .orderBy("source", "rnk")
+    )
+
+
 ORACLES: dict[str, str] = {
     "clean_corpus_pipeline": f"""
         WITH filtered AS (
@@ -280,6 +400,84 @@ ORACLES: dict[str, str] = {
         FROM documents
         ORDER BY doc_id
     """,
+    "word_repetition": """
+        WITH counts AS (
+            SELECT doc_id, w AS word, count(*) AS cnt
+            FROM documents,
+                 UNNEST(string_split(lower(trim(text)), ' ')) AS t(w)
+            GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(sum(cnt) AS INT) AS n_tokens,
+               round(1 - CAST(count(*) AS DOUBLE) / sum(cnt), 4)
+                   AS dup_word_ratio,
+               round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 4)
+                   AS top_word_ratio
+        FROM counts
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    "chunk_dedup": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+            FROM documents
+        ),
+        occ AS (
+            SELECT doc_id,
+                   unnest(range(0, CAST(ceil(len(tk) / {CHUNK_TOKENS}.0)
+                                        AS BIGINT))) AS pos,
+                   tk
+            FROM toks
+        ),
+        keyed AS (
+            SELECT doc_id,
+                   doc_id * 1000000 + pos AS occ_key,
+                   array_to_string(
+                       tk[(pos * {CHUNK_TOKENS} + 1):(pos * {CHUNK_TOKENS}
+                           + {CHUNK_TOKENS})], ' ') AS chunk
+            FROM occ
+        ),
+        keeper AS (
+            SELECT chunk, min(occ_key) AS keeper_key
+            FROM keyed GROUP BY chunk
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN occ_key != keeper_key THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_chunks
+        FROM keyed JOIN keeper USING (chunk)
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    "tfidf_top_terms": """
+        WITH words AS (
+            SELECT source, w AS word
+            FROM documents,
+                 UNNEST(string_split(lower(trim(text)), ' ')) AS t(w)
+        ),
+        tf AS (
+            SELECT source, word, count(*) AS tf
+            FROM words GROUP BY 1, 2
+        ),
+        df AS (
+            SELECT word, count(*) AS df FROM tf GROUP BY word
+        ),
+        scored AS (
+            SELECT source, word, tf.tf, df.df,
+                   tf.tf * ln(CAST((SELECT count(DISTINCT source)
+                                    FROM documents) AS DOUBLE) / df.df)
+                       AS score
+            FROM tf JOIN df USING (word)
+        )
+        SELECT source, CAST(rnk AS INT) AS rnk, word,
+               CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+               round(score, 4) AS tfidf
+        FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                           ORDER BY score DESC, word) AS rnk
+              FROM scored)
+        WHERE rnk <= 5
+        ORDER BY source, rnk
+    """,
 }
 
 QUERIES = {
@@ -290,4 +488,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "token_stats_by_source": q_token_stats_by_source,
     "doc_fingerprint": q_doc_fingerprint,
+    "word_repetition": q_word_repetition,
+    "chunk_dedup": q_chunk_dedup,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }

@@ -760,6 +760,33 @@ def q_q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): per customer,
+    trailing-30-day order spend at each order.
+
+    RANGE frames are tie-safe — same-date orders see the same frame
+    regardless of physical order, which is exactly why this hashes
+    identically across engines while a ROWS frame on a non-unique sort
+    key would not. Partitioned by custkey (high cardinality), so
+    per-partition sort state stays tiny at any scale.
+    """
+    o = tbl(spark, sf_dir, "orders")
+    # RANGE frames need a numeric sort key; order dates are
+    # midnight-aligned, so the day ordinal is exact (and NTZ-safe —
+    # TIMESTAMP_NTZ refuses a direct long cast in Spark 4)
+    day_ord = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+    w = Window.partitionBy("o_custkey").orderBy(day_ord).rangeBetween(-30, 0)
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d_spend"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Distribution windows / per-group top-n / coverage matrix / null-safe join
 # ---------------------------------------------------------------------------
@@ -1219,6 +1246,15 @@ ORACLES: dict[str, str] = {
         GROUP BY c_nationkey
         ORDER BY c_nationkey
     """,
+    "window_range_frame": """
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 30 DAYS PRECEDING
+                             AND CURRENT ROW), 2) AS trailing_30d_spend
+        FROM orders
+        ORDER BY o_orderkey
+    """,
     "window_distribution": """
         SELECT c_custkey, c_nationkey,
                CAST(ntile(4) OVER w AS INTEGER) AS quartile,
@@ -1312,6 +1348,7 @@ QUERIES = {
     "q14_promo_revenue": q_q14_promo_revenue,
     "q19_disjunctive": q_q19_disjunctive,
     "q22_idle_balance": q_q22_idle_balance,
+    "window_range_frame": q_window_range_frame,
     "window_distribution": q_window_distribution,
     "topn_per_group": q_topn_per_group,
     "cross_coverage_matrix": q_cross_coverage_matrix,
