@@ -348,6 +348,92 @@ def _pivot_oracle() -> str:
     """
 
 
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel: view → click-after-view →
+    purchase-after-click, counted over the events stream.
+
+    Sequential "next stage strictly after previous" semantics via
+    cascaded min-timestamp aggregations — each stage is one shuffle on
+    user_id and each stage's input is a filtered, shrinking subset.
+    The per-user state is 3 timestamps; no sessionization, no window
+    sort over the full stream.
+    """
+    e = tbl(spark, sf_dir, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    n_v = views.agg(F.count("*").alias("users_view"))
+    n_c = clicks.agg(F.count("*").alias("users_click"))
+    n_p = purchases.agg(F.count("*").alias("users_purchase"))
+    return (
+        n_v.crossJoin(n_c)
+        .crossJoin(n_p)
+        .select(
+            "users_view",
+            "users_click",
+            "users_purchase",
+            F.round(F.col("users_click") / F.col("users_view"), 4).alias(
+                "view_to_click"
+            ),
+            F.round(F.col("users_purchase") / F.col("users_click"), 4).alias(
+                "click_to_purchase"
+            ),
+        )
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-activity
+    week, counted in each subsequent activity week.
+
+    Two shuffles total: first-seen per user, then (cohort, offset)
+    distinct-user counts over the deduped (user, week) activity set.
+    Output is |weeks|² rows — constant-ish — no matter the event
+    volume; the (user, week) dedup is the step that keeps the
+    count-distinct from concentrating.
+    """
+    e = tbl(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .withColumn(
+            "week_offset",
+            (
+                F.datediff(F.col("week").cast("date"),
+                           F.col("cohort_week").cast("date")) / 7
+            ).cast("int"),
+        )
+        .groupBy(
+            # DuckDB's date_trunc('week') yields DATE; align the types
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 def q_argmax_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min_by / max_by (argmin/argmax) per nation: which customer holds
     the extreme balance.
@@ -418,6 +504,48 @@ def q_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "funnel_stages": """
+        WITH views AS (
+            SELECT user_id, min(ts) AS t_view
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        clicks AS (
+            SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN views v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t_view
+            GROUP BY e.user_id
+        ),
+        purchases AS (
+            SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM events e JOIN clicks c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM views)     AS users_view,
+               (SELECT count(*) FROM clicks)    AS users_click,
+               (SELECT count(*) FROM purchases) AS users_purchase,
+               round(CAST((SELECT count(*) FROM clicks) AS DOUBLE)
+                     / (SELECT count(*) FROM views), 4) AS view_to_click,
+               round(CAST((SELECT count(*) FROM purchases) AS DOUBLE)
+                     / (SELECT count(*) FROM clicks), 4) AS click_to_purchase
+    """,
+    "retention_cohorts": """
+        WITH firsts AS (
+            SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+            FROM events
+        )
+        SELECT cohort_week,
+               CAST(datediff('day', cohort_week, week) / 7 AS INT)
+                   AS week_offset,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        FROM activity JOIN firsts USING (user_id)
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
     "argmax_extremes": """
         SELECT c_nationkey,
                arg_max(c_name, c_acctbal * 100000000 + c_custkey) AS richest,
@@ -585,6 +713,8 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "funnel_stages": q_funnel_stages,
+    "retention_cohorts": q_retention_cohorts,
     "argmax_extremes": q_argmax_extremes,
     "mode_quantity": q_mode_quantity,
     "bitwise_agg": q_bitwise_agg,

@@ -258,7 +258,52 @@ def k_hop(
     return frontier
 
 
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution histogram of the customer→supplier trade
+    graph (log2-binned) — the first diagnostic you run on any graph
+    before choosing a partitioning (SURVEY §4.3's skew question:
+    how heavy are the hub keys?).
+
+    Three cascaded aggregations, each strictly smaller than the last:
+    edge-dedup → per-vertex degree → per-bin count. All partial+final;
+    the histogram output is ≤ 32 rows regardless of graph size.
+    """
+    o = tbl(spark, sf_dir, "orders")
+    l = tbl(spark, sf_dir, "lineitem")
+    co = o.join(l, o.o_orderkey == l.l_orderkey).hint("shuffle_hash")
+    edges = co.select(
+        F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+    ).distinct()
+    degrees = edges.groupBy("src").agg(F.count("*").alias("degree"))
+    bin_ = F.floor(F.log2("degree")).cast("int")
+    return (
+        degrees.groupBy(bin_.alias("degree_bin"))
+        .agg(
+            F.count("*").alias("n_vertices"),
+            F.min("degree").alias("min_degree"),
+            F.max("degree").alias("max_degree"),
+        )
+        .orderBy("degree_bin")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "degree_histogram": """
+        WITH edges AS (
+            SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        degrees AS (
+            SELECT src, count(*) AS degree FROM edges GROUP BY src
+        )
+        SELECT CAST(floor(log2(degree)) AS INT) AS degree_bin,
+               CAST(count(*) AS BIGINT) AS n_vertices,
+               CAST(min(degree) AS BIGINT) AS min_degree,
+               CAST(max(degree) AS BIGINT) AS max_degree
+        FROM degrees
+        GROUP BY 1
+        ORDER BY 1
+    """,
     "graph_2hop": """
         SELECT c_custkey, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
         FROM customer
@@ -292,6 +337,7 @@ ORACLES["pagerank_topk"] = _pagerank_oracle()
 
 QUERIES = {
     "graph_2hop": q_graph_2hop,
+    "degree_histogram": q_degree_histogram,
     "pagerank_topk": q_pagerank_topk,
     "graph_triangle": q_graph_triangle,
     "asof_latest_event": q_asof_latest_event,
