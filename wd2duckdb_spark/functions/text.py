@@ -203,7 +203,12 @@ def q_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary × docs, and the second aggregate reuses the same
     hash partitioning on doc_id's prefix. No per-doc collect anywhere.
     """
-    d = tbl(spark, sf_dir, "documents")
+    # round-robin repartition: the corpus arrives as ONE input split,
+    # and AQE's bytes-based sizing would leave the CPU-bound tokenize +
+    # explode on a single core (same trap as q_explode_words)
+    d = tbl(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     words = d.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim("text")), " ")).alias("word"),
@@ -246,7 +251,10 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     join back → per-doc agg. The keeper ordinal is doc_id*1e6+pos so
     the argmin is a plain numeric min (same trick in the oracle).
     """
-    d = tbl(spark, sf_dir, "documents")
+    # spread the CPU-bound chunk fan-out across cores (single-split input)
+    d = tbl(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = F.split(F.lower(F.trim("text")), " ")
     n_chunks = F.ceil(F.size(toks) / float(CHUNK_TOKENS)).cast("int")
     chunks_arr = F.transform(
@@ -283,7 +291,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     and it is bounded by |vocab|, not corpus size.
     """
     d = tbl(spark, sf_dir, "documents")
-    words = d.select(
+    words = d.repartition(spark.sparkContext.defaultParallelism).select(
         "source",
         F.explode(F.split(F.lower(F.trim("text")), " ")).alias("word"),
     )
