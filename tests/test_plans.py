@@ -91,6 +91,51 @@ def test_band_join_avoids_nested_loop(spark):
     )
 
 
+def test_q19_envelope_pushdown(spark):
+    """The OR-of-ANDs disjunction can't push whole, but Catalyst
+    derives each column's envelope (union of its ranges) and pushes
+    THAT to both scans — pinned so a rewrite of the predicate doesn't
+    silently turn the lineitem scan into a full decode."""
+    from wd2duckdb_spark.operators.relational import q_q19_disjunctive
+    from wd2duckdb_spark.plans import plan_summary
+
+    df = q_q19_disjunctive(spark, SF_DIR)
+    pf = " ".join(pushed_filters(df))
+    assert "l_quantity" in pf  # quantity range union reached lineitem scan
+    assert "p_brand" in pf  # brand/size disjunction reached part scan
+    assert plan_summary(df)["nested_loop_join"] == 0
+
+
+def test_q22_anti_join_and_scalar(spark):
+    """Q22 shape: NOT EXISTS is a LeftAnti hash join; the global-avg
+    scalar is a 1-row broadcast (the only tolerable nested-loop)."""
+    from wd2duckdb_spark.operators.relational import q_q22_idle_balance
+    from wd2duckdb_spark.plans import explain_str
+
+    p = explain_str(q_q22_idle_balance(spark, SF_DIR), "simple")
+    assert "LeftAnti" in p
+
+
+def test_topn_per_group_uses_window_group_limit(spark):
+    """Grouped top-k plans with WindowGroupLimit (partial + final):
+    each map task keeps only k rows per group BEFORE the shuffle —
+    the property that makes per-group top-k survive 100 TB."""
+    from wd2duckdb_spark.operators.relational import q_topn_per_group
+    from wd2duckdb_spark.plans import explain_str
+
+    p = explain_str(q_topn_per_group(spark, SF_DIR), "simple")
+    assert p.count("WindowGroupLimit") >= 2  # Partial and Final
+
+
+def test_window_range_frame_is_range(spark):
+    """The trailing-30-day window compiles to a RangeFrame (value
+    comparison), not a RowFrame — the tie-safety the query relies on."""
+    from wd2duckdb_spark.operators.relational import q_window_range_frame
+    from wd2duckdb_spark.plans import explain_str
+
+    assert "RangeFrame" in explain_str(q_window_range_frame(spark, SF_DIR))
+
+
 def test_no_python_udf_in_core_queries(spark):
     """Every core operator stays JVM-side (SURVEY §2.3 UDF row)."""
     from wd2duckdb_spark.registry import all_queries
