@@ -26,12 +26,15 @@ HEADLINE = (
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
+    "q19_disjunctive",
     "range_join",
     "agg_distinct",
     "window_rank",
+    "topn_per_group",
     "graph_2hop",
     "explode_words",
     "dedup_exact",
+    "chunk_dedup",
     "minhash_lsh_pairs",
     "simhash",
     "text_quality",

@@ -230,6 +230,39 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column —
+    the storage-compression step of a vector index (4× smaller than
+    float32, ~16× smaller than this fixture's doubles).
+
+    Per vector: scale = max|v|/127, qᵢ = round(vᵢ/scale), plus the
+    reconstruction MSE as the quality metric. All element-wise
+    higher-order expressions — per-row work, zero shuffle, and at
+    100 TB it runs at scan speed as the write-time transform of the
+    quantized index. The checksum column pins the exact quantized
+    values cross-engine without emitting 64-wide arrays.
+    """
+    e = tbl(spark, sf_dir, "embeddings")
+    v = _as_double(F.col("embedding"))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = amax / 127.0
+    qsum = F.aggregate(
+        F.transform(v, lambda x: F.round(x / scale).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    sq_err = F.transform(
+        v, lambda x: F.pow(x - F.round(x / scale) * scale, F.lit(2.0))
+    )
+    mse = F.aggregate(sq_err, F.lit(0.0), lambda acc, x: acc + x) / F.size(v)
+    return e.select(
+        "vec_id",
+        F.round(scale, 8).alias("scale"),
+        qsum.alias("q_checksum"),
+        F.round(mse, 10).alias("mse"),
+    ).orderBy("vec_id")
+
+
 def _ivf_oracle() -> str:
     cents = ",".join(str(c) for c in IVF_CENTROID_IDS)
     return f"""
@@ -295,6 +328,25 @@ ORACLES: dict[str, str] = {
         GROUP BY label, pos
         ORDER BY label, pos
     """,
+    "embedding_quantize": """
+        WITH scaled AS (
+            SELECT vec_id,
+                   CAST(embedding AS DOUBLE[]) AS ve,
+                   list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                           x -> abs(x))) / 127.0 AS scale
+            FROM embeddings
+        )
+        SELECT vec_id,
+               round(scale, 8) AS scale,
+               CAST(list_sum(list_transform(ve,
+                        x -> CAST(round(x / scale) AS INT))) AS INT)
+                   AS q_checksum,
+               round(list_sum(list_transform(ve,
+                        x -> power(x - round(x / scale) * scale, 2)))
+                     / len(ve), 10) AS mse
+        FROM scaled
+        ORDER BY vec_id
+    """,
     # ann_lsh_bucketed: deliberately no oracle — the bucketed variant's
     # result depends on the engine-defined hyperplane constants; checked
     # by tests/test_similarity.py (recall vs. brute force) instead.
@@ -305,4 +357,5 @@ QUERIES = {
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ivf_ann_topk": q_ivf_ann_topk,
     "embedding_centroids": q_embedding_centroids,
+    "embedding_quantize": q_embedding_quantize,
 }
