@@ -224,6 +224,20 @@ def test_ingest_restores_split_conf(spark, tmp_path):
     assert spark.conf.get(key) == before
 
 
+def test_ingest_observed_metrics(spark, tmp_path):
+    """The observe-based counters (reference progress accounting,
+    main.rs:229-236) match the fixture's known facts and the written
+    parquet row counts — measured inside the write jobs, no extra pass."""
+    from wd2duckdb_spark.ingest import ingest
+
+    counters: dict = {}
+    paths = ingest(spark, FIXTURE_DUMP, str(tmp_path / "kg"), metrics=counters)
+    assert counters["entities"] == 7
+    assert counters["corrupt_lines"] == 1
+    for name, path in paths.items():
+        assert counters["rows"][name] == spark.read.parquet(path).count(), name
+
+
 def test_ingest_concurrent_sink_failure_propagates(spark, tmp_path):
     """A claim sink failing inside the parallel fan-out must surface to
     the caller, not vanish in a thread. Pre-creating only the `time`

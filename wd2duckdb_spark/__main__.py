@@ -103,14 +103,27 @@ def main(argv: list[str] | None = None) -> int:
         else:
             from wd2duckdb_spark.ingest import ingest
 
+            counters: dict = {}
             ingest(
                 spark,
                 args.json,
                 out,
                 lang=args.lang,
                 mode="overwrite" if args.overwrite else "error",
+                metrics=counters,
             )
-        n = spark.read.parquet(f"{out}/vertex").count()
+        if args.stream_dir:
+            n = spark.read.parquet(f"{out}/vertex").count()
+        else:
+            # observed inside the write jobs — no extra counting pass
+            n = counters["entities"]
+            if counters["corrupt_lines"]:
+                # the reference warns per malformed line (main.rs:316-321)
+                print(
+                    f"warning: {counters['corrupt_lines']} malformed "
+                    "lines skipped",
+                    file=sys.stderr,
+                )
         export_duckdb(out, args.database, overwrite=args.overwrite)
         # the reference's progress line shape (main.rs:229-236)
         print(

@@ -429,6 +429,7 @@ def ingest(
     lang: str = DEFAULT_LANG,
     mode: str = "error",
     edge_sort: bool = True,
+    metrics: dict | None = None,
 ) -> dict[str, str]:
     """Run the full ETL: dump → 6 parquet table dirs under ``out_path``.
 
@@ -458,16 +459,35 @@ def ingest(
     ``(src_id, dst_id)`` so parquet min/max row-group stats act as the
     moral equivalent of the reference's src_id/dst_id indices
     (value.rs:332-350) — point/range lookups prune row groups.
+
+    ``metrics``: pass a dict to receive ingest counters — the
+    reference's progress accounting (main.rs:229-236, 323-325) done
+    the Spark way: ``DataFrame.observe`` accumulates per-task metrics
+    inside the SAME jobs that write the tables (zero extra passes, no
+    extra action). Keys: ``entities``, ``corrupt_lines``, and
+    ``rows`` (per-table written row counts).
     """
     # read_dump_lines narrows spark.sql.files.maxPartitionBytes to
     # 16 MB for the CPU-bound JSON parse; scope that override to this
     # call so later parquet scans in the same session keep the
     # IO-tuned default (128 MB) — 8x the task count on every
     # downstream query is the wrong trade there.
+    from pyspark.sql import Observation
+
     prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    parsed = parse_entities(
-        sanitize_lines(read_dump_lines(spark, dump_path))
-    ).persist()
+    parsed = parse_entities(sanitize_lines(read_dump_lines(spark, dump_path)))
+    parse_obs: Observation | None = None
+    if metrics is not None:
+        # observe BELOW the persist: the cache-filling vertex job is the
+        # one pass that computes the parse subtree, so it fires these
+        # metrics; later sinks read cached blocks and skip them.
+        parse_obs = Observation("parse")
+        parsed = parsed.observe(
+            parse_obs,
+            F.count(F.lit(1)).alias("lines"),
+            F.count("corrupt").alias("corrupt_lines"),
+        )
+    parsed = parsed.persist()
     try:
         # each table fn applies with_sink itself — no pre-tagging here
         claims = exploded_claims(parsed)
@@ -479,6 +499,14 @@ def ingest(
             "quantity": quantity_table(claims),
             "time": time_table(claims),
         }
+        observations: dict[str, Observation] = {}
+        if metrics is not None:
+            for name in list(tables):
+                observations[name] = Observation(f"rows_{name}")
+                tables[name] = tables[name].observe(
+                    observations[name], F.count(F.lit(1)).alias("rows")
+                )
+
         def _write(name: str, df: DataFrame) -> tuple[str, str]:
             if edge_sort and name != "vertex":
                 df = df.sortWithinPartitions("src_id", "dst_id")
@@ -496,6 +524,12 @@ def ingest(
         with ThreadPoolExecutor(max_workers=len(tables)) as pool:
             futures = [pool.submit(_write, n, df) for n, df in tables.items()]
             out.update(f.result() for f in futures)
+
+        if metrics is not None and parse_obs is not None:
+            parse_vals = parse_obs.get
+            metrics["entities"] = parse_vals["lines"] - parse_vals["corrupt_lines"]
+            metrics["corrupt_lines"] = parse_vals["corrupt_lines"]
+            metrics["rows"] = {n: o.get["rows"] for n, o in observations.items()}
         return out
     finally:
         parsed.unpersist()
