@@ -372,3 +372,64 @@ def test_zorder_layout_prunes_both_endpoints(spark, tmp_path):
     assert z_dst <= 0.5, f"z-order should prune dst lookups, read {z_dst:.0%}"
     assert lex_dst >= 0.75, f"lexical sort can't prune dst (read {lex_dst:.0%})"
     assert z_dst < lex_dst / 2
+
+
+def test_lateral_join_decorrelates(spark):
+    """The LATERAL top-k compiles to ONE window top-k + ONE join — not
+    a per-row nested-loop re-execution. WindowGroupLimit runs Partial
+    before the shuffle (map-side top-k) and the dim side broadcasts."""
+    from wd2duckdb_spark.operators.relational import q_lateral_topk_orders
+    from wd2duckdb_spark.plans import explain_str
+
+    df = q_lateral_topk_orders(spark, SF_DIR)
+    s = plan_summary(df)
+    assert s["nested_loop_join"] == 0, "lateral must decorrelate"
+    assert s["broadcast_hash_join"] == 1
+    assert "WindowGroupLimit" in explain_str(df)
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """When the dim side is selective but too big to broadcast, the
+    optimizer injects a bloom_filter_agg semi-filter on the fact scan —
+    the runtime row-level pruning tier for 100 TB shuffle joins
+    (between static pushdown and the join itself). Thresholds are
+    fixture-scaled; the optimized plan must carry the bloom filter."""
+    from wd2duckdb_spark.catalog import tbl
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        assert (
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+            == "true"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        li = tbl(spark, SF_DIR, "lineitem")
+        o = tbl(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt, "runtime bloom filter not injected"
+        assert "might_contain" in opt
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -65,3 +65,30 @@ def test_entry_smoke(spark):
     df = E.entry(spark)
     assert df.count() >= 0
     assert set(E.oracle_sql()) <= set(E.queries())
+
+
+def test_approx_distinct_error_bound(spark):
+    """The weak entry's promised quality: HLL++ estimate within the
+    configured 2% relative standard deviation (allow 3 sigma) of the
+    exact count, per market segment."""
+    df = QUERIES["approx_distinct"](spark, SF_DIR)
+    for r in df.collect():
+        rel = abs(r["approx_customers"] - r["exact_customers"]) / max(
+            r["exact_customers"], 1
+        )
+        assert rel <= 0.06, f"{r['c_mktsegment']}: {rel:.3f} off exact"
+
+
+def test_approx_quantiles_error_bound(spark):
+    """GK sketch at accuracy 10000 ⇒ rank error ≤ 1/10000; on fixture
+    group sizes that means the approx percentile must land within a
+    few neighbors of the exact one — bound the value gap at 1%."""
+    df = QUERIES["approx_quantiles"](spark, SF_DIR)
+    for r in df.collect():
+        for a, e in (
+            (r["approx_p50"], r["exact_p50"]),
+            (r["approx_p95"], r["exact_p95"]),
+        ):
+            assert abs(a - e) / abs(e) <= 0.01, (
+                f"{r['l_returnflag']}: approx {a} vs exact {e}"
+            )

@@ -158,6 +158,34 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum rates — rare order states
+    kept at 50%, common ones at 10% (the class-balancing sampler of a
+    training-data pipeline; `sampleBy` with engine-portable hashing).
+
+    Rates ride the same md5-bucket as `hash_sample`, so the sample is
+    deterministic across engines/retries/cluster layouts, and the rate
+    lookup is a CASE expression — no join, no shuffle beyond the final
+    tiny aggregate. At 100 TB this is a single filtered scan.
+    """
+    o = tbl(spark, sf_dir, "orders")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(100),
+    )
+    rate_pct = F.when(F.col("o_orderstatus") == "P", 50).otherwise(10)
+    return (
+        o.filter(bucket < rate_pct)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.round(F.sum("o_totalprice"), 2).alias("sampled_total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct customers per market segment, next to
     the exact count. No oracle entry: the sketch estimate is
@@ -172,6 +200,30 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("c_custkey").alias("exact_customers"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate percentiles per return flag, next
+    to the exact ones. The sketch is mergeable — at 100 TB the exact
+    percentile shuffles every value of the group to one reducer, while
+    the GK summary shuffles a bounded-size digest per partition.
+
+    No oracle entry: DuckDB's approx_quantile is a t-digest, a
+    different sketch with different (also approximate) answers;
+    tests/test_queries.py bounds the relative error against the exact
+    percentiles instead (the same weak-entry treatment as
+    approx_distinct)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+            F.percentile_approx("l_extendedprice", 0.95, 10000).alias("approx_p95"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("exact_p95"),
+        )
+        .orderBy("l_returnflag")
     )
 
 
@@ -656,6 +708,16 @@ ORACLES: dict[str, str] = {
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
     """,
+    "stratified_sample": """
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_sampled,
+               round(sum(o_totalprice), 2) AS sampled_total
+        FROM orders
+        WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+              % 100 < CASE WHEN o_orderstatus = 'P' THEN 50 ELSE 10 END
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
     "cube_grouping_id": """
         SELECT o_orderstatus, o_orderpriority,
                CAST(count(*) AS BIGINT) AS n_orders,
@@ -727,7 +789,9 @@ QUERIES = {
     "grouping_sets_revenue": q_grouping_sets_revenue,
     "binary_funcs": q_binary_funcs,
     "hash_sample": q_hash_sample,
+    "stratified_sample": q_stratified_sample,
     "approx_distinct": q_approx_distinct,
+    "approx_quantiles": q_approx_quantiles,
     "percentiles_exact": q_percentiles_exact,
     "date_spine": q_date_spine,
     "window_sliding": q_window_sliding,

@@ -906,6 +906,36 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each BUILDING customer joined to
+    its own top-2 orders by price (per-row dependent subplan — the
+    DuckDB-delegated surface's LATERAL form, SURVEY §2.3 joins row).
+
+    Catalyst decorrelates this into a window top-k over a single join
+    (DecorrelateInnerQuery) — no per-customer re-execution, so the
+    LATERAL *syntax* costs the same one shuffle as the QUALIFY shape
+    at 100 TB. The plan is pinned in test_plans.py.
+    """
+    tbl(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, t.o_orderkey,
+               round(t.o_totalprice, 2) AS totalprice
+        FROM _lat_customer c,
+             LATERAL (
+                 SELECT o_orderkey, o_totalprice
+                 FROM _lat_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 LIMIT 2
+             ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        ORDER BY c.c_custkey, totalprice DESC, t.o_orderkey
+        """
+    )
+
+
 ORACLES: dict[str, str] = {
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -1309,6 +1339,20 @@ ORACLES: dict[str, str] = {
         FROM a LEFT JOIN b ON seg_a IS NOT DISTINCT FROM seg_b
         ORDER BY segment
     """,
+    "lateral_topk_orders": """
+        SELECT c.c_custkey, c.c_name, t.o_orderkey,
+               round(t.o_totalprice, 2) AS totalprice
+        FROM customer c,
+             LATERAL (
+                 SELECT o_orderkey, o_totalprice
+                 FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 LIMIT 2
+             ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        ORDER BY c.c_custkey, totalprice DESC, t.o_orderkey
+    """,
 }
 
 QUERIES = {
@@ -1353,4 +1397,5 @@ QUERIES = {
     "topn_per_group": q_topn_per_group,
     "cross_coverage_matrix": q_cross_coverage_matrix,
     "null_safe_join": q_null_safe_join,
+    "lateral_topk_orders": q_lateral_topk_orders,
 }
