@@ -1,0 +1,92 @@
+"""Table-maintenance tier: compaction and upsert semantics + plans."""
+
+from __future__ import annotations
+
+import pathlib
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_DIR
+from wd2duckdb_spark.catalog import tbl
+from wd2duckdb_spark.maintenance import compact, dir_bytes, upsert
+from wd2duckdb_spark.plans import plan_summary
+
+
+def _parquet_files(path):
+    return sorted(pathlib.Path(path).glob("*.parquet"))
+
+
+def test_compact_coalesce_rightsizes(spark, tmp_path):
+    """32 tiny files → the computed ceil(bytes/target) file count, same
+    rows, via the shuffle-free coalesce path."""
+    src = str(tmp_path / "many")
+    tbl(spark, SF_DIR, "events").repartition(32).write.parquet(src)
+    assert len(_parquet_files(src)) == 32
+
+    out = str(tmp_path / "compacted")
+    target = max(1, dir_bytes(spark, src) // 4)  # aim for ~4-5 files
+    n = compact(spark, src, out, target_file_bytes=target)
+    got = _parquet_files(out)
+    assert len(got) == n <= 6
+    assert (
+        spark.read.parquet(out).count() == spark.read.parquet(src).count()
+    )
+
+
+def test_compact_sorted_establishes_ranges(spark, tmp_path):
+    """sort_cols compaction yields range-disjoint files: per-file
+    [min,max] of the sort key never overlap — the layout whose footer
+    stats prune point/range reads."""
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "unsorted")
+    tbl(spark, SF_DIR, "events").repartition(16).write.parquet(src)
+    out = str(tmp_path / "sorted")
+    target = max(1, dir_bytes(spark, src) // 3)
+    compact(spark, src, out, sort_cols=("user_id",), target_file_bytes=target)
+
+    spans = []
+    for f in _parquet_files(out):
+        md = pq.ParquetFile(f).metadata
+        idx = pq.ParquetFile(f).schema_arrow.get_field_index("user_id")
+        mins = [md.row_group(i).column(idx).statistics.min
+                for i in range(md.num_row_groups)]
+        maxs = [md.row_group(i).column(idx).statistics.max
+                for i in range(md.num_row_groups)]
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo, f"file ranges overlap: {spans}"
+    assert (
+        spark.read.parquet(out).count() == spark.read.parquet(src).count()
+    )
+
+
+def test_upsert_semantics(spark):
+    """Updates replace matching keys, base rows survive, new keys
+    append — checked row-for-row."""
+    base = spark.createDataFrame(
+        [(k, f"old_{k}") for k in range(1, 6)], "k long, v string"
+    )
+    updates = spark.createDataFrame(
+        [(k, f"new_{k}") for k in range(4, 8)], "k long, v string"
+    )
+    got = sorted(map(tuple, upsert(base, updates, ["k"]).collect()))
+    want = sorted(
+        [(k, f"old_{k}") for k in range(1, 4)]
+        + [(k, f"new_{k}") for k in range(4, 8)]
+    )
+    assert got == want
+
+
+def test_upsert_plan_broadcasts_keys(spark):
+    """The correction-feed plan: the anti join builds on the (small)
+    update-key side — base never shuffles; no nested loop."""
+    from wd2duckdb_spark.operators.analytics import q_upsert_merge
+    from wd2duckdb_spark.plans import explain_str
+
+    df = q_upsert_merge(spark, SF_DIR)
+    s = plan_summary(df)
+    assert s["nested_loop_join"] == 0
+    assert "LeftAnti" in explain_str(df, "simple")
+    assert s["broadcast_hash_join"] >= 1

@@ -186,6 +186,40 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-by-key (`maintenance.upsert`) exercised under the oracle
+    gate: a simulated correction feed (one md5 bucket of orders,
+    re-priced +5% and re-flagged 'R') merged into the base table, then
+    the per-status accounting of the merged result.
+
+    The update set is ~10% of base, so the anti join broadcasts the
+    probe keys and the base table never shuffles — the plan a
+    correction feed wants at 100 TB (pinned in test_maintenance.py).
+    """
+    from wd2duckdb_spark.maintenance import upsert
+
+    o = tbl(spark, sf_dir, "orders")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(10),
+    )
+    updates = (
+        o.filter(bucket == 3)
+        .withColumn("o_orderstatus", F.lit("R"))
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.05, 2))
+    )
+    merged = upsert(o, updates, ["o_orderkey"])
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct customers per market segment, next to
     the exact count. No oracle entry: the sketch estimate is
@@ -708,6 +742,26 @@ ORACLES: dict[str, str] = {
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
     """,
+    "upsert_merge": """
+        WITH bucketed AS (
+            SELECT *,
+                   ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                       ::BIGINT % 10 AS b
+            FROM orders
+        ), merged AS (
+            SELECT o_orderstatus, o_totalprice FROM bucketed WHERE b <> 3
+            UNION ALL
+            SELECT 'R' AS o_orderstatus,
+                   round(o_totalprice * 1.05, 2) AS o_totalprice
+            FROM bucketed WHERE b = 3
+        )
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM merged
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
     "stratified_sample": """
         SELECT o_orderstatus,
                CAST(count(*) AS BIGINT) AS n_sampled,
@@ -790,6 +844,7 @@ QUERIES = {
     "binary_funcs": q_binary_funcs,
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
+    "upsert_merge": q_upsert_merge,
     "approx_distinct": q_approx_distinct,
     "approx_quantiles": q_approx_quantiles,
     "percentiles_exact": q_percentiles_exact,
