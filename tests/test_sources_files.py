@@ -85,3 +85,20 @@ def test_existing_target_guard(spark, tricky_df, tmp_path):
     write_csv(tricky_df, path)
     with pytest.raises(Exception):
         write_csv(tricky_df, path)  # mode='error' default refuses
+
+
+def test_orc_roundtrip_real_table(spark, tmp_path):
+    """ORC roundtrip on a real table: schema and values identical, and
+    the scan still pushes predicates (the columnar-stats path)."""
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.sources.files import read_orc, write_orc
+
+    src = tbl(spark, SF_DIR, "orders")
+    out = str(tmp_path / "orders_orc")
+    write_orc(src, out)
+    back = read_orc(spark, out)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+    plan = back.filter(back.o_orderkey == 42)._jdf.queryExecution().executedPlan().toString()
+    assert "o_orderkey" in plan

@@ -89,3 +89,22 @@ def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
         .option("mode", "PERMISSIVE")
         .json(path)
     )
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "error",
+    compression: str = "zstd",
+) -> None:
+    """Write ORC shards — the second columnar interchange format Spark
+    ships natively (Hive-ecosystem consumers). Same stripe-level
+    min/max + bloom statistics story as parquet row groups, so the
+    layout guarantees of the sorted/bucketed writers carry over."""
+    df.write.option("compression", compression).mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read ORC. Schema rides in the file footer (self-describing, like
+    parquet) — no inference pass, so no explicit-schema requirement."""
+    return spark.read.orc(path)
