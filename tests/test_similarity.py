@@ -39,3 +39,37 @@ def test_lsh_bucketed_recall(spark):
     # well above random; require at least one true top-10 neighbor.
     hit = sum(1 for r in bucketed if r["vec_id"] in exact)
     assert hit >= 1
+
+
+def test_pca_matches_numpy(spark):
+    """The two-phase distributed fit equals full-data numpy PCA, and
+    the in-engine projection variance equals the model eigenvalue."""
+    import numpy as np
+
+    from tests.conftest import SF_DIR
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.functions.similarity import pca_model, q_embedding_pca
+
+    x = np.stack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in tbl(spark, SF_DIR, "embeddings").select("embedding").collect()
+        ]
+    )
+    cov = np.cov(x, rowvar=False, bias=True)
+    want = np.sort(np.linalg.eigvalsh(cov))[::-1][:8]
+
+    mu, evals, evecs, total_var = pca_model(spark, SF_DIR)
+    assert np.allclose(mu, x.mean(axis=0), atol=1e-9)
+    assert np.allclose(evals, want, rtol=1e-8)
+    assert np.isclose(total_var, np.trace(cov), rtol=1e-8)
+    # components orthonormal
+    assert np.allclose(evecs.T @ evecs, np.eye(8), atol=1e-9)
+
+    rows = q_embedding_pca(spark, SF_DIR).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert abs(r["whitened_var"] - 1.0) <= 1e-3, r
+    ratios = [r["explained_ratio"] for r in rows]
+    assert ratios == sorted(ratios, reverse=True)
+    assert 0 < sum(ratios) <= 1.0

@@ -263,6 +263,112 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+#: (session id, sf_dir, k) → (mean, eigenvalues, components d×k, total_var).
+_PCA_CACHE: dict[tuple[int, str, int], tuple] = {}
+
+
+def pca_model(spark: SparkSession, sf_dir: str, k: int = 8):
+    """Fit PCA over the embedding column, the 100 TB way.
+
+    Statistics are computed as per-partition partials in ONE Arrow
+    batch pass (`mapInPandas`: count, sum vector, sum outer-product
+    matrix per batch — numpy matmul, never per-row Python), so the
+    driver collects only #partitions × (d + d²) doubles regardless of
+    row count. The d×d eigendecomposition is driver-side numpy — d=64
+    here; this split (distributed moments, tiny local eig) is the
+    standard scalable PCA factorization.
+
+    Component signs are fixed deterministically (largest-|component|
+    coordinate made positive) so results are reproducible across
+    numpy builds and cluster layouts. Memoized per (session, sf_dir).
+    """
+    key = (id(spark), sf_dir, k)
+    if key in _PCA_CACHE:
+        return _PCA_CACHE[key]
+    import numpy as np
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [m.shape[0]],
+                    "s": [m.sum(axis=0).tolist()],
+                    "ss": [(m.T @ m).ravel().tolist()],
+                }
+            )
+
+    rows = (
+        tbl(spark, sf_dir, "embeddings")
+        .select("embedding")
+        .mapInPandas(partials, "n long, s array<double>, ss array<double>")
+        .collect()
+    )
+    n = sum(r["n"] for r in rows)
+    d = len(rows[0]["s"])
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    ss = np.sum([np.asarray(r["ss"]).reshape(d, d) for r in rows], axis=0)
+    mu = s / n
+    cov = ss / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    evals, evecs = evals[order], evecs[:, order]
+    for j in range(k):
+        if evecs[np.argmax(np.abs(evecs[:, j])), j] < 0:
+            evecs[:, j] = -evecs[:, j]
+    model = (mu, evals, evecs, float(np.trace(cov)))
+    _PCA_CACHE[key] = model
+    return model
+
+
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA + whitening self-audit: per top-8 component, the model
+    eigenvalue next to the variance of the data actually projected
+    onto that component (computed distributed, native dot products
+    over literal component vectors), the explained-variance ratio,
+    and the whitened variance (projected/eigenvalue ≈ 1).
+
+    projected_var ≈ eigenvalue is the end-to-end proof that the
+    two-phase fit (distributed moments → local eig → distributed
+    projection) is consistent. No oracle entry: eigendecomposition is
+    engine-defined (DuckDB has none); tests/test_similarity.py checks
+    the model against full-data numpy PCA instead.
+    """
+    mu, evals, evecs, total_var = pca_model(spark, sf_dir)
+    k = len(evals)
+    e = tbl(spark, sf_dir, "embeddings")
+    centered = F.zip_with(
+        _as_double(F.col("embedding")),
+        F.array(*[F.lit(float(m)) for m in mu]),
+        lambda x, m: x - m,
+    )
+    projected = e.select(
+        *[
+            dot(centered, F.array(*[F.lit(float(c)) for c in evecs[:, j]]))
+            .alias(f"p{j}")
+            for j in range(k)
+        ]
+    )
+    wide = projected.agg(
+        *[F.var_pop(f"p{j}").alias(f"v{j}") for j in range(k)]
+    )
+    stack_args = ", ".join(
+        f"{j}, CAST({evals[j]!r} AS DOUBLE), v{j}" for j in range(k)
+    )
+    return wide.selectExpr(
+        f"stack({k}, {stack_args}) AS (component, eigenvalue, projected_var)"
+    ).selectExpr(
+        "CAST(component AS INT) AS component",
+        "round(eigenvalue, 6) AS eigenvalue",
+        "round(projected_var, 6) AS projected_var",
+        f"round(eigenvalue / CAST({total_var!r} AS DOUBLE), 6) AS explained_ratio",
+        "round(projected_var / eigenvalue, 4) AS whitened_var",
+    )
+
+
 def _ivf_oracle() -> str:
     cents = ",".join(str(c) for c in IVF_CENTROID_IDS)
     return f"""
@@ -358,4 +464,5 @@ QUERIES = {
     "ivf_ann_topk": q_ivf_ann_topk,
     "embedding_centroids": q_embedding_centroids,
     "embedding_quantize": q_embedding_quantize,
+    "embedding_pca": q_embedding_pca,
 }
