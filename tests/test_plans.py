@@ -433,3 +433,33 @@ def test_runtime_bloom_filter_injection(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Joining a hive-partitioned fact to a filtered dim on the
+    partition column injects a dynamicpruning subquery into the scan's
+    PartitionFilters — at 100 TB the fact reads only the dim-selected
+    partitions, decided at runtime. Complements the static-pruning and
+    bloom-filter tiers."""
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.layout import write_date_partitioned
+
+    out = str(tmp_path / "ev_by_date")
+    write_date_partitioned(tbl(spark, SF_DIR, "events"), out)
+    back = spark.read.parquet(out)
+    dates = sorted(r["event_date"] for r in back.select("event_date").distinct().collect())
+    dim = spark.createDataFrame(
+        [(d, "campaign" if i % 7 == 0 else "normal") for i, d in enumerate(dates)],
+        "event_date date, day_kind string",
+    )
+    j = (
+        back.join(dim.filter(F.col("day_kind") == "campaign"), "event_date")
+        .groupBy("event_date")
+        .agg(F.count("*").alias("n"))
+    )
+    s = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in s.lower(), "DPP subquery not injected"
+    # correctness of the pruned result
+    want = sorted(dates[i] for i in range(0, len(dates), 7))
+    got = sorted(r["event_date"] for r in j.collect())
+    assert got == want

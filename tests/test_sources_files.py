@@ -102,3 +102,17 @@ def test_orc_roundtrip_real_table(spark, tmp_path):
 
     plan = back.filter(back.o_orderkey == 42)._jdf.queryExecution().executedPlan().toString()
     assert "o_orderkey" in plan
+
+
+def test_xml_roundtrip_real_table(spark, tmp_path):
+    """XML roundtrip on a real table incl. timestamps: schema given
+    explicitly, values identical."""
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.sources.files import read_xml, write_xml
+
+    src = tbl(spark, SF_DIR, "orders")
+    out = str(tmp_path / "orders_xml")
+    write_xml(src, out, row_tag="order")
+    back = read_xml(spark, out, src.schema, row_tag="order").select(*src.columns)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))

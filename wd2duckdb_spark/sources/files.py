@@ -108,3 +108,38 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """Read ORC. Schema rides in the file footer (self-describing, like
     parquet) — no inference pass, so no explicit-schema requirement."""
     return spark.read.orc(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    mode: str = "error",
+) -> None:
+    """Write XML shards (Spark 4 native XML source — the last common
+    enterprise interchange format). One element per row under
+    ``row_tag``; timestamps pinned to the same ISO form as CSV."""
+    (
+        df.write.format("xml")
+        .option("rowTag", row_tag)
+        .option("timestampFormat", TS_FORMAT)
+        .mode(mode)
+        .save(path)
+    )
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    row_tag: str = "row",
+) -> DataFrame:
+    """Read XML with an explicit schema (inference would cost a full
+    extra pass, same rule as CSV/JSONL)."""
+    return (
+        spark.read.format("xml")
+        .schema(schema)
+        .option("rowTag", row_tag)
+        .option("timestampFormat", TS_FORMAT)
+        .load(path)
+    )

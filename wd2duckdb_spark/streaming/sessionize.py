@@ -104,6 +104,38 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The built-in `session_window` operator — Spark's native gap
+    sessionizer, one hash aggregate with a merging session buffer
+    instead of the lag+cumsum double window of :func:`sessionize`.
+
+    Semantics differ from the lag formulation at the exact boundary:
+    a session window spans [first_ts, last_ts + gap), so an event
+    arriving exactly `gap` after the last one starts a NEW session
+    (half-open), where `lag`'s `diff > gap` keeps it. The oracle
+    mirrors the half-open rule (`>=`) and the `max(ts) + gap` end.
+
+    At 100 TB this is the operator to prefer: one shuffle on user_id,
+    sessions merge inside the aggregate buffer, and the same
+    expression runs unchanged under a streaming watermark."""
+    e = tbl(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", f"{SESSION_GAP_MIN} minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming stateful twin
 # ---------------------------------------------------------------------------
@@ -247,8 +279,33 @@ ORACLES: dict[str, str] = {
         GROUP BY user_id, session_no
         ORDER BY user_id, session_start
     """,
+    "session_window": f"""
+        WITH marked AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER w)
+                             >= {SESSION_GAP_MIN * 60}
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+            SELECT *, sum(brk) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_no
+            FROM marked
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM numbered
+        GROUP BY user_id, session_no
+        ORDER BY user_id, session_start
+    """,
 }
 
 QUERIES = {
     "sessionize": q_sessionize,
+    "session_window": q_session_window,
 }
