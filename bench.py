@@ -39,6 +39,11 @@ HEADLINE = (
     "simhash",
     "text_quality",
     "ann_bruteforce_topk",
+    "q9_profit_by_nation_year",
+    "q10_returned_items",
+    "session_window",
+    "upsert_merge",
+    "lateral_topk_orders",
 )
 
 
