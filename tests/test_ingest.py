@@ -402,3 +402,38 @@ def test_ingest_roundtrip_invariants(spark, tmp_path_factory, ents, rng):
     # self-loop invariant on every literal table
     for name in ("string", "quantity", "time", "coordinates"):
         assert t[name].filter(F.col("dst_id") != F.col("src_id")).count() == 0
+
+
+def test_ingest_zorder_layout(spark, kg_tables, tmp_path):
+    """edge_layout='zorder' writes the same ROWS as the lexical layout
+    (only file order differs) and round-trips through the same reader."""
+    from wd2duckdb_spark.ingest import ingest
+    from tests.conftest import FIXTURE_DUMP
+
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path / "kg_z")
+    ingest(spark, FIXTURE_DUMP, out, edge_layout="zorder")
+    for name in ("edge", "quantity", "time", "string", "coordinates"):
+        z = spark.read.parquet(f"{out}/{name}")
+        want = kg_tables[name]
+        assert z.columns == want.columns, name
+
+        # stringify Spark-side: sentinel timestamps (year 0/9999) don't
+        # materialize as Python datetimes
+        def rows(df):
+            return sorted(
+                map(tuple, df.select([F.col(c).cast("string") for c in df.columns]).collect())
+            )
+
+        assert rows(z) == rows(want), name
+
+
+def test_ingest_rejects_bad_layout(spark, tmp_path):
+    import pytest as _pytest
+
+    from tests.conftest import FIXTURE_DUMP
+    from wd2duckdb_spark.ingest import ingest
+
+    with _pytest.raises(ValueError, match="edge_layout"):
+        ingest(spark, FIXTURE_DUMP, str(tmp_path / "x"), edge_layout="hilbert")

@@ -463,3 +463,27 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     want = sorted(dates[i] for i in range(0, len(dates), 7))
     got = sorted(r["event_date"] for r in j.collect())
     assert got == want
+
+
+def test_q9_q10_report_plans(spark):
+    """Q9: all dims broadcast, the p_name contains-filter is pushed to
+    the part scan. Q10: returnflag + quarter window pushed to the
+    scans, dims broadcast, top-20 is TakeOrderedAndProject."""
+    from wd2duckdb_spark.operators.relational import (
+        q_q9_profit_by_nation_year,
+        q_q10_returned_items,
+    )
+
+    q9 = q_q9_profit_by_nation_year(spark, SF_DIR)
+    s9 = plan_summary(q9)
+    assert s9["broadcast_hash_join"] >= 3
+    assert s9["nested_loop_join"] == 0
+    assert "StringContains(p_name,widget)" in " ".join(pushed_filters(q9))
+
+    q10 = q_q10_returned_items(spark, SF_DIR)
+    s10 = plan_summary(q10)
+    assert s10["broadcast_hash_join"] >= 3
+    assert s10["take_ordered"] >= 1
+    pf = " ".join(pushed_filters(q10))
+    assert "EqualTo(l_returnflag,R)" in pf
+    assert "o_orderdate" in pf

@@ -50,6 +50,13 @@ def main(argv: list[str] | None = None) -> int:
         "--overwrite", action="store_true", help="replace an existing target"
     )
     p.add_argument(
+        "--edge-layout",
+        choices=("sort", "zorder", "none"),
+        default="sort",
+        help="edge-table file layout: lexical (src,dst) sort, Morton "
+        "z-order (both-endpoint pruning), or unsorted",
+    )
+    p.add_argument(
         "--stream-dir",
         default=None,
         help="directory of arriving dump shards (streaming mode; "
@@ -110,6 +117,7 @@ def main(argv: list[str] | None = None) -> int:
                 out,
                 lang=args.lang,
                 mode="overwrite" if args.overwrite else "error",
+                edge_layout=args.edge_layout,
                 metrics=counters,
             )
         if args.stream_dir:

@@ -429,6 +429,7 @@ def ingest(
     lang: str = DEFAULT_LANG,
     mode: str = "error",
     edge_sort: bool = True,
+    edge_layout: str | None = None,
     metrics: dict | None = None,
 ) -> dict[str, str]:
     """Run the full ETL: dump → 6 parquet table dirs under ``out_path``.
@@ -459,6 +460,15 @@ def ingest(
     ``(src_id, dst_id)`` so parquet min/max row-group stats act as the
     moral equivalent of the reference's src_id/dst_id indices
     (value.rs:332-350) — point/range lookups prune row groups.
+
+    ``edge_layout``: ``"sort"`` (default when ``edge_sort``),
+    ``"zorder"``, or ``"none"``. ``"zorder"`` sorts within partitions
+    by the Morton interleave of (src_id, dst_id) instead of the
+    lexical pair — row-group stats then prune point lookups on EITHER
+    endpoint (the full both-direction parity of value.rs:332-350),
+    still with zero extra shuffle. The lexical default keeps the
+    stronger single-column src_id pruning; choose per dominant access
+    pattern.
 
     ``metrics``: pass a dict to receive ingest counters — the
     reference's progress accounting (main.rs:229-236, 323-325) done
@@ -507,11 +517,21 @@ def ingest(
                     observations[name], F.count(F.lit(1)).alias("rows")
                 )
 
+        layout = edge_layout or ("sort" if edge_sort else "none")
+        if layout not in ("sort", "zorder", "none"):
+            raise ValueError(f"edge_layout must be sort|zorder|none: {layout}")
+
         def _write(name: str, df: DataFrame) -> tuple[str, str]:
-            if edge_sort and name != "vertex":
-                df = df.sortWithinPartitions("src_id", "dst_id")
-            elif edge_sort and name == "vertex":
+            if layout != "none" and name == "vertex":
                 df = df.sortWithinPartitions("id")
+            elif layout == "sort" and name != "vertex":
+                df = df.sortWithinPartitions("src_id", "dst_id")
+            elif layout == "zorder" and name != "vertex":
+                from wd2duckdb_spark.layout import morton_code
+
+                df = df.sortWithinPartitions(
+                    morton_code("src_id", "dst_id").alias("_z")
+                )
             path = f"{out_path}/{name}"
             df.write.mode(mode).parquet(path)
             return name, path
