@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TESTDATA_TABLES = (
     "region",
@@ -29,11 +30,14 @@ _scan_cache: dict[tuple[int, str, str], DataFrame] = {}
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (parquet scan with pushdown/pruning).
 
-    ``events.parquet`` stores ``TIMESTAMP(NANOS)``, which Spark's
-    parquet reader rejects; it is read via the legacy nanos-as-long
-    mode and converted to a microsecond timestamp with exact integer
-    arithmetic (``div`` — not double division, which loses low bits at
-    1e18-scale nanos). DuckDB truncates nanos→micros the same way.
+    ``events.parquet`` has shipped in two layouts across driver
+    versions: ``TIMESTAMP(NANOS)`` (which Spark's parquet reader
+    rejects unless read via the legacy nanos-as-long mode) and plain
+    ``timestamp[us]``. Both are handled: a long ``ts`` is converted to
+    a microsecond timestamp with exact integer arithmetic (``div`` —
+    not double division, which loses low bits at 1e18-scale nanos,
+    matching DuckDB's nanos→micros truncation); a timestamp ``ts``
+    passes through untouched.
     """
     key = (id(spark), sf_dir, name)
     cached = _scan_cache.get(key)
@@ -47,7 +51,15 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        else:
+            # timestamp[us] parquet arrives as TIMESTAMP_NTZ; normalize
+            # to LTZ (identity under the session's UTC timezone) so
+            # epoch casts and streaming watermarks — which require
+            # TIMESTAMP — work unchanged downstream.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

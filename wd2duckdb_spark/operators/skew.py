@@ -75,3 +75,65 @@ def salted_join(
         b[c] for c in other.columns if c not in keys
     ]
     return joined.select(*keep)
+
+
+# ---------------------------------------------------------------------------
+# Salted two-phase aggregation (driver-contract query)
+# ---------------------------------------------------------------------------
+
+
+def salted_agg_heavy_hitters(events: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Exact per-key count/sum over a pathologically low-cardinality
+    key via EXPLICIT two-phase salted aggregation: groupBy(key, salt)
+    pre-aggregates into ≤ n_salts × |keys| rows, then a final
+    groupBy(key) combines the partials.
+
+    Spark's hash aggregate already does map-side partial combine, so
+    for plain count/sum this matches the built-in plan's cost — the
+    operator exists for the aggregates that DON'T partial-combine
+    cheaply (collect_list, exact distinct via sets, Pandas UDAFs),
+    where a hot key would otherwise funnel into one reducer. The
+    salt bounds any single reduce group to ~1/n_salts of the hot key.
+
+    Exact (not a sketch): counts and sums are associative, so the
+    two-phase result equals the one-phase result row-for-row — which
+    is what the DuckDB oracle pins.
+    """
+    partial = (
+        with_salt(events, n_salts)
+        .groupBy("event_type", "_salt")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("v"),
+        )
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("v"), 2).alias("total_value"),
+        )
+        .orderBy(F.col("n_events").desc(), "event_type")
+    )
+
+
+def q_skew_salted_agg(spark, sf_dir: str) -> DataFrame:
+    from wd2duckdb_spark.catalog import tbl
+
+    return salted_agg_heavy_hitters(tbl(spark, sf_dir, "events"))
+
+
+ORACLES: dict[str, str] = {
+    "skew_salted_agg": """
+        SELECT event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY n_events DESC, event_type
+    """,
+}
+
+QUERIES = {
+    "skew_salted_agg": q_skew_salted_agg,
+}

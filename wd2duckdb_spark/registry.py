@@ -12,7 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from wd2duckdb_spark.functions import dedup, multimodal, scalar, similarity, text
-from wd2duckdb_spark.operators import analytics, graph, relational
+from wd2duckdb_spark.operators import analytics, graph, relational, sketches, skew
 from wd2duckdb_spark.streaming import sessionize
 
 _MODULES = (
@@ -25,6 +25,8 @@ _MODULES = (
     similarity,
     sessionize,
     multimodal,
+    sketches,
+    skew,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

@@ -77,9 +77,11 @@ def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
     is the running count of breaks (classic lag+cumsum)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_s = gap_min * 60
-    is_break = (
-        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > gap_s
-    )
+    # ts may arrive as TIMESTAMP_NTZ (driver testdata layout), which has
+    # no direct cast to BIGINT; route through LTZ — identity under the
+    # session's UTC timezone — then take epoch seconds.
+    ts_s = F.col("ts").cast("timestamp_ltz").cast("long")
+    is_break = ts_s - F.lag(ts_s).over(w) > gap_s
     sess = events.withColumn(
         "session_no",
         F.sum(F.when(is_break, 1).otherwise(0)).over(
