@@ -44,6 +44,8 @@ HEADLINE = (
     "session_window",
     "upsert_merge",
     "lateral_topk_orders",
+    "hll_distinct_rollup",
+    "skew_salted_agg",
 )
 
 

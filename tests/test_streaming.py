@@ -375,3 +375,99 @@ def test_stream_stream_interval_join_parity(spark, tmp_path):
     )
     assert got == want
     assert len(got) > 0  # non-vacuous: some purchases attribute
+
+
+def test_transform_with_state_lifetime_value(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas: per-user lifetime aggregate
+    over two micro-batches; the LAST update per user equals the batch
+    groupBy twin (count, sum, max ts).
+
+    Skips where google.protobuf is absent — the transformWithState
+    Python state-server cannot start without it (this container)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.streaming.transform_state import (
+        lifetime_value_batch,
+        lifetime_value_stream,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    e = (
+        tbl(spark, SF_DIR, "events")
+        .filter(F.col("user_id") < 8)
+        .select("ts", "event_id", "user_id", "value")
+    )
+    rows = sorted(e.collect(), key=lambda r: (r.ts, r.event_id))
+    cut = rows[len(rows) // 2].ts
+    in_dir = tmp_path / "ltv_in"
+    in_dir.mkdir()
+    e.filter(F.col("ts") <= F.lit(cut)).coalesce(1).write.parquet(
+        str(in_dir / "b0.parquet")
+    )
+    e.filter(F.col("ts") > F.lit(cut)).coalesce(1).write.parquet(
+        str(in_dir / "b1.parquet")
+    )
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*.parquet")
+    )
+    q = (
+        lifetime_value_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ltv_updates")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ltv_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # memory sink appends every update; the final state per user is the
+    # row with the highest n_events (monotone accumulation).
+    updates = spark.sql("SELECT * FROM ltv_updates").collect()
+    final = {}
+    for r in updates:
+        cur = final.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            final[r.user_id] = (r.n_events, r.total_value, r.last_seen)
+
+    want = {
+        r.user_id: (r.n_events, r.total_value, r.last_seen)
+        for r in lifetime_value_batch(e).collect()
+    }
+    assert final == want
+
+
+def test_transform_with_state_plan_builds(spark, tmp_path):
+    """The transformWithStateInPandas plan analyzes end-to-end (schema,
+    grouping, output struct) even where the Python state-server deps
+    are absent — only execution needs google.protobuf."""
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.streaming.transform_state import (
+        OUTPUT_SCHEMA,
+        lifetime_value_stream,
+    )
+
+    e = tbl(spark, SF_DIR, "events").select("ts", "event_id", "user_id", "value")
+    d = tmp_path / "tws_plan"
+    d.mkdir()
+    e.limit(10).coalesce(1).write.parquet(str(d / "b0.parquet"))
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*.parquet")
+    )
+    out = lifetime_value_stream(stream)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "user_id", "n_events", "total_value", "last_seen",
+    ]

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from wd2duckdb_spark.functions import dedup, multimodal, scalar, similarity, text
 from wd2duckdb_spark.operators import analytics, graph, relational, sketches, skew
-from wd2duckdb_spark.streaming import sessionize
+from wd2duckdb_spark.streaming import sessionize, transform_state
 
 _MODULES = (
     relational,
@@ -27,6 +27,7 @@ _MODULES = (
     multimodal,
     sketches,
     skew,
+    transform_state,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
