@@ -448,7 +448,54 @@ def _minhash_sql_cte() -> str:
     """
 
 
+
+
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate detection with blocking: part names
+    sharing their noun (last word) pair up only inside that block, then
+    `levenshtein` ≤ 4 keeps close adjectives. The block key bounds the
+    quadratic term — pairs per block, not per table; at 100 TB widen
+    the key (noun + length band / soundex) until blocks fit a task.
+    JVM built-in levenshtein, no UDF; the equi-join on the block key
+    is an ordinary shuffle hash join."""
+    p = tbl(spark, sf_dir, "part").select("p_partkey", "p_name")
+    noun = F.element_at(F.split("p_name", " "), -1)
+    a = p.select(
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_name").alias("a_name"),
+        noun.alias("block"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_name").alias("b_name"),
+        noun.alias("block"),
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("a_key") < F.col("b_key"))
+        .withColumn("lev_dist", F.levenshtein("a_name", "b_name"))
+        .filter(F.col("lev_dist") <= 4)
+        .select("a_key", "b_key", "a_name", "b_name", "lev_dist")
+        .orderBy("a_key", "b_key")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "fuzzy_name_pairs": """
+        WITH p AS (
+            SELECT p_partkey, p_name,
+                   string_split(p_name, ' ')[-1] AS block
+            FROM part
+        )
+        SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+               a.p_name AS a_name, b.p_name AS b_name,
+               CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev_dist
+        FROM p a JOIN p b ON a.block = b.block
+                          AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 4
+        ORDER BY a_key, b_key
+    """,
+
     "minhash_signatures": f"""
         WITH {_minhash_sql_cte()}
         SELECT * FROM sig ORDER BY doc_id
@@ -580,4 +627,5 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "ngram_decontaminate": q_ngram_decontaminate,
     "embedding_neardup": q_embedding_neardup,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
 }

@@ -137,3 +137,36 @@ def write_date_partitioned(
         .partitionBy("event_date")
         .parquet(path)
     )
+
+
+def write_bloom_filtered(
+    df: DataFrame,
+    path: str,
+    bloom_cols: tuple[str, ...],
+    ndv: int = 100_000,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet with per-column bloom filters — row-group pruning for
+    point predicates on columns whose values DON'T sort/cluster, where
+    min/max footer stats are useless (high-entropy IDs scattered over
+    every file: the dst_id of an edge table sorted by src_id, a text
+    hash, a UUID).
+
+    min/max stats prune by range; bloom filters prune by membership —
+    `col = literal` probes the filter and skips row groups that
+    definitely lack the value, with ~1% false-positive rate at the
+    configured NDV. The reader applies them transparently on scan
+    (parquet-mr side), so the query code doesn't change — the same
+    tier as the reference's secondary index on dst_id
+    (value.rs:332-350) without maintaining an index structure.
+
+    ndv sizes the filter (bits ∝ distinct values); oversizing wastes
+    footer bytes, undersizing inflates false positives — set it to the
+    per-row-group distinct estimate, not the global one.
+    """
+    w = df.write.mode(mode)
+    for c in bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(ndv)
+        )
+    w.parquet(path)

@@ -333,7 +333,49 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+
+
+#: Reachability via recursive CTE — identical text runs on Spark ≥4.0
+#: (SPARK-24497 WITH RECURSIVE) and DuckDB, so the oracle IS the query.
+#: The graph is a deterministic functional overlay on customer keys
+#: (two successor rules → out-degree 2); recursion carries a hop
+#: counter, the outer aggregate keeps min-hops per reached node.
+#: At scale the frontier join is an equi shuffle join per iteration —
+#: same physical shape as graph.k_hop's unrolled loop, but planned by
+#: the engine's UnionLoop instead of driver-side iteration.
+RCTE_REACHABILITY_SQL = """
+WITH RECURSIVE edges AS (
+    SELECT c_custkey AS src,
+           CAST((c_custkey * 7 + 3) % m.n AS BIGINT) AS dst
+    FROM customer, (SELECT max(c_custkey) + 1 AS n FROM customer) m
+    UNION ALL
+    SELECT c_custkey AS src,
+           CAST((c_custkey * 3 + 1) % m.n AS BIGINT) AS dst
+    FROM customer, (SELECT max(c_custkey) + 1 AS n FROM customer) m
+), reach(node, hops) AS (
+    SELECT CAST(1 AS BIGINT) AS node, 0 AS hops
+    UNION ALL
+    SELECT e.dst AS node, r.hops + 1 AS hops
+    FROM reach r JOIN edges e ON e.src = r.node
+    WHERE r.hops < 6
+)
+SELECT node, CAST(min(hops) AS BIGINT) AS min_hops
+FROM reach GROUP BY node ORDER BY node
+"""
+
+
+def q_reachability_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE BFS reachability (min hops from node 1, ≤6 hops).
+
+    Exercises the declarative iterative tier: the SQL recursion plans
+    as Spark's UnionLoopExec, complementing the imperative
+    ``graph.k_hop``/``pagerank_topk`` unrolled-DAG formulations."""
+    tbl(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(RCTE_REACHABILITY_SQL)
+
+
 ORACLES["pagerank_topk"] = _pagerank_oracle()
+ORACLES["reachability_rcte"] = RCTE_REACHABILITY_SQL
 
 QUERIES = {
     "graph_2hop": q_graph_2hop,
@@ -341,4 +383,5 @@ QUERIES = {
     "pagerank_topk": q_pagerank_topk,
     "graph_triangle": q_graph_triangle,
     "asof_latest_event": q_asof_latest_event,
+    "reachability_rcte": q_reachability_rcte,
 }
