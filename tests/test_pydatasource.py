@@ -1,0 +1,102 @@
+"""Custom Python DataSource (`wikidata_dump` format): registration,
+fixture parity, EqualTo-on-id pushdown, and the byte-range split
+protocol (no duplicated or lost lines across partition boundaries)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from tests.conftest import FIXTURE_DUMP
+
+
+@pytest.fixture()
+def registered(spark):
+    from wd2duckdb_spark.sources.pydatasource import WikidataDumpDataSource
+
+    spark.dataSource.register(WikidataDumpDataSource)
+    return spark
+
+
+def test_fixture_parity(registered, spark):
+    """Reading the mini dump through the custom source yields exactly
+    the sanitized entity lines (7 entities, frame lines dropped)."""
+    df = spark.read.format("wikidata_dump").load(FIXTURE_DUMP)
+    rows = df.collect()
+    want_ids, n_lines = [], 0
+    with open(FIXTURE_DUMP) as fh:
+        for line in fh:
+            s = line.strip().rstrip(",")
+            if s and s not in ("[", "]"):
+                n_lines += 1
+                try:
+                    want_ids.append(json.loads(s)["id"])
+                except json.JSONDecodeError:
+                    pass  # the fixture's deliberate corrupt line
+    # corrupt lines pass through (id extracted by regex or None) —
+    # quarantine is the ingest tier's job, not the source's
+    assert len(rows) == n_lines
+    assert set(want_ids) <= {r.id for r in rows if r.id is not None}
+    assert all(r.entity_type in ("item", "property", "lexeme", None) for r in rows)
+    for r in rows:
+        try:
+            assert json.loads(r.line)["id"] == r.id
+        except json.JSONDecodeError:
+            pass
+
+
+def test_id_filter_pushdown(registered, spark):
+    """`id = X` reaches the source: result is exactly that entity, and
+    the plan's post-scan filter no longer needs to do the work (we
+    assert semantics — the probe path — not the plan string, since
+    Python-source plans render opaquely)."""
+    df = spark.read.format("wikidata_dump").load(FIXTURE_DUMP)
+    some_id = (
+        df.filter(df.id.isNotNull()).select("id").orderBy("id").first()["id"]
+    )
+    got = df.filter(df.id == some_id).collect()
+    assert len(got) == 1 and got[0].id == some_id
+
+
+def test_split_protocol_no_dup_no_loss(registered, spark, tmp_path):
+    """A file split into many tiny byte ranges reproduces every line
+    exactly once — the align-to-next-newline ownership rule."""
+    p = tmp_path / "big.json"
+    n = 500
+    with open(p, "w") as fh:
+        for i in range(n):
+            fh.write(
+                json.dumps(
+                    {"id": f"Q{i}", "type": "item", "pad": "x" * (i % 37)}
+                )
+                + "\n"
+            )
+    df = (
+        spark.read.format("wikidata_dump")
+        .option("split_bytes", 256)  # ~hundreds of splits
+        .load(str(p))
+    )
+    ids = [r.id for r in df.collect()]
+    assert len(ids) == n
+    assert sorted(ids, key=lambda s: int(s[1:])) == [f"Q{i}" for i in range(n)]
+    # planning really did fan out
+    from wd2duckdb_spark.sources.pydatasource import WikidataDumpReader
+
+    r = WikidataDumpReader({"path": str(p), "split_bytes": 256})
+    assert len(r.partitions()) > 10
+
+
+def test_pushdown_contract_unit():
+    """pushFilters consumes exactly one id-equality and returns the
+    rest for Spark to evaluate."""
+    from pyspark.sql.datasource import EqualTo
+
+    from wd2duckdb_spark.sources.pydatasource import WikidataDumpReader
+
+    r = WikidataDumpReader({"path": "/dev/null"})
+    eq_id = EqualTo(("id",), "Q42")
+    eq_other = EqualTo(("entity_type",), "item")
+    rest = list(r.pushFilters([eq_id, eq_other]))
+    assert r.id_filter == "Q42"
+    assert rest == [eq_other]

@@ -50,6 +50,9 @@ def get_spark(
         # Parquet: binary-as-string off, predicate pushdown on (defaults,
         # pinned here so the plan assertions in tests are stable).
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Python DataSource filter pushdown (Spark 4.1, off by default):
+        # lets sources/pydatasource.py reject lines source-side.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -1,0 +1,180 @@
+"""Custom Python DataSource (Spark 4): `wikidata_dump` format.
+
+The reference streams an entity-per-line Wikidata JSON dump
+(main.rs:261-269 file/stdin source; main.rs:108-119 line sanitizer).
+The batch path here (`ingest.read_dump_lines`) covers that with
+`spark.read.text`; this module re-expresses the SOURCE itself through
+Spark 4's Python DataSource API (SPARK-44076) so the dump behaves like
+any other format:
+
+    spark.dataSource.register(WikidataDumpDataSource)
+    spark.read.format("wikidata_dump").load("dump.json")
+      → (id string, entity_type string, line string)
+
+Scale design:
+- **partitions()** plans byte-range splits of the uncompressed file
+  (`split_bytes` option, default 64 MB) — the classic
+  align-to-next-newline protocol, so a TB-scale dump fans out across
+  executors with no driver-side reading. `.bz2`/`.gz` fall back to one
+  split per file (non-splittable codecs), matching what the reference
+  gets from a `bzcat | wd2duckdb` pipe.
+- **pushFilters()** (Spark 4.1) handles `id = 'Q42'` equality: a raw
+  substring probe (`"id":"Q42"`) rejects non-matching lines BEFORE any
+  JSON/regex work — the Python-source analogue of parquet predicate
+  pushdown; remaining filters stay with Spark.
+- **read()** is a generator of tuples — O(1) memory per line, the same
+  contract as the reference's streaming loop (main.rs:311-326).
+
+This source intentionally emits the RAW sanitized line alongside the
+cheaply-extracted id/type: full JSON decoding belongs to the ingest
+tier (`from_json` with DUMP_SCHEMA), which runs JVM-side.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    InputPartition,
+)
+
+_ID_RE = re.compile(r'"id"\s*:\s*"([QPL][0-9]+)"')
+_TYPE_RE = re.compile(r'"type"\s*:\s*"(item|property|lexeme)"')
+
+DEFAULT_SPLIT_BYTES = 64 * 1024 * 1024
+
+
+def _sanitize(line: str) -> str | None:
+    """Strip the JSON-array frame: '[' / ']' lines and trailing commas
+    (reference line sanitizer, main.rs:108-119)."""
+    s = line.strip()
+    if not s or s in ("[", "]"):
+        return None
+    if s.endswith(","):
+        s = s[:-1]
+    return s or None
+
+
+@dataclass(frozen=True)
+class _ByteRange(InputPartition):
+    path: str
+    start: int
+    end: int  # exclusive; read runs past end to finish its last line
+
+
+class WikidataDumpReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("wikidata_dump: .load(path) is required")
+        self.split_bytes = int(
+            options.get("split_bytes", DEFAULT_SPLIT_BYTES)
+        )
+        self.id_filter: str | None = None
+
+    # -- pushdown ---------------------------------------------------------
+    def pushFilters(self, filters):  # noqa: N802 (API name)
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and tuple(f.attribute) == ("id",)
+                and isinstance(f.value, str)
+                and self.id_filter is None
+            ):
+                self.id_filter = f.value
+            else:
+                yield f
+
+    # -- planning ---------------------------------------------------------
+    def partitions(self) -> Sequence[InputPartition]:
+        paths = (
+            [
+                os.path.join(self.path, n)
+                for n in sorted(os.listdir(self.path))
+                if not n.startswith(("_", "."))
+            ]
+            if os.path.isdir(self.path)
+            else [self.path]
+        )
+        out: list[InputPartition] = []
+        for p in paths:
+            size = os.path.getsize(p)
+            if p.endswith((".bz2", ".gz")) or size <= self.split_bytes:
+                out.append(_ByteRange(p, 0, size))
+                continue
+            start = 0
+            while start < size:
+                out.append(
+                    _ByteRange(p, start, min(start + self.split_bytes, size))
+                )
+                start += self.split_bytes
+        return out
+
+    # -- execution --------------------------------------------------------
+    def read(self, partition: _ByteRange) -> Iterator[tuple]:
+        import bz2
+        import gzip
+
+        p = partition.path
+        if p.endswith(".bz2") or p.endswith(".gz"):
+            opener = bz2.open if p.endswith(".bz2") else gzip.open
+            with opener(p, "rt", encoding="utf-8", errors="replace") as fh:
+                yield from self._emit_lines(fh)
+            return
+
+        probe = f'"id":"{self.id_filter}"' if self.id_filter else None
+        with open(p, "rb") as fh:
+            fh.seek(partition.start)
+            # split protocol: every partition except the first discards
+            # its (possibly partial) first line — the previous range
+            # owns it by reading one line past its own end.
+            if partition.start > 0:
+                fh.readline()
+            while fh.tell() <= partition.end:
+                raw = fh.readline()
+                if not raw:
+                    break
+                line = raw.decode("utf-8", errors="replace")
+                if probe is not None and probe not in line.replace(" ", ""):
+                    continue
+                row = self._to_row(line)
+                if row is not None:
+                    yield row
+
+    def _emit_lines(self, fh) -> Iterator[tuple]:
+        probe = f'"id":"{self.id_filter}"' if self.id_filter else None
+        for line in fh:
+            if probe is not None and probe not in line.replace(" ", ""):
+                continue
+            row = self._to_row(line)
+            if row is not None:
+                yield row
+
+    def _to_row(self, line: str) -> tuple | None:
+        s = _sanitize(line)
+        if s is None:
+            return None
+        m = _ID_RE.search(s)
+        eid = m.group(1) if m else None
+        if self.id_filter is not None and eid != self.id_filter:
+            return None
+        t = _TYPE_RE.search(s)
+        return (eid, t.group(1) if t else None, s)
+
+
+class WikidataDumpDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "wikidata_dump"
+
+    def schema(self) -> str:
+        return "id string, entity_type string, line string"
+
+    def reader(self, schema) -> WikidataDumpReader:
+        return WikidataDumpReader(self.options)
