@@ -90,3 +90,59 @@ def test_upsert_plan_broadcasts_keys(spark):
     assert s["nested_loop_join"] == 0
     assert "LeftAnti" in explain_str(df, "simple")
     assert s["broadcast_hash_join"] >= 1
+
+
+def test_merge_aggregate_equals_full_recompute(spark):
+    """Folding the post-cut delta into the pre-cut aggregate ==
+    aggregating everything — per key, count and sum."""
+    from wd2duckdb_spark.maintenance import merge_aggregate
+
+    e = tbl(spark, SF_DIR, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    base = (
+        e.filter(F.col("ts") <= cut)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+    )
+    delta = e.filter(F.col("ts") > cut).select(
+        "user_id", F.col("value").alias("v")
+    )
+    got = {
+        r.user_id: (r.n, round(r.v, 2))
+        for r in merge_aggregate(base, delta, ["user_id"], "n", ("v",)).collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.v, 2))
+        for r in e.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_upsert_stream_merges_batches(spark, tmp_path):
+    """Two micro-batches with overlapping keys upsert into the base
+    parquet table; final table = batch0 keys overwritten by batch1."""
+    from wd2duckdb_spark.maintenance import upsert_stream
+
+    schema = "k long, v string"
+    in_dir = tmp_path / "upsert_in"
+    in_dir.mkdir()
+    spark.createDataFrame(
+        [(1, "a0"), (2, "b0"), (3, "c0")], schema
+    ).coalesce(1).write.parquet(str(in_dir / "b0.parquet"))
+    spark.createDataFrame(
+        [(2, "b1"), (4, "d1")], schema
+    ).coalesce(1).write.parquet(str(in_dir / "b1.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*.parquet")
+    )
+    base = str(tmp_path / "upsert_base")
+    q = upsert_stream(stream, base, ["k"], str(tmp_path / "upsert_ckpt"))
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(base).collect()))
+    assert got == [(1, "a0"), (2, "b1"), (3, "c0"), (4, "d1")]

@@ -81,3 +81,85 @@ def upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
     update_keys = updates.select(*keys).distinct()
     kept = base.join(update_keys, keys, "left_anti")
     return kept.unionByName(updates)
+
+
+def merge_aggregate(
+    base_agg: DataFrame,
+    delta_rows: DataFrame,
+    keys: list[str],
+    count_col: str = "n",
+    sum_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: fold a batch of
+    NEW raw rows into an existing per-key aggregate without touching
+    the raw history.
+
+    ``base_agg`` holds per-key mergeable partials (a count column plus
+    sum columns); ``delta_rows`` are raw incoming rows carrying the
+    same key columns and, for each entry of ``sum_cols``, a raw value
+    column under that partial's name (project/rename before calling). The delta is aggregated alone (small — one
+    micro-batch / one day), then combined with the base by summing
+    partials per key. Cost is O(|delta| + |affected keys|) — at 100 TB
+    the alternative, re-aggregating the raw table, is the whole-world
+    scan this operator exists to avoid. Works for any algebraic
+    aggregate kept in partial form (count, sum; avg = sum/count at
+    read time; min/max likewise mergeable); the sketch tier
+    (operators/sketches.py) extends the same idea to distinct counts
+    and quantiles.
+    """
+    from pyspark.sql import functions as F
+
+    delta_agg = delta_rows.groupBy(*keys).agg(
+        F.count("*").alias(count_col),
+        *[F.sum(c).alias(c) for c in sum_cols],
+    )
+    both = base_agg.unionByName(delta_agg)
+    return both.groupBy(*keys).agg(
+        F.sum(count_col).alias(count_col),
+        *[F.sum(c).alias(c) for c in sum_cols],
+    )
+
+
+def upsert_stream(
+    events,
+    base_path: str,
+    keys: list[str],
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Streaming MERGE sink: each micro-batch upserts into the base
+    parquet table via foreachBatch + :func:`upsert` — the
+    exactly-once-per-batch correction feed (checkpoint tracks which
+    source files were folded in).
+
+    The rewrite cost is the base table once per batch — right for
+    dimension-scale tables (the vertex/labels case); fact-scale
+    streams should append + compact instead (see :func:`compact`).
+    """
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            base = spark.read.parquet(base_path)
+        except Exception:
+            base = None
+        merged = (
+            upsert(base, batch_df, keys) if base is not None else batch_df
+        )
+        # rewrite to a temp dir then swap: a failed write must not
+        # destroy the current base (parquet has no transaction log)
+        tmp = base_path.rstrip("/") + "._staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        jvm = spark._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        Path = jvm.org.apache.hadoop.fs.Path
+        fs = Path(base_path).getFileSystem(hconf)
+        fs.delete(Path(base_path), True)
+        fs.rename(Path(tmp), Path(base_path))
+
+    writer = events.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

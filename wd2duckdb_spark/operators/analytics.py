@@ -589,7 +589,49 @@ def q_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance
+    (`maintenance.merge_aggregate`) under the oracle gate: the per-user
+    (count, value-sum) aggregate built from history (ts ≤ cut), folded
+    together with the post-cut delta WITHOUT re-reading history — the
+    result must equal the full recompute, which is exactly what the
+    oracle does. At 100 TB this is the nightly-rollup pattern: cost
+    O(delta + affected keys), not O(raw history)."""
+    from wd2duckdb_spark.maintenance import merge_aggregate
+
+    e = tbl(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    base_agg = (
+        e.filter(F.col("ts") <= cut)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+    )
+    delta = (
+        e.filter(F.col("ts") > cut)
+        .select("user_id", F.col("value").alias("v"))
+    )
+    merged = merge_aggregate(
+        base_agg, delta, keys=["user_id"], count_col="n", sum_cols=("v",)
+    )
+    return merged.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.round("v", 2).alias("total_value"),
+    ).orderBy("user_id")
+
+
 ORACLES: dict[str, str] = {
+    "incremental_agg": """
+        SELECT user_id,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+
     "funnel_stages": """
         WITH views AS (
             SELECT user_id, min(ts) AS t_view
@@ -845,6 +887,7 @@ QUERIES = {
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
     "upsert_merge": q_upsert_merge,
+    "incremental_agg": q_incremental_agg,
     "approx_distinct": q_approx_distinct,
     "approx_quantiles": q_approx_quantiles,
     "percentiles_exact": q_percentiles_exact,
