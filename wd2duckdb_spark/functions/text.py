@@ -322,7 +322,65 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_vocab_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary statistics: Shannon entropy of the word
+    frequency distribution, vocabulary size, and type-token ratio —
+    the corpus-diversity signals of a training-data audit (low entropy
+    = templated/boilerplate-heavy source).
+
+    H = -Σ p·log2(p) over per-source word frequencies; computed as
+    log2(N) - Σ n·log2(n) / N so ONE aggregate over word counts
+    suffices (no per-word p column, no second pass over tokens).
+    """
+    d = tbl(spark, sf_dir, "documents")
+    words = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    counts = words.groupBy("source", "word").agg(F.count("*").alias("n"))
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count("*").alias("vocab"),
+            F.sum(F.col("n") * F.log2("n")).alias("_nlogn"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            F.round(
+                F.log2("n_tokens") - F.col("_nlogn") / F.col("n_tokens"), 4
+            ).alias("entropy_bits"),
+            F.round(F.col("vocab") / F.col("n_tokens"), 4).alias(
+                "type_token_ratio"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "vocab_entropy": """
+        WITH words AS (
+            SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS word
+            FROM documents
+        ), counts AS (
+            SELECT source, word, count(*) AS n
+            FROM words WHERE word <> '' GROUP BY 1, 2
+        )
+        SELECT source,
+               sum(n) AS n_tokens,
+               count(*) AS vocab,
+               round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 4)
+                   AS entropy_bits,
+               round(CAST(count(*) AS DOUBLE) / sum(n), 4)
+                   AS type_token_ratio
+        FROM counts GROUP BY source ORDER BY source
+    """,
+
     "clean_corpus_pipeline": f"""
         WITH filtered AS (
             SELECT doc_id, source, text,
@@ -489,6 +547,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "vocab_entropy": q_vocab_entropy,
     "clean_corpus_pipeline": q_clean_corpus_pipeline,
     "token_count_bpe": q_token_count_bpe,
     "rolling_fingerprint": q_rolling_fingerprint,

@@ -23,7 +23,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wd2duckdb_spark.catalog import tbl
@@ -622,7 +622,126 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+
+
+def q_interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-series gap fill with LINEAR interpolation: the
+    daily value series (mean per observed day) is densified onto each
+    user's [min_day, max_day] calendar, and missing days take
+    prev + (next-prev) * elapsed/gap — the standard sensor/feature
+    backfill. Edge days (before first / after last observation) clamp
+    to the nearest observed value.
+
+    Plan: one groupBy (observations), a per-user sequence explode
+    (spine), a join back, and two IGNORE NULLS window passes (last
+    backward, first forward) — no UDF, no self-join per gap; one
+    shuffle on user_id that every step reuses."""
+    e = tbl(spark, sf_dir, "events")
+    # Daily metric = SUM (not avg) normalized by floor(x*1e4+0.5)/1e4:
+    # a sum of 2-dp values is a 2-dp decimal in exact arithmetic, so
+    # the ±1 ulp noise from cross-engine summation order sits ~1e-10
+    # away from the floor boundary — the normalized double is
+    # BIT-IDENTICAL in Spark and DuckDB. Interpolating from identical
+    # inputs with identical op order keeps every downstream double
+    # identical too, so the final floor can never disagree (round()
+    # can: its tie rule differs between the engines at exact .00005).
+    daily = (
+        e.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            (F.floor(F.sum("value") * 10000 + F.lit(0.5)) / 10000).alias(
+                "v_obs"
+            )
+        )
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    g = spine.join(daily, ["user_id", "day"], "left")
+    w = Window.partitionBy("user_id").orderBy("day")
+    back = w.rowsBetween(Window.unboundedPreceding, 0)
+    fwd = w.rowsBetween(0, Window.unboundedFollowing)
+    prev_v = F.last("v_obs", ignorenulls=True).over(back)
+    next_v = F.first("v_obs", ignorenulls=True).over(fwd)
+    prev_d = F.last(
+        F.when(F.col("v_obs").isNotNull(), F.col("day")), ignorenulls=True
+    ).over(back)
+    next_d = F.first(
+        F.when(F.col("v_obs").isNotNull(), F.col("day")), ignorenulls=True
+    ).over(fwd)
+    # association mirrors the oracle exactly — ((next-prev) * days) /
+    # gap — so both engines run the same IEEE op sequence on the same
+    # pre-rounded inputs and the final 4 dp round cannot straddle.
+    interp = prev_v + (
+        (next_v - prev_v) * F.datediff(F.col("day"), prev_d)
+    ) / F.datediff(next_d, prev_d)
+    filled = F.when(F.col("v_obs").isNotNull(), F.col("v_obs")).otherwise(
+        F.coalesce(
+            interp,  # interior gap
+            prev_v,  # after the last observation
+            next_v,  # before the first observation
+        )
+    )
+    # floor(x*1e4 + 0.5)/1e4 instead of round(): interior midpoints
+    # (gap=2) land EXACTLY on .00005 ties, where Spark's and DuckDB's
+    # round() disagree; floor on bit-identical doubles cannot.
+    return g.select(
+        "user_id",
+        "day",
+        "v_obs",
+        (F.floor(filled * 10000 + F.lit(0.5)) / 10000).alias("v_filled"),
+    ).orderBy("user_id", "day")
+
+
 ORACLES: dict[str, str] = {
+    "interpolate_daily": """
+        WITH daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   floor(sum(value) * 10000 + 0.5) / 10000 AS v_obs
+            FROM events GROUP BY 1, 2
+        ), spine AS (
+            SELECT user_id, unnest(generate_series(min(day), max(day),
+                                                   INTERVAL 1 DAY))::DATE AS day
+            FROM daily GROUP BY user_id
+        ), g AS (
+            SELECT s.user_id, s.day, d.v_obs FROM spine s
+            LEFT JOIN daily d USING (user_id, day)
+        ), x AS (
+            SELECT user_id, day, v_obs,
+                   last_value(v_obs IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS prev_v,
+                   first_value(v_obs IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS next_v,
+                   last_value(CASE WHEN v_obs IS NOT NULL THEN day END
+                              IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS prev_d,
+                   first_value(CASE WHEN v_obs IS NOT NULL THEN day END
+                               IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS next_d
+            FROM g
+        )
+        SELECT user_id, day, v_obs,
+               floor((CASE WHEN v_obs IS NOT NULL THEN v_obs
+                      ELSE coalesce(
+                          prev_v + (next_v - prev_v)
+                              * (day - prev_d) / (next_d - prev_d),
+                          prev_v, next_v) END) * 10000 + 0.5) / 10000
+                   AS v_filled
+        FROM x ORDER BY user_id, day
+    """,
+
     "incremental_agg": """
         SELECT user_id,
                count(*) AS n_events,
@@ -888,6 +1007,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "upsert_merge": q_upsert_merge,
     "incremental_agg": q_incremental_agg,
+    "interpolate_daily": q_interpolate_daily,
     "approx_distinct": q_approx_distinct,
     "approx_quantiles": q_approx_quantiles,
     "percentiles_exact": q_percentiles_exact,

@@ -809,8 +809,14 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_nationkey",
             F.ntile(4).over(w).alias("quartile"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            # floor(x*1e6+0.5) not round(): both engines compute the
+            # same k/n doubles, but their round() tie rules differ on
+            # values whose binary form sits at a 6-dp boundary; floor
+            # of identical doubles cannot disagree.
+            (F.floor(F.percent_rank().over(w) * 1000000 + F.lit(0.5))
+             / 1000000).alias("pct_rank"),
+            (F.floor(F.cume_dist().over(w) * 1000000 + F.lit(0.5))
+             / 1000000).alias("cume"),
         )
         .orderBy("c_custkey")
     )
@@ -1410,8 +1416,10 @@ ORACLES: dict[str, str] = {
     "window_distribution": """
         SELECT c_custkey, c_nationkey,
                CAST(ntile(4) OVER w AS INTEGER) AS quartile,
-               round(percent_rank() OVER w, 6) AS pct_rank,
-               round(cume_dist() OVER w, 6) AS cume
+               floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000
+                   AS pct_rank,
+               floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000
+                   AS cume
         FROM customer
         WINDOW w AS (PARTITION BY c_nationkey
                      ORDER BY c_acctbal, c_custkey)
