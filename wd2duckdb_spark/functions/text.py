@@ -334,7 +334,11 @@ def q_vocab_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     log2(N) - Σ n·log2(n) / N so ONE aggregate over word counts
     suffices (no per-word p column, no second pass over tokens).
     """
-    d = tbl(spark, sf_dir, "documents")
+    # round-robin repartition: single-split corpus + CPU-bound tokenize
+    # (same trap documented at q_word_repetition)
+    d = tbl(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     words = d.select(
         "source",
         F.explode(F.split(F.lower(F.trim("text")), " ")).alias("word"),
