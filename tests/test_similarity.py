@@ -73,3 +73,43 @@ def test_pca_matches_numpy(spark):
     ratios = [r["explained_ratio"] for r in rows]
     assert ratios == sorted(ratios, reverse=True)
     assert 0 < sum(ratios) <= 1.0
+
+
+def test_pq_reconstruction_beats_mean_baseline(spark):
+    """PQ codes reconstruct vectors better than collapsing everything
+    to the corpus mean: per-subspace codebook lookup must cut MSE vs
+    the 1-centroid baseline, and every code must be in [0, PQ_CODES)."""
+    import numpy as np
+
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.functions.similarity import (
+        PQ_CODES,
+        PQ_SUBDIM,
+        PQ_SUBSPACES,
+        _pq_codebook,
+        q_embedding_pq_codes,
+    )
+    from tests.conftest import SF_DIR
+
+    cb = np.array(_pq_codebook(spark, SF_DIR))  # (16, 64)
+    codes = {
+        r["vec_id"]: [r[f"code{j}"] for j in range(PQ_SUBSPACES)]
+        for r in q_embedding_pq_codes(spark, SF_DIR).collect()
+    }
+    vecs = {
+        r["vec_id"]: np.array([float(x) for x in r["embedding"]])
+        for r in tbl(spark, SF_DIR, "embeddings").collect()
+    }
+    X = np.array([vecs[k] for k in sorted(vecs)])
+    mean_mse = float(((X - X.mean(axis=0)) ** 2).mean())
+
+    errs = []
+    for vid in sorted(vecs):
+        rec = np.empty(PQ_SUBSPACES * PQ_SUBDIM)
+        for j, c in enumerate(codes[vid]):
+            assert 0 <= c < PQ_CODES
+            lo = j * PQ_SUBDIM
+            rec[lo : lo + PQ_SUBDIM] = cb[c][lo : lo + PQ_SUBDIM]
+        errs.append(((vecs[vid] - rec) ** 2).mean())
+    pq_mse = float(np.mean(errs))
+    assert pq_mse < mean_mse, (pq_mse, mean_mse)

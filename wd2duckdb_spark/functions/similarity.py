@@ -405,7 +405,110 @@ def _ivf_oracle() -> str:
     """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ)
+# ---------------------------------------------------------------------------
+
+#: PQ geometry: 64-dim embeddings → 8 subspaces × 8 dims, 16 codes per
+#: subspace ⇒ a vector compresses to 8 half-bytes (4 bytes vs 256 for
+#: float32) — the memory tier below int8 scalar quantization. Codebooks
+#: here are the subvectors of 16 fixed seed vectors (deterministic and
+#: oracle-expressible; trained k-means codebooks drop in without
+#: changing encode/search mechanics, same note as IVF_CENTROID_IDS).
+PQ_SUBSPACES = 8
+PQ_SUBDIM = 8
+PQ_CODES = 16
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """codebook[c] = 64-dim seed vector c (vec_id < PQ_CODES)."""
+    rows = (
+        tbl(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < PQ_CODES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return [
+        [float(x) for x in r["embedding"]]
+        for r in sorted(rows, key=lambda r: r["vec_id"])
+    ]
+
+
+def pq_code_col(vec: Column, codebook: list[list[float]], j: int) -> Column:
+    """Code index (0..PQ_CODES-1) of subspace ``j``: argmin of squared
+    L2 over the subvector, first-min tie-break on ascending code —
+    identical term order and association as the generated oracle SQL,
+    so both engines compare bit-identical doubles."""
+    lo = j * PQ_SUBDIM
+    dists = []
+    for c in range(PQ_CODES):
+        terms = None
+        for i in range(lo, lo + PQ_SUBDIM):
+            d = vec.getItem(i) - F.lit(codebook[c][i])
+            t = d * d
+            terms = t if terms is None else terms + t
+        dists.append(terms)
+    arr = F.array(*dists)
+    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+
+
+def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding of the embedding column: 8 integer codes per vector
+    (the write-time transform of a PQ index). Integer output keeps the
+    oracle compare exact — no float rounding seam; search-time ADC
+    (asymmetric distance) is a lookup-table sum over these codes.
+
+    Per-row expression work only — zero shuffle, scan-speed at 100 TB;
+    the codebook is a driver-side constant folded into codegen (a real
+    deployment broadcasts the trained codebook the same way)."""
+    cb = _pq_codebook(spark, sf_dir)
+    e = tbl(spark, sf_dir, "embeddings")
+    v = _as_double(F.col("embedding"))
+    cols = [
+        pq_code_col(v, cb, j).alias(f"code{j}") for j in range(PQ_SUBSPACES)
+    ]
+    return e.select("vec_id", *cols).orderBy("vec_id")
+
+
+def _pq_oracle() -> str:
+    """Oracle with the SAME explicit term order as pq_code_col (left-
+    associated ascending-dim additions) so doubles match bit-for-bit."""
+    d_exprs = []
+    for j in range(PQ_SUBSPACES):
+        lo = j * PQ_SUBDIM
+        terms = " + ".join(
+            f"(v.v[{i + 1}] - s.sv[{i + 1}]) * (v.v[{i + 1}] - s.sv[{i + 1}])"
+            for i in range(lo, lo + PQ_SUBDIM)
+        )
+        d_exprs.append(f"{terms} AS d{j}")
+    mins = ", ".join(f"min(d{j}) AS m{j}" for j in range(PQ_SUBSPACES))
+    picks = ", ".join(
+        f"CAST(min(CASE WHEN d.d{j} = b.m{j} THEN d.c END) AS INT) AS code{j}"
+        for j in range(PQ_SUBSPACES)
+    )
+    return f"""
+        WITH seeds AS (
+            SELECT vec_id AS c, CAST(embedding AS DOUBLE[]) AS sv
+            FROM embeddings WHERE vec_id < {PQ_CODES}
+        ), vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), dist AS (
+            SELECT v.vec_id, s.c, {", ".join(d_exprs)}
+            FROM vecs v CROSS JOIN seeds s
+        ), best AS (
+            SELECT vec_id, {mins} FROM dist GROUP BY vec_id
+        )
+        SELECT d.vec_id, {picks}
+        FROM dist d JOIN best b USING (vec_id)
+        GROUP BY d.vec_id ORDER BY d.vec_id
+    """
+
+
 ORACLES: dict[str, str] = {
+    "embedding_pq_codes": _pq_oracle(),
+
     "ann_bruteforce_topk": """
         WITH q AS (
             SELECT CAST(embedding AS DOUBLE[]) AS e
@@ -459,6 +562,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "embedding_pq_codes": q_embedding_pq_codes,
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ivf_ann_topk": q_ivf_ann_topk,
