@@ -113,3 +113,51 @@ def test_pq_reconstruction_beats_mean_baseline(spark):
         errs.append(((vecs[vid] - rec) ** 2).mean())
     pq_mse = float(np.mean(errs))
     assert pq_mse < mean_mse, (pq_mse, mean_mse)
+
+
+def test_pq_adc_correlates_with_exact_distance(spark):
+    """ADC estimates from 4-byte codes must track true squared-L2
+    distance: Pearson r > 0.5 across the corpus, and the ADC top-10
+    must rank far better than random (mean true distance of the ADC
+    picks below the corpus mean)."""
+    import numpy as np
+
+    from tests.conftest import SF_DIR
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.functions.similarity import (
+        _pq_codebook,
+        _pq_lut,
+        q_pq_adc_topk,
+        query_vector,
+    )
+
+    qv = np.array(query_vector(spark, SF_DIR, 0))
+    vecs = {
+        r["vec_id"]: np.array([float(x) for x in r["embedding"]])
+        for r in tbl(spark, SF_DIR, "embeddings").collect()
+        if r["vec_id"] != 0
+    }
+    true_d = {k: float(((v - qv) ** 2).sum()) for k, v in vecs.items()}
+
+    # recompute ADC for every vector driver-side from the same LUT
+    cb = np.array(_pq_codebook(spark, SF_DIR))
+    lut = _pq_lut(list(map(float, qv)), cb.tolist())
+    adc = {}
+    for k, v in vecs.items():
+        s = 0.0
+        for j in range(8):
+            lo = j * 8
+            sub = v[lo : lo + 8]
+            code = int(
+                np.argmin([((sub - cb[c][lo : lo + 8]) ** 2).sum() for c in range(16)])
+            )
+            s += lut[j][code]
+        adc[k] = s
+    keys = sorted(vecs)
+    r = np.corrcoef([true_d[k] for k in keys], [adc[k] for k in keys])[0, 1]
+    assert r > 0.5, r
+
+    picks = [row["vec_id"] for row in q_pq_adc_topk(spark, SF_DIR).collect()]
+    mean_all = np.mean([true_d[k] for k in keys])
+    mean_picked = np.mean([true_d[k] for k in picks])
+    assert mean_picked < mean_all, (mean_picked, mean_all)

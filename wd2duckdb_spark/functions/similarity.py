@@ -506,7 +506,97 @@ def _pq_oracle() -> str:
     """
 
 
+
+
+def _pq_lut(qv: list[float], codebook: list[list[float]]) -> list[list[float]]:
+    """ADC lookup table: lut[j][c] = ||q_sub_j - codebook[c]_sub_j||²,
+    ascending-dim left-fold — the same op order as the oracle's
+    generated SQL, so the table literals are bit-identical doubles."""
+    lut = []
+    for j in range(PQ_SUBSPACES):
+        lo = j * PQ_SUBDIM
+        lut.append(
+            [
+                sum(
+                    (qv[i] - codebook[c][i]) * (qv[i] - codebook[c][i])
+                    for i in range(lo, lo + PQ_SUBDIM)
+                )
+                for c in range(PQ_CODES)
+            ]
+        )
+    return lut
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search: approximate top-10 nearest (squared L2) to vec_id=0
+    by ASYMMETRIC DISTANCE — the query stays exact, candidates are
+    their PQ codes, and distance is 8 lookup-table reads + adds per
+    candidate. This is the memory-bound inner loop of a billion-vector
+    index: candidates never rehydrate to floats, the 8×16-double LUT
+    broadcasts as literals, and the scan stays whole-stage codegen.
+    floor-normalized distances (PLANS.md rounding convention)."""
+    qv = query_vector(spark, sf_dir, 0)
+    cb = _pq_codebook(spark, sf_dir)
+    lut = _pq_lut(qv, cb)
+    e = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    v = _as_double(F.col("embedding"))
+    dist = None
+    for j in range(PQ_SUBSPACES):
+        lk = F.element_at(
+            F.array(*[F.lit(x) for x in lut[j]]), pq_code_col(v, cb, j) + 1
+        )
+        dist = lk if dist is None else dist + lk
+    return (
+        e.select(
+            "vec_id",
+            (F.floor(dist * 1000000 + F.lit(0.5)) / 1000000).alias(
+                "adc_dist"
+            ),
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )
+
+
+def _pq_adc_oracle() -> str:
+    lut_exprs = []
+    for j in range(PQ_SUBSPACES):
+        lo = j * PQ_SUBDIM
+        terms = " + ".join(
+            f"(q.v[{i + 1}] - s.sv[{i + 1}]) * (q.v[{i + 1}] - s.sv[{i + 1}])"
+            for i in range(lo, lo + PQ_SUBDIM)
+        )
+        lut_exprs.append(f"{terms} AS l{j}")
+    joins = "\n            ".join(
+        f"JOIN lut t{j} ON t{j}.c = codes.code{j}"
+        for j in range(PQ_SUBSPACES)
+    )
+    dist = " + ".join(f"t{j}.l{j}" for j in range(PQ_SUBSPACES))
+    return f"""
+        WITH pq AS ({_pq_oracle()}),
+        codes AS (SELECT * FROM pq),
+        q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            WHERE vec_id = 0
+        ), seeds AS (
+            SELECT vec_id AS c, CAST(embedding AS DOUBLE[]) AS sv
+            FROM embeddings WHERE vec_id < {PQ_CODES}
+        ), lut AS (
+            SELECT s.c, {", ".join(lut_exprs)}
+            FROM seeds s CROSS JOIN q
+        )
+        SELECT codes.vec_id,
+               floor(({dist}) * 1000000 + 0.5) / 1000000 AS adc_dist
+        FROM codes
+            {joins}
+        WHERE codes.vec_id <> 0
+        ORDER BY adc_dist, codes.vec_id LIMIT 10
+    """
+
+
 ORACLES: dict[str, str] = {
+    "pq_adc_topk": _pq_adc_oracle(),
+
     "embedding_pq_codes": _pq_oracle(),
 
     "ann_bruteforce_topk": """
@@ -562,6 +652,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "pq_adc_topk": q_pq_adc_topk,
     "embedding_pq_codes": q_embedding_pq_codes,
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
