@@ -471,3 +471,58 @@ def test_transform_with_state_plan_builds(spark, tmp_path):
     assert [f.name for f in out.schema.fields] == [
         "user_id", "n_events", "total_value", "last_seen",
     ]
+
+
+def test_windowed_distinct_users_stream_matches_batch(spark, tmp_path):
+    """The HLL windowed distinct, fed two micro-batches with a
+    watermark, produces the same per-window estimates as the batch
+    twin, and each estimate is within 5%+3 of the exact distinct."""
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.streaming.ingest_stream import windowed_distinct_users
+
+    e = tbl(spark, SF_DIR, "events").select("ts", "event_id", "user_id", "value")
+    rows = sorted(e.collect(), key=lambda r: (r.ts, r.event_id))
+    cut = rows[len(rows) // 2].ts
+    in_dir = tmp_path / "wdu_in"
+    in_dir.mkdir()
+    e.filter(F.col("ts") <= F.lit(cut)).coalesce(1).write.parquet(
+        str(in_dir / "b0.parquet")
+    )
+    e.filter(F.col("ts") > F.lit(cut)).coalesce(1).write.parquet(
+        str(in_dir / "b1.parquet")
+    )
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*.parquet")
+    )
+    q = (
+        windowed_distinct_users(stream)
+        .writeStream.format("memory")
+        .queryName("wdu")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "wdu_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r.window_start: (r.approx_users, r.n_events)
+        for r in spark.sql("SELECT * FROM wdu").collect()
+    }
+    want = {
+        r.window_start: (r.approx_users, r.n_events)
+        for r in windowed_distinct_users(e).collect()
+    }
+    assert got == want
+
+    exact = {
+        r.w: r.n
+        for r in e.groupBy(F.window("ts", "1 hour").alias("ww"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .select(F.col("ww.start").alias("w"), "n")
+        .collect()
+    }
+    for w, (approx, _) in got.items():
+        assert abs(approx - exact[w]) <= max(3, 0.05 * exact[w]), (w, approx, exact[w])

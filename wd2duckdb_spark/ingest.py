@@ -120,6 +120,15 @@ def read_dump_lines(spark: SparkSession, path: str) -> DataFrame:
     unbounded-source variant.
     """
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(DUMP_SPLIT_BYTES))
+    # Small-dump parallelism: default openCostInBytes (4 MB) bin-packs a
+    # tens-of-MB dump into ~6 tasks on 32 cores; aim for one split per
+    # core instead. No effect at real scale — the 16 MB cap above
+    # already yields >cores splits for GB+ dumps.
+    spark.conf.set("spark.sql.files.openCostInBytes", str(512 * 1024))
+    spark.conf.set(
+        "spark.sql.files.minPartitionNum",
+        str(spark.sparkContext.defaultParallelism),
+    )
     return spark.read.text(path).withColumnRenamed("value", "line")
 
 

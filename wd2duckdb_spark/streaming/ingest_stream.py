@@ -147,3 +147,32 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def windowed_distinct_users(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Approximate distinct users per tumbling window — the streaming
+    cardinality analytic. EXACT distinct inside a streaming aggregate
+    would keep every seen key in the state store per window; HLL++
+    (`approx_count_distinct`) keeps a KB-scale mergeable sketch in
+    state instead, which is the only formulation that holds at
+    100 TB/day event volume. Works identically on a batch frame (the
+    parity test's twin)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "approx_users",
+            "n_events",
+        )
+    )
