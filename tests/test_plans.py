@@ -568,3 +568,55 @@ def test_parquet_bloom_filter_layout(spark, tmp_path):
     probe = spark.read.parquet(bloomed).filter(F.col("doc_hash") == needle)
     want = spark.read.parquet(plain).filter(F.col("doc_hash") == needle)
     assert probe.count() == want.count() > 0
+
+
+def test_cbo_join_reorder_with_stats(spark, tmp_path):
+    """With column stats + CBO, a fact-fact-dim query written in the
+    WORST syntactic order (fact x fact first) is reordered to start
+    from the selective filtered pair; without joinReorder the
+    syntactic order survives."""
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.layout import compute_stats
+    from wd2duckdb_spark.plans import explain_str
+    import re
+
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try:
+        for t in ("customer", "orders", "lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}_cbo")
+            (
+                tbl(spark, SF_DIR, t)
+                .write.mode("overwrite")
+                .option("path", str(tmp_path / t))
+                .saveAsTable(f"{t}_cbo")
+            )
+        compute_stats(spark, ("customer_cbo", "orders_cbo", "lineitem_cbo"))
+        q = """
+            SELECT c.c_mktsegment, count(*) AS n
+            FROM lineitem_cbo l
+            JOIN orders_cbo o ON l.l_orderkey = o.o_orderkey
+            JOIN customer_cbo c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_totalprice > 100000
+            GROUP BY c.c_mktsegment
+        """
+
+        def scan_order():
+            p = explain_str(spark.sql(q), "formatted")
+            return [
+                m.split("/")[-1]
+                for m in re.findall(r"file:[^\]\s]*/(\w+)\]", p)
+            ] or re.findall(r"(customer|orders|lineitem)_cbo", p)
+
+        reordered = scan_order()
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        syntactic = scan_order()
+        assert reordered != syntactic, (reordered, syntactic)
+        # the fact table must NOT be in the first join pair under CBO
+        assert "lineitem" not in [t.replace("_cbo", "") for t in reordered[:2]]
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        for t in ("customer", "orders", "lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}_cbo")

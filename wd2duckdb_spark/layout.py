@@ -170,3 +170,22 @@ def write_bloom_filtered(
             f"parquet.bloom.filter.expected.ndv#{c}", str(ndv)
         )
     w.parquet(path)
+
+
+def compute_stats(
+    spark: SparkSession,
+    tables: tuple[str, ...],
+    columns: bool = True,
+) -> None:
+    """ANALYZE TABLE over saved tables: table-level row/byte counts
+    plus (optionally) per-column NDV/min/max histograms — the metadata
+    that unlocks cost-based join reordering (`spark.sql.cbo.enabled` +
+    `joinReorder`). Without stats Catalyst keeps the syntactic join
+    order; with them a 3+-table query starts from the most selective
+    pair (pinned in test_plans.py::test_cbo_join_reorder_with_stats).
+    At 100 TB, stats collection is a scheduled maintenance job next to
+    compaction — stale NDVs mis-cost joins.
+    """
+    for t in tables:
+        suffix = " FOR ALL COLUMNS" if columns else ""
+        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS{suffix}")
