@@ -620,3 +620,50 @@ def test_cbo_join_reorder_with_stats(spark, tmp_path):
         spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
         for t in ("customer", "orders", "lineitem"):
             spark.sql(f"DROP TABLE IF EXISTS {t}_cbo")
+
+
+def test_asof_join_semantics_and_plan(spark):
+    """asof_join: latest at-or-before semantics incl. equal-ts match,
+    tie-break by the designated column, NULL when nothing precedes —
+    and the plan is ONE shuffle (the union-tag window), no join
+    operator at all."""
+    import datetime as dt
+
+    from wd2duckdb_spark.operators.relational import asof_join
+    from wd2duckdb_spark.plans import plan_summary
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    quotes = spark.createDataFrame(
+        [
+            (1, t(0), 100, 10.0),
+            (1, t(5), 101, 11.0),
+            (1, t(5), 102, 12.0),  # tie at 10:05 → event_id 102 wins
+            (2, t(30), 200, 20.0),
+        ],
+        "k long, ts timestamp, event_id long, px double",
+    )
+    probes = spark.createDataFrame(
+        [
+            (1, t(5), "at-tie"),
+            (1, t(4), "between"),
+            (2, t(0), "before-any"),
+            (3, t(0), "no-key"),
+        ],
+        "k long, pts timestamp, label string",
+    )
+    out = asof_join(
+        probes, quotes, key="k", left_ts="pts", right_ts="ts",
+        value_cols=("px",), right_tiebreak="event_id",
+    )
+    got = {r.label: r.asof_px for r in out.collect()}
+    assert got == {
+        "at-tie": 12.0,      # equal ts included, max event_id wins
+        "between": 10.0,     # strictly-before row carries forward
+        "before-any": None,  # right rows exist but all later
+        "no-key": None,      # key absent entirely
+    }
+    s = plan_summary(out)
+    assert (
+        s["broadcast_hash_join"] + s["sort_merge_join"]
+        + s["shuffled_hash_join"] + s["nested_loop_join"] == 0
+    ), "asof_join must not plan any join operator"

@@ -1061,7 +1061,125 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: tuple[str, ...],
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """General AS-OF join: each ``left`` row picks up the latest
+    ``right`` row with the same key and ``right_ts <= left_ts``.
+
+    Scale formulation = union-tag + one window pass: tag both sides,
+    union them, sort each key's rows by (ts, tag) — right rows sort
+    BEFORE left rows at equal ts, so "at or before" includes ties —
+    and carry the right side's values forward with last(...) IGNORE
+    NULLS. ONE shuffle on the key, no per-left-row subquery, no range
+    join explosion; this is the formulation that survives a 100 TB
+    fact side (the probe rows ride the same partitioning as the
+    quotes). Left rows with no prior right row keep NULLs.
+
+    ``right_tiebreak``: a right-side column ordering ties among right
+    rows with equal (key, ts) — without it, which tied row's values
+    carry forward is partition-order-dependent (flaky across engines
+    and retries). Left rows all carry NULL in that slot; their
+    relative order is irrelevant (equal carried prefix).
+    """
+    tie_t = (
+        right.schema[right_tiebreak].dataType if right_tiebreak else "long"
+    )
+    lt = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(tie_t).alias("_tie"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+          for c in value_cols],
+        *left.columns,
+    )
+    rt = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        (F.col(right_tiebreak) if right_tiebreak else F.lit(None).cast("long"))
+        .alias("_tie"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_tag", F.col("_tie").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = lt.unionByName(rt).select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("_tag") == 1).select(
+        *left.columns, *[f"asof_{c}" for c in value_cols]
+    )
+
+
+def q_asof_join_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join of the orders stream onto the events stream: each
+    order (keyed by customer id ≡ user id in the synthetic schema)
+    picks up the most recent event timestamp and value at or before
+    its order date. The general two-table as-of operator —
+    `asof_latest_event` is its single-cutoff special case."""
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("timestamp").alias("o_ts"),
+    )
+    e = tbl(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        "ts",
+        "event_id",
+        F.col("ts").alias("ev_ts"),
+        F.round("value", 2).alias("ev_value"),
+    )
+    joined = asof_join(
+        o, e, key="k", left_ts="o_ts", right_ts="ts",
+        value_cols=("ev_ts", "ev_value"), right_tiebreak="event_id",
+    )
+    return joined.select(
+        "o_orderkey", F.col("k").alias("custkey"),
+        "asof_ev_ts", "asof_ev_value",
+    ).orderBy("o_orderkey")
+
 ORACLES: dict[str, str] = {
+    "asof_join_orders_events": """
+        WITH u AS (
+            SELECT user_id AS k, ts AS uts, 0 AS tag, event_id AS tie,
+                   ts AS ev_ts, round(value, 2) AS ev_value,
+                   CAST(NULL AS BIGINT) AS o_orderkey
+            FROM events
+            UNION ALL
+            SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP), 1, NULL,
+                   NULL, NULL, o_orderkey
+            FROM orders
+        ), carried AS (
+            SELECT *,
+                   last_value(ev_ts IGNORE NULLS) OVER w AS asof_ev_ts,
+                   last_value(ev_value IGNORE NULLS) OVER w AS asof_ev_value
+            FROM u
+            WINDOW w AS (PARTITION BY k ORDER BY uts, tag,
+                                      tie ASC NULLS LAST
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT o_orderkey, k AS custkey, asof_ev_ts, asof_ev_value
+        FROM carried WHERE tag = 1 ORDER BY o_orderkey
+    """,
+
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
@@ -1546,6 +1664,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "asof_join_orders_events": q_asof_join_orders_events,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_shipping_priority": q_q3_shipping_priority,
     "q5_local_supplier_volume": q_q5_local_supplier_volume,
