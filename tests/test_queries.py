@@ -92,3 +92,30 @@ def test_approx_quantiles_error_bound(spark):
             assert abs(a - e) / abs(e) <= 0.01, (
                 f"{r['l_returnflag']}: approx {a} vs exact {e}"
             )
+
+
+def test_catalog_normalizes_temporal_drift(spark, tmp_path):
+    """The driver regenerates testdata between rounds and has already
+    shipped events.ts in two physical types; the catalog must present
+    ONE stable type (TIMESTAMP) for every declared temporal column no
+    matter which layout arrives. Simulates a DATE-typed regeneration."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import TimestampType
+
+    from wd2duckdb_spark.catalog import _TS_COLUMNS, tbl
+
+    mimic = tmp_path / "sfmimic"
+    mimic.mkdir()
+    o = tbl(spark, SF_DIR, "orders").withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("date")
+    )
+    o.write.parquet(str(mimic / "orders.parquet"))
+    got = tbl(spark, str(mimic), "orders")
+    assert isinstance(got.schema["o_orderdate"].dataType, TimestampType)
+    assert got.count() == o.count()
+
+    # and the real layouts, whatever they currently are, all normalize
+    for name, cols in _TS_COLUMNS.items():
+        df = tbl(spark, SF_DIR, name)
+        for c in cols:
+            assert isinstance(df.schema[c].dataType, TimestampType), (name, c)

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampType
 
 TESTDATA_TABLES = (
     "region",
@@ -47,19 +47,32 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: Temporal columns the driver has shipped (or may ship) in varying
+#: parquet types across regenerations; each is normalized to
+#: TIMESTAMP_LTZ on read so every query sees one stable type.
+_TS_COLUMNS = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if isinstance(df.schema["ts"].dataType, LongType):
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _TS_COLUMNS.get(name, ()):
+        if isinstance(df.schema[col].dataType, LongType):
+            # TIMESTAMP(NANOS) read as long (legacy mode): exact
+            # integer truncation to micros — DuckDB truncates the same.
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                col, F.timestamp_micros(F.expr(f"{col} div 1000"))
             )
-        else:
-            # timestamp[us] parquet arrives as TIMESTAMP_NTZ; normalize
-            # to LTZ (identity under the session's UTC timezone) so
-            # epoch casts and streaming watermarks — which require
-            # TIMESTAMP — work unchanged downstream.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        elif not isinstance(df.schema[col].dataType, TimestampType):
+            # timestamp[us] arrives as TIMESTAMP_NTZ, and a future
+            # regeneration could ship DATE; either casts to LTZ —
+            # identity under the session's UTC timezone — so epoch
+            # casts and streaming watermarks (which require TIMESTAMP)
+            # work unchanged downstream.
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
