@@ -91,6 +91,65 @@ def test_band_join_avoids_nested_loop(spark):
     )
 
 
+def test_embedding_neardup_plan_is_bucketed(spark):
+    """Banded-LSH near-dup must never fall back to an all-pairs join:
+    the plan is scan -> one bucket groupBy exchange -> in-bucket
+    Generate, with NO join operator of any kind (VERDICT r1 item 1)."""
+    from wd2duckdb_spark.functions.dedup import q_embedding_neardup
+    from wd2duckdb_spark.plans import plan_summary
+
+    s = plan_summary(q_embedding_neardup(spark, SF_DIR))
+    assert s["nested_loop_join"] == 0
+    assert (
+        s["broadcast_hash_join"] + s["shuffled_hash_join"] + s["sort_merge_join"]
+        == 0
+    )  # candidate pairs come from bucket expansion, not a self-join
+    assert s["generate"] >= 2  # band fan-out + in-bucket pair expansion
+    assert s["exchange"] <= 3  # bucket groupBy, distinct, final sort
+
+
+def test_embedding_neardup_banded_equals_exhaustive(spark):
+    """The (2 planes, 32 tables) banding has per-pair miss probability
+    ~9e-8 at the 0.4 threshold, so the candidate set must reproduce the
+    exhaustive all-pairs result exactly on the fixture."""
+    from wd2duckdb_spark.functions.dedup import q_embedding_neardup
+    from wd2duckdb_spark.catalog import tbl
+
+    banded = q_embedding_neardup(spark, SF_DIR).collect()
+
+    e = tbl(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+            )
+        )
+
+    exhaustive = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            F.round(dot / (norm(F.col("a.v")) * norm(F.col("b.v"))), 4).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") > 0.4)
+        .orderBy("a_id", "b_id")
+        .collect()
+    )
+    assert [tuple(r) for r in banded] == [tuple(r) for r in exhaustive]
+
+
 def test_q19_envelope_pushdown(spark):
     """The OR-of-ANDs disjunction can't push whole, but Catalyst
     derives each column's envelope (union of its ranges) and pushes

