@@ -1,9 +1,14 @@
-"""Multimodal plumbing: binary media table, Arrow-batched feature
-extraction (stubbed codec), frame-sample fan-out."""
+"""Multimodal plumbing: binary media table with REAL container bytes,
+stdlib header parser, Arrow-batched feature extraction, frame-sample
+fan-out. Golden container bytes in the unit tests are packed with
+Python ``struct`` independently of the SQL hex constructors, so a bug
+in either side fails the cross-check."""
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 
 import pytest
 
@@ -15,22 +20,128 @@ from wd2duckdb_spark.functions.multimodal import (
     extract_features,
     fake_decode,
     frame_sample_plan,
+    header_decode,
+    parse_media_header,
     synthesize_media,
+    synthesize_mixed_media,
 )
 
 
-def test_media_schema(spark):
+def _golden_bmp(w: int, h: int, payload: bytes) -> bytes:
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(payload), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(payload),
+                      2835, 2835, 0, 0)
+        + payload
+    )
+
+
+def _golden_png(w: int, h: int, payload: bytes) -> bytes:
+    ihdr = b"IHDR" + struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + ihdr
+        + struct.pack(">I", zlib.crc32(ihdr))
+        + payload
+    )
+
+
+def _golden_gif(w: int, h: int, payload: bytes) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00" + payload
+
+
+def _golden_wav(rate: int, payload: bytes) -> bytes:
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(payload))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(payload))
+        + payload
+    )
+
+
+def test_parse_media_header_golden_containers():
+    px = b"pixeldata-0123456789"
+    bmp = parse_media_header(_golden_bmp(33, 21, px))
+    assert (bmp["mime"], bmp["width"], bmp["height"], bmp["data_offset"]) == (
+        "image/bmp", 33, 21, 54
+    )
+    png = parse_media_header(_golden_png(640, 480, px))
+    assert (png["mime"], png["width"], png["height"]) == ("image/png", 640, 480)
+    gif = parse_media_header(_golden_gif(12, 7, px))
+    assert (gif["mime"], gif["width"], gif["height"]) == ("image/gif", 12, 7)
+    wav = parse_media_header(_golden_wav(16000, b"x" * 64000))
+    assert (wav["mime"], wav["sample_rate"], wav["duration_ms"]) == (
+        "audio/wav", 16000, 2000
+    )
+    # JPEG: SOI + APP0 stub + SOF0 carrying the dimensions
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+        + b"\xff\xc0" + struct.pack(">H", 11)
+        + struct.pack(">BHHB", 8, 99, 101, 3) + b"\x00\x00\x00"
+    )
+    j = parse_media_header(jpeg)
+    assert (j["mime"], j["width"], j["height"]) == ("image/jpeg", 101, 99)
+    with pytest.raises(ValueError):
+        parse_media_header(b"\x00\x01unknown")
+
+
+def test_media_schema_is_real_bmp(spark):
     m = synthesize_media(spark, SF_DIR)
     assert dict(m.dtypes)["content"] == "binary"
     row = m.filter(F.col("media_id") == 7).first()
+    content = bytes(row["content"])
     assert row["kind"] == "image"
-    assert row["meta"]["mime"] == "image/x-fake"
-    assert bytes(row["content"]).startswith(b"IMG|")
+    assert row["meta"]["mime"] == "image/bmp"
+    # byte-identical to the struct-packed golden BMP for the same doc
+    text = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") == 7)
+        .first()["text"]
+    )
+    assert content == _golden_bmp(7 % 64 + 16, 7 % 48 + 16, text.encode())
 
 
-def test_decode_stub_is_loud():
+def test_mixed_media_matches_golden_bytes(spark):
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") < 4)
+        .collect()
+    }
+    rows = {
+        r["media_id"]: bytes(r["content"])
+        for r in synthesize_mixed_media(spark, SF_DIR)
+        .filter(F.col("media_id") < 4)
+        .collect()
+    }
+    for i, text in docs.items():
+        w, h, payload = i % 64 + 16, i % 48 + 16, text.encode()
+        golden = {
+            0: _golden_png,
+            1: _golden_gif,
+            2: _golden_bmp,
+        }.get(i % 4)
+        want = (
+            golden(w, h, payload)
+            if golden
+            else _golden_wav(16000, payload)
+        )
+        assert rows[i] == want, f"doc {i} container bytes diverge"
+
+
+def test_decode_without_codec_parses_headers():
+    content = _golden_bmp(5, 3, bytes(range(32)))
+    d = decode_image(content)  # no injected decoder: stdlib fallback
+    assert (d["width"], d["height"]) == (5, 3)
+    assert d["pixels"][:4] == [0.0, 1 / 255.0, 2 / 255.0, 3 / 255.0]
     with pytest.raises(NotImplementedError):
-        decode_image(b"IMG|1|1|x")
+        decode_image(b"\x00\x01not-a-container")
 
 
 def test_extract_features_roundtrip(spark):
@@ -41,15 +152,21 @@ def test_extract_features_roundtrip(spark):
     src = m.filter(F.col("media_id") == 7).first()
     content = bytes(src["content"])
     assert row["n_bytes"] == len(content)
-    assert row["checksum"] == hashlib.md5(content).hexdigest()
+    assert row["checksum"] == hashlib.md5(content.hex().encode()).hexdigest()
     assert (row["width"], row["height"]) == (
         src["meta"]["width"], src["meta"]["height"]
     )
     assert len(row["feature"]) == 16
-    want = fake_decode(content)["pixels"]
+    want = header_decode(content)["pixels"]
     assert [round(float(x), 5) for x in row["feature"]] == [
         round(x, 5) for x in want
     ]
+
+
+def test_fake_decode_legacy_format():
+    d = fake_decode(b"IMG|4|2|abcd")
+    assert (d["width"], d["height"]) == (4, 2)
+    assert decode_image(b"IMG|4|2|abcd")["width"] == 4
 
 
 def test_frame_sample_plan(spark):
