@@ -118,3 +118,32 @@ def test_cli_end_to_end(tmp_path):
         capture_output=True, text=True, timeout=120, cwd="/root/repo",
     )
     assert r2.returncode == 1 and "already exists" in r2.stderr
+
+
+def test_cli_stdin_dash(tmp_path):
+    """`bzcat dump | python -m wd2duckdb_spark --json - --database Y`
+    — the reference's stdin contract (main.rs:261-269, README.md:31-55).
+    Pipes the COMPRESSED bytes to also exercise the magic-byte sniff
+    (the staged temp file must get a .bz2 suffix for codec decode)."""
+    import bz2
+    import subprocess
+    import sys
+
+    import duckdb
+
+    db = tmp_path / "stdin.duckdb"
+    with open(FIXTURE_DUMP, "rb") as f:
+        compressed = bz2.compress(f.read())
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "wd2duckdb_spark",
+            "--json", "-", "--database", str(db),
+        ],
+        input=compressed,
+        capture_output=True, timeout=300, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:].decode(errors="replace")
+    assert b"entities processed in" in r.stdout
+    con = duckdb.connect(str(db), read_only=True)
+    assert con.sql("SELECT count(*) FROM vertex").fetchone()[0] == 7
+    con.close()

@@ -10,10 +10,13 @@ loop.
 
 Differences from the reference, by design:
 
-- ``--json -`` (stdin) is replaced by pointing ``--json`` at a
-  compressed dump directly — Spark reads .bz2/.gz natively, so the
-  ``bzcat … | -`` pipe (README.md:31-55) is unnecessary; for true
-  continuous arrival use ``--stream-dir`` (Structured Streaming).
+- ``--json -`` (stdin, main.rs:261-269) works: stdin is staged to a
+  driver-local temp file (with bz2/gz magic sniffing, so ``bzcat dump
+  | --json -`` and ``cat dump.bz2 | --json -`` both behave), then
+  ingested distributed. Staging is inherently single-stream — at
+  scale, point ``--json`` at the dump file instead (Spark reads
+  .bz2/.gz natively and splits the read), or use ``--stream-dir``
+  (Structured Streaming) for continuous arrival.
 - ``--parquet-out`` keeps the distributed parquet tables (the
   engine-native form) next to the DuckDB file.
 - ``--lang`` makes the English-only projection configurable
@@ -29,6 +32,27 @@ import tempfile
 import time
 
 
+def _stage_stdin() -> str:
+    """Stage the ``--json -`` stdin stream to a temp file Spark can
+    read (the reference reads the dump from ``-``; Spark sources need
+    a seekable path). Sniffs bz2/gz magic bytes so piping either the
+    decompressed dump (``bzcat dump | … -``) or the compressed file
+    itself (``cat dump.bz2 | … -``) picks the right codec."""
+    import os
+
+    head = sys.stdin.buffer.read(4)
+    suffix = ".json"
+    if head.startswith(b"BZh"):
+        suffix = ".json.bz2"
+    elif head.startswith(b"\x1f\x8b"):
+        suffix = ".json.gz"
+    fd, path = tempfile.mkstemp(prefix="wd2duckdb_stdin_", suffix=suffix)
+    with os.fdopen(fd, "wb") as f:
+        f.write(head)
+        shutil.copyfileobj(sys.stdin.buffer, f, 1 << 20)
+    return path
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(
         prog="wd2duckdb_spark",
@@ -37,7 +61,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--json",
         default=None,
-        help="dump path (.json/.bz2/.gz); required unless --stream-dir",
+        help="dump path (.json/.bz2/.gz), or '-' to read the dump from "
+        "stdin; required unless --stream-dir",
     )
     p.add_argument("--database", required=True, help="output DuckDB file")
     p.add_argument("--lang", default="en", help="label/description language")
@@ -65,6 +90,10 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     if (args.json is None) == (args.stream_dir is None):
         p.error("exactly one of --json or --stream-dir is required")
+
+    staged_stdin = None
+    if args.json == "-":
+        staged_stdin = args.json = _stage_stdin()
 
     from wd2duckdb_spark import get_spark
     from wd2duckdb_spark.sources.duckdb_io import export_duckdb
@@ -141,6 +170,10 @@ def main(argv: list[str] | None = None) -> int:
     finally:
         if args.parquet_out is None:
             shutil.rmtree(out, ignore_errors=True)
+        if staged_stdin is not None:
+            import os
+
+            os.unlink(staged_stdin)
         spark.stop()
 
 
