@@ -449,25 +449,42 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
 def pq_code_sql(vec_sql: str, codebook: list[list[float]], j: int) -> str:
     """SQL text for the code index (0..PQ_CODES-1) of subspace ``j``:
     argmin of squared L2 over the subvector, first-min tie-break on
-    ascending code — identical term order and association as the
-    generated oracle SQL, so both engines compare bit-identical
-    doubles (``repr(float)`` round-trips exactly through the parser).
+    ascending code (array_position returns the first match).
 
-    A string, not a Column tree: building the ~1k-node expression via
-    the Column API costs ~58k py4j round-trips (~8-13 s of DRIVER time
-    per plan build, measured); one F.expr() parse is milliseconds.
-    ``vec_sql`` indexes 0-based (Spark array access)."""
+    Shape: the subspace codebook is ONE 2-D array literal and the
+    16 distances come from a transform + zip_with/aggregate fold —
+    ~8x fewer expression-tree nodes than spelling out every
+    (v[i]-c)*(v[i]-c) term (which cost ~1 s of driver-side analysis
+    per plan build at 8 subspaces, VERDICT r1 item 6). Numerics are
+    unchanged: the fold adds squared terms in ascending-dim order
+    left-associated, and 0.0 + x == x exactly in IEEE for the x >= 0
+    squares, so doubles stay bit-identical to the oracle's explicit
+    " + " chains (repr(float) round-trips through both parsers).
+
+    A string, not a Column tree: building expressions this wide via
+    the Column API costs tens of thousands of py4j round-trips (~8-13 s
+    of DRIVER time per plan build, measured); one F.expr() parse is
+    milliseconds. ``vec_sql`` indexes 0-based (Spark array access)."""
     lo = j * PQ_SUBDIM
-    dists = []
-    for c in range(PQ_CODES):
-        terms = " + ".join(
-            f"({vec_sql}[{i}] - {codebook[c][i]!r})"
-            f" * ({vec_sql}[{i}] - {codebook[c][i]!r})"
-            for i in range(lo, lo + PQ_SUBDIM)
-        )
-        dists.append(f"({terms})")
-    arr = f"array({', '.join(dists)})"
-    return f"CAST(array_position({arr}, array_min({arr})) - 1 AS INT)"
+    sub_cb = ", ".join(
+        "array(" + ", ".join(repr(codebook[c][i]) for i in range(lo, lo + PQ_SUBDIM)) + ")"
+        for c in range(PQ_CODES)
+    )
+    dists = (
+        f"transform(array({sub_cb}), sc -> aggregate("
+        f"zip_with(slice({vec_sql}, {lo + 1}, {PQ_SUBDIM}), sc,"
+        f" (x, y) -> (x - y) * (x - y)),"
+        f" CAST(0 AS DOUBLE), (a, z) -> a + z))"
+    )
+    # single-pass argmin: strict < keeps the FIRST minimum (ascending
+    # code tie-break), and the distance array is evaluated once — the
+    # array_position(D, array_min(D)) form walks D twice.
+    return (
+        f"aggregate(zip_with({dists}, sequence(0, {PQ_CODES - 1}),"
+        f" (d, i) -> named_struct('d', d, 'i', i)),"
+        f" named_struct('d', CAST('Infinity' AS DOUBLE), 'i', -1),"
+        f" (acc, e) -> IF(e.d < acc.d, e, acc)).i"
+    )
 
 
 def pq_code_col(vec_sql: str, codebook: list[list[float]], j: int) -> Column:
@@ -480,12 +497,18 @@ def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle compare exact — no float rounding seam; search-time ADC
     (asymmetric distance) is a lookup-table sum over these codes.
 
-    Per-row expression work only — zero shuffle, scan-speed at 100 TB;
-    the codebook is a driver-side constant folded into codegen (a real
-    deployment broadcasts the trained codebook the same way)."""
+    Per-row expression work only — no shuffle needed at 100 TB, where
+    file splits provide the parallelism; the explicit repartition here
+    spreads the CPU-bound encode across cores because the fixture
+    table is a single parquet split (same rationale as the minhash
+    shingle path). The codebook is a driver-side constant shipped in
+    the plan (a real deployment broadcasts the trained codebook the
+    same way)."""
     cb = _pq_codebook(spark, sf_dir)
-    e = tbl(spark, sf_dir, "embeddings").withColumn(
-        "_v", _as_double(F.col("embedding"))
+    e = (
+        tbl(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("_v", _as_double(F.col("embedding")))
     )
     cols = [
         pq_code_col("_v", cb, j).alias(f"code{j}")
@@ -568,12 +591,18 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that fell out of whole-stage compilation (measured 8.4 s -> 1.2 s
     # at sf0.1 after the split). Materializing code columns first keeps
     # each generated method small.
-    codes = e.withColumn("_v", v).select(
-        "vec_id",
-        *[
-            pq_code_col("_v", cb, j).alias(f"_c{j}")
-            for j in range(PQ_SUBSPACES)
-        ],
+    codes = (
+        # repartition: the fixture table is one parquet split and the
+        # PQ encode is CPU-bound — spread it; at scale, splits do this.
+        e.repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("_v", v)
+        .select(
+            "vec_id",
+            *[
+                pq_code_col("_v", cb, j).alias(f"_c{j}")
+                for j in range(PQ_SUBSPACES)
+            ],
+        )
     )
     dist = F.expr(
         " + ".join(
