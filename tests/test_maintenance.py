@@ -146,3 +146,40 @@ def test_upsert_stream_merges_batches(spark, tmp_path):
 
     got = sorted(map(tuple, spark.read.parquet(base).collect()))
     assert got == [(1, "a0"), (2, "b1"), (3, "c0"), (4, "d1")]
+
+
+def test_upsert_stream_recovers_interrupted_swap(spark, tmp_path):
+    """Crash between the swap's delete and rename leaves a complete
+    ._staging dir and no base. The next batch must restore staging as
+    the base and merge into it — NOT rebuild the base from the single
+    micro-batch (ADVICE r1: the old bare-except treated any missing
+    base as 'first batch', discarding merged history)."""
+    import shutil
+
+    from wd2duckdb_spark.maintenance import upsert_stream
+
+    schema = "k long, v string"
+    base = str(tmp_path / "swap_base")
+    # simulate the crash point: merged history is in ._staging, base gone
+    spark.createDataFrame(
+        [(1, "a0"), (2, "b0"), (3, "c0")], schema
+    ).coalesce(1).write.parquet(base + "._staging")
+    assert not __import__("os").path.exists(base)
+
+    in_dir = tmp_path / "swap_in"
+    in_dir.mkdir()
+    spark.createDataFrame([(2, "b1"), (4, "d1")], schema).coalesce(
+        1
+    ).write.parquet(str(in_dir / "b0.parquet"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*.parquet")
+    )
+    q = upsert_stream(stream, base, ["k"], str(tmp_path / "swap_ckpt"))
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(base).collect()))
+    # history (1, 3) survived, key 2 replaced, key 4 appended
+    assert got == [(1, "a0"), (2, "b1"), (3, "c0"), (4, "d1")]
+    shutil.rmtree(base + "._staging", ignore_errors=True)

@@ -20,9 +20,11 @@ ORACLES = all_oracles()
 
 @pytest.fixture(scope="module")
 def con():
+    from wd2duckdb_spark.catalog import oracle_view_sql
+
     c = duckdb.connect()
     for t in TESTDATA_TABLES:
-        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        c.execute(oracle_view_sql(t, f"{SF_DIR}/{t}.parquet"))
     return c
 
 
@@ -119,3 +121,25 @@ def test_catalog_normalizes_temporal_drift(spark, tmp_path):
         df = tbl(spark, SF_DIR, name)
         for c in cols:
             assert isinstance(df.schema[c].dataType, TimestampType), (name, c)
+
+    # the ORACLE side must normalize identically (ADVICE r1): under the
+    # same DATE-typed drift, the DuckDB view layer presents TIMESTAMP,
+    # so str()-hashed values keep the 'YYYY-MM-DD HH:MM:SS' shape both
+    # engines agree on.
+    from wd2duckdb_spark.catalog import oracle_view_sql
+
+    c2 = duckdb.connect()
+    c2.execute(oracle_view_sql("orders", f"{mimic}/orders.parquet/*.parquet"))
+    (typ,) = c2.execute(
+        "SELECT data_type FROM duckdb_columns() WHERE table_name='orders'"
+        " AND column_name='o_orderdate'"
+    ).fetchone()
+    assert typ == "TIMESTAMP"
+    spark_val = str(got.orderBy("o_orderkey").first()["o_orderdate"])
+    duck_val = str(
+        c2.execute(
+            "SELECT o_orderdate FROM orders ORDER BY o_orderkey LIMIT 1"
+        ).fetchone()[0]
+    )
+    assert spark_val == duck_val
+    c2.close()

@@ -42,14 +42,14 @@ def main() -> int:
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
 
+    from wd2duckdb_spark.catalog import oracle_view_sql
+
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
     ).split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        con.execute(oracle_view_sql(t, f"{sf_dir}/{t}.parquet"))
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()

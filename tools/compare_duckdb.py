@@ -47,14 +47,14 @@ def main() -> None:
     # warm up JVM / codegen
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    from wd2duckdb_spark.catalog import oracle_view_sql
+
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem "
         "events documents embeddings"
     ).split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        con.execute(oracle_view_sql(t, f"{sf_dir}/{t}.parquet"))
 
     def time_min2(fn) -> float:
         best = float("inf")

@@ -57,6 +57,22 @@ _TS_COLUMNS = {
 }
 
 
+def oracle_view_sql(table: str, parquet_path: str) -> str:
+    """DuckDB ``CREATE VIEW`` statement for an oracle-side testdata
+    view, mirroring :func:`_read`'s temporal normalization (ADVICE r1):
+    Spark casts ``_TS_COLUMNS`` to TIMESTAMP whatever the parquet
+    layout, so the oracle must see the same type or str()-based value
+    hashing diverges under a DATE-typed regeneration
+    ('2024-01-15' vs '2024-01-15 00:00:00'). Every oracle harness
+    (driver-gate replica, pytest fixture, DuckDB head-to-head) builds
+    its views through this one helper so the mirror cannot drift."""
+    repl = ", ".join(
+        f"CAST({c} AS TIMESTAMP) AS {c}" for c in _TS_COLUMNS.get(table, ())
+    )
+    sel = f"SELECT * REPLACE ({repl})" if repl else "SELECT *"
+    return f"CREATE VIEW {table} AS {sel} FROM '{parquet_path}'"
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -355,12 +355,21 @@ def q_vocab_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_tokens",
             "vocab",
-            F.round(
-                F.log2("n_tokens") - F.col("_nlogn") / F.col("n_tokens"), 4
+            # floor-normalized, not round(): division-derived doubles
+            # can land on exact decimal ties where Spark and DuckDB
+            # round() disagree (PLANS.md "rounding ties")
+            (
+                F.floor(
+                    (F.log2("n_tokens") - F.col("_nlogn") / F.col("n_tokens"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
             ).alias("entropy_bits"),
-            F.round(F.col("vocab") / F.col("n_tokens"), 4).alias(
-                "type_token_ratio"
-            ),
+            (
+                F.floor(F.col("vocab") / F.col("n_tokens") * 10000 + F.lit(0.5))
+                / 10000
+            ).alias("type_token_ratio"),
         )
         .orderBy("source")
     )
@@ -378,10 +387,10 @@ ORACLES: dict[str, str] = {
         SELECT source,
                sum(n) AS n_tokens,
                count(*) AS vocab,
-               round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 4)
-                   AS entropy_bits,
-               round(CAST(count(*) AS DOUBLE) / sum(n), 4)
-                   AS type_token_ratio
+               floor((log2(sum(n)) - sum(n * log2(n)) / sum(n))
+                     * 10000 + 0.5) / 10000 AS entropy_bits,
+               floor(CAST(count(*) AS DOUBLE) / sum(n)
+                     * 10000 + 0.5) / 10000 AS type_token_ratio
         FROM counts GROUP BY source ORDER BY source
     """,
 

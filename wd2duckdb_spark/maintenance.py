@@ -135,27 +135,42 @@ def upsert_stream(
     The rewrite cost is the base table once per batch — right for
     dimension-scale tables (the vertex/labels case); fact-scale
     streams should append + compact instead (see :func:`compact`).
+
+    Crash safety of the swap (write staging → delete base → rename):
+    a batch that dies mid-staging-write leaves the base untouched; a
+    batch that dies between the delete and the rename leaves a
+    complete staging dir and no base, which the next batch restores
+    by renaming staging back into place BEFORE merging. Existence is
+    checked explicitly with the FileSystem API — a transient read
+    error propagates and fails the batch (Structured Streaming
+    retries it) instead of being mistaken for "first batch", which
+    would silently rebuild the base from one micro-batch. Replayed
+    batches are harmless: :func:`upsert` is key-replace, idempotent.
     """
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            base = spark.read.parquet(base_path)
-        except Exception:
-            base = None
-        merged = (
-            upsert(base, batch_df, keys) if base is not None else batch_df
-        )
-        # rewrite to a temp dir then swap: a failed write must not
-        # destroy the current base (parquet has no transaction log)
-        tmp = base_path.rstrip("/") + "._staging"
-        merged.write.mode("overwrite").parquet(tmp)
         jvm = spark._jvm
         hconf = spark.sparkContext._jsc.hadoopConfiguration()
         Path = jvm.org.apache.hadoop.fs.Path
-        fs = Path(base_path).getFileSystem(hconf)
-        fs.delete(Path(base_path), True)
-        fs.rename(Path(tmp), Path(base_path))
+        base_p = Path(base_path)
+        fs = base_p.getFileSystem(hconf)
+        tmp = base_path.rstrip("/") + "._staging"
+        tmp_p = Path(tmp)
+        if not fs.exists(base_p) and fs.exists(tmp_p):
+            # previous batch crashed between delete and rename: the
+            # staging dir is the fully-written merged base — restore.
+            fs.rename(tmp_p, base_p)
+        if fs.exists(base_p):
+            base = spark.read.parquet(base_path)  # read errors propagate
+            merged = upsert(base, batch_df, keys)
+        else:
+            merged = batch_df  # genuinely the first batch
+        # rewrite to a temp dir then swap: a failed write must not
+        # destroy the current base (parquet has no transaction log)
+        merged.write.mode("overwrite").parquet(tmp)
+        fs.delete(base_p, True)
+        fs.rename(tmp_p, base_p)
 
     writer = events.writeStream.foreachBatch(_merge).option(
         "checkpointLocation", checkpoint

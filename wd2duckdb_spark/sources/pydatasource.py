@@ -80,6 +80,13 @@ class WikidataDumpReader(DataSourceReader):
 
     # -- pushdown ---------------------------------------------------------
     def pushFilters(self, filters):  # noqa: N802 (API name)
+        # partition consumed/remaining EAGERLY and return a plain list:
+        # a generator would set self.id_filter only as a side effect of
+        # the caller iterating it — if Spark (or a future caller)
+        # consumed it lazily or partially, the pushed filter would be
+        # silently dropped while Spark still trusts the source applied
+        # it (ADVICE r1).
+        remaining = []
         for f in filters:
             if (
                 isinstance(f, EqualTo)
@@ -89,7 +96,8 @@ class WikidataDumpReader(DataSourceReader):
             ):
                 self.id_filter = f.value
             else:
-                yield f
+                remaining.append(f)
+        return remaining
 
     # -- planning ---------------------------------------------------------
     def partitions(self) -> Sequence[InputPartition]:
