@@ -52,6 +52,22 @@ def _golden_gif(w: int, h: int, payload: bytes) -> bytes:
     return b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00" + payload
 
 
+def _golden_jpeg(w: int, h: int, payload: bytes) -> bytes:
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes.fromhex(
+        "011100021101031101"
+    )
+    return (
+        b"\xff\xd8\xff\xe0"
+        + struct.pack(">H", 2 + len(app0))
+        + app0
+        + b"\xff\xc0"
+        + struct.pack(">H", 2 + len(sof))
+        + sof
+        + payload
+    )
+
+
 def _golden_wav(rate: int, payload: bytes) -> bytes:
     return (
         b"RIFF"
@@ -111,13 +127,13 @@ def test_mixed_media_matches_golden_bytes(spark):
     docs = {
         r["doc_id"]: r["text"]
         for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
-        .filter(F.col("doc_id") < 4)
+        .filter(F.col("doc_id") < 5)
         .collect()
     }
     rows = {
         r["media_id"]: bytes(r["content"])
         for r in synthesize_mixed_media(spark, SF_DIR)
-        .filter(F.col("media_id") < 4)
+        .filter(F.col("media_id") < 5)
         .collect()
     }
     for i, text in docs.items():
@@ -126,7 +142,8 @@ def test_mixed_media_matches_golden_bytes(spark):
             0: _golden_png,
             1: _golden_gif,
             2: _golden_bmp,
-        }.get(i % 4)
+            4: _golden_jpeg,
+        }.get(i % 5)
         want = (
             golden(w, h, payload)
             if golden

@@ -134,11 +134,23 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jpeg_hex_sql(w_sql: str, h_sql: str) -> str:
+    """JPEG SOI + JFIF APP0 + SOF0 hex: the marker walk a parser must
+    do to find the frame header (dims big-endian u16 inside SOF0,
+    8-bit precision, 3 components with standard sampling/tables)."""
+    return (
+        "'ffd8' || 'ffe0' || '0010' || '4a46494600010100000100010000' || "
+        f"'ffc0' || '0011' || '08' || {_be_hex(h_sql, 2)} || "
+        f"{_be_hex(w_sql, 2)} || '03011100021101031101'"
+    )
+
+
 def synthesize_mixed_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mixed-container media table: doc_id % 4 selects PNG / GIF / BMP
-    / WAV, each with a real header built in SQL (the PNG IHDR carries a
-    true CRC-32 via Spark's crc32 over the unhexed chunk bytes) and the
-    text bytes as payload. Exercises every branch of
+    """Mixed-container media table: doc_id % 5 selects PNG / GIF / BMP
+    / WAV / JPEG, each with a real header built in SQL (the PNG IHDR
+    carries a true CRC-32 via Spark's crc32 over the unhexed chunk
+    bytes; the JPEG carries a JFIF APP0 the SOF scan must step over)
+    and the text bytes as payload. Exercises every branch of
     :func:`parse_media_header` under the oracle gate."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     dl = "octet_length(encode(text, 'UTF-8'))"
@@ -149,13 +161,13 @@ def synthesize_mixed_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_be_hex(f'crc32(unhex({ihdr}))', 4)}"
     )
     header = (
-        f"CASE doc_id % 4 WHEN 0 THEN {png} WHEN 1 THEN "
+        f"CASE doc_id % 5 WHEN 0 THEN {png} WHEN 1 THEN "
         f"{_gif_hex_sql(w, h)} WHEN 2 THEN {_bmp_hex_sql(w, h, dl)} "
-        f"ELSE {_wav_hex_sql(dl)} END"
+        f"WHEN 3 THEN {_wav_hex_sql(dl)} ELSE {_jpeg_hex_sql(w, h)} END"
     )
     return d.select(
         F.col("doc_id").alias("media_id"),
-        F.expr("CASE WHEN doc_id % 4 = 3 THEN 'audio' ELSE 'image' END").alias(
+        F.expr("CASE WHEN doc_id % 5 = 3 THEN 'audio' ELSE 'image' END").alias(
             "kind"
         ),
         F.expr(f"unhex({header}) || encode(text, 'UTF-8')").alias("content"),
@@ -406,7 +418,7 @@ ORACLES: dict[str, str] = {
     """,
     "media_header_probe": f"""
         WITH m AS (
-            SELECT doc_id AS media_id, doc_id % 4 AS v,
+            SELECT doc_id AS media_id, doc_id % 5 AS v,
                    {_ORACLE_DL} AS dl,
                    CAST(doc_id % 64 + 16 AS INT) AS w,
                    CAST(doc_id % 48 + 16 AS INT) AS h
@@ -414,15 +426,16 @@ ORACLES: dict[str, str] = {
         )
         SELECT media_id,
                CASE v WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
-                      WHEN 2 THEN 'image/bmp' ELSE 'audio/wav' END AS mime,
+                      WHEN 2 THEN 'image/bmp' WHEN 3 THEN 'audio/wav'
+                      ELSE 'image/jpeg' END AS mime,
                CASE WHEN v = 3 THEN NULL ELSE w END AS width,
                CASE WHEN v = 3 THEN NULL ELSE h END AS height,
                CASE WHEN v = 3
                     THEN CAST(dl * 1000 // {WAV_BYTE_RATE} AS INT)
                     ELSE NULL END AS duration_ms,
                CASE WHEN v = 3 THEN {WAV_RATE} ELSE NULL END AS sample_rate,
-               CAST(CASE v WHEN 0 THEN 33 WHEN 1 THEN 13
-                           WHEN 2 THEN 54 ELSE 44 END + dl AS INT) AS n_bytes
+               CAST(CASE v WHEN 0 THEN 33 WHEN 1 THEN 13 WHEN 2 THEN 54
+                           WHEN 3 THEN 44 ELSE 39 END + dl AS INT) AS n_bytes
         FROM m
         ORDER BY media_id
     """,
