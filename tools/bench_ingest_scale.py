@@ -31,7 +31,6 @@ import shutil
 import sys
 import tempfile
 import time
-import urllib.request
 from multiprocessing import Pool
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -72,32 +71,18 @@ def gen_dump_parallel(path: str, n: int, workers: int = 16) -> None:
 
 
 def _peak_memory(spark) -> dict:
-    """Executor peak memory from the local REST API (Spark 3+ exposes
-    peakMemoryMetrics per executor; in local mode the driver row holds
-    everything)."""
+    """Peak JVM heap across all memory pools (MemoryPoolMXBean
+    getPeakUsage, via py4j) — in local mode the one JVM hosts every
+    executor thread, so this bounds the whole run including the
+    persisted parse. The REST API is unavailable here (UI disabled)."""
     try:
-        base = spark.sparkContext.uiWebUrl
-        apps = json.load(
-            urllib.request.urlopen(f"{base}/api/v1/applications", timeout=5)
+        mf = spark._jvm.java.lang.management.ManagementFactory
+        peak = sum(
+            b.getPeakUsage().getUsed()
+            for b in mf.getMemoryPoolMXBeans()
+            if b.getType().toString() == "Heap memory"
         )
-        app_id = apps[0]["id"]
-        execs = json.load(
-            urllib.request.urlopen(
-                f"{base}/api/v1/applications/{app_id}/executors", timeout=5
-            )
-        )
-        heap = max(
-            e.get("peakMemoryMetrics", {}).get("JVMHeapMemory", 0)
-            for e in execs
-        )
-        onheap = max(
-            e.get("peakMemoryMetrics", {}).get("OnHeapExecutionMemory", 0)
-            for e in execs
-        )
-        return {
-            "peak_jvm_heap_gb": round(heap / (1 << 30), 2),
-            "peak_execution_mb": round(onheap / (1 << 20), 1),
-        }
+        return {"peak_jvm_heap_gb": round(peak / (1 << 30), 2)}
     except Exception as e:  # metrics are best-effort, never fail the bench
         return {"peak_memory_error": str(e)}
 
