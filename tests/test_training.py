@@ -1,0 +1,146 @@
+"""Semantic invariants + plan shapes for functions.training (the
+oracle hash-parity itself is covered by tests/test_queries.py)."""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from wd2duckdb_spark.catalog import tbl
+from wd2duckdb_spark.functions.training import (
+    PACK_CAPACITY,
+    HEAVY_SUPPORT,
+    q_boilerplate_prune,
+    q_dataset_split,
+    q_heavy_hitters,
+    q_pack_sequences,
+)
+
+
+def _total_tokens(spark):
+    return (
+        tbl(spark, SF_DIR, "documents")
+        .agg(F.sum(F.size(F.split(F.trim("text"), " "))))
+        .collect()[0][0]
+    )
+
+
+def test_dataset_split_partitions_corpus(spark):
+    rows = q_dataset_split(spark, SF_DIR).collect()
+    n_docs_total = tbl(spark, SF_DIR, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    assert sum(r.total_tokens for r in rows) == _total_tokens(spark)
+    by_split = {}
+    for r in rows:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+    assert set(by_split) == {"train", "val", "test"}
+    # md5 mod 100 < 90 → ~90% train; generous envelope for sf0.001
+    assert 0.80 <= by_split["train"] / n_docs_total <= 0.97
+
+
+def test_pack_sequences_conserves_tokens_and_fills(spark):
+    rows = q_pack_sequences(spark, SF_DIR).collect()
+    assert sum(r.window_tokens for r in rows) == _total_tokens(spark)
+    max_doc = (
+        tbl(spark, SF_DIR, "documents")
+        .agg(F.max(F.size(F.split(F.trim("text"), " "))))
+        .collect()[0][0]
+    )
+    per_shard = {}
+    for r in rows:
+        # a window never exceeds capacity by more than one document
+        assert r.window_tokens <= PACK_CAPACITY + max_doc
+        assert r.n_docs >= 1
+        per_shard.setdefault(r.shard, []).append(r.window_id)
+    for shard, wids in per_shard.items():
+        # window ids are the floor of a nondecreasing prefix sum:
+        # they start at 0 and are sorted, though boundary-spanning
+        # documents may skip a cut entirely
+        assert wids[0] == 0, f"shard {shard} missing window 0"
+        assert wids == sorted(wids)
+
+
+def test_boilerplate_prune_shrinks_but_preserves_rare(spark):
+    rows = q_boilerplate_prune(spark, SF_DIR).collect()
+    assert all(r.n_after <= r.n_before for r in rows)
+    total_before = sum(r.n_before for r in rows)
+    total_after = sum(r.n_after for r in rows)
+    assert 0 < total_after < total_before
+
+
+def test_heavy_hitters_descending_and_supported(spark):
+    rows = q_heavy_hitters(spark, SF_DIR).collect()
+    assert rows, "no heavy hitters found"
+    counts = [r.cnt for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    total = _total_tokens(spark)
+    assert all(r.cnt >= HEAVY_SUPPORT * total for r in rows)
+    assert sum(r.share for r in rows) <= 1.0 + 1e-6
+
+
+def test_heavy_hitters_agree_with_freq_items(spark):
+    """The approximate path (freqItems, per-partition counting with a
+    bounded map) must return a superset of the exact heavy hitters at
+    the same support — the classic sketch-vs-exact audit."""
+    support = 0.03
+    words = (
+        tbl(spark, SF_DIR, "documents")
+        .select(F.explode(F.split(F.lower(F.trim("text")), " ")).alias("w"))
+    )
+    approx = set(words.stat.freqItems(["w"], support).collect()[0][0])
+    exact_rows = q_heavy_hitters(spark, SF_DIR).collect()
+    exact = {r.word for r in exact_rows if r.share >= support}
+    assert exact, "support chosen too high for the fixture"
+    assert exact <= approx
+
+
+def test_count_min_sketch_total_matches_exact(spark):
+    """Mergeable-sketch path: Spark's count_min_sketch aggregate (one
+    sketch per partition, merged JVM-side) must account for exactly
+    the corpus token count. The serialized header is
+    (int version, long totalCount) big-endian — public Spark sketch
+    format."""
+    words = (
+        tbl(spark, SF_DIR, "documents")
+        .repartition(8)
+        .select(F.explode(F.split(F.lower(F.trim("text")), " ")).alias("w"))
+    )
+    blob = words.agg(
+        F.count_min_sketch(
+            "w", F.lit(0.01), F.lit(0.95), F.lit(42)
+        ).alias("cms")
+    ).collect()[0][0]
+    version, total_count = struct.unpack_from(">iq", bytes(blob), 0)
+    assert version == 1
+    assert total_count == _total_tokens(spark)
+
+
+def test_training_plans_stay_joinless_or_broadcast(spark):
+    """boilerplate_prune / heavy_hitters: the only joins are broadcast
+    of 1-row/vocab-sized aggregates; pack_sequences: no join at all and
+    a single hash partitioning on the shard key feeds both the window
+    and the (shard, window_id) aggregate."""
+    p1 = (
+        q_boilerplate_prune(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in p1 or "BroadcastExchange" in p1
+    assert "SortMergeJoin" not in p1 and "ShuffledHashJoin" not in p1
+
+    p2 = (
+        q_heavy_hitters(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in p2 and "ShuffledHashJoin" not in p2
+
+    p3 = (
+        q_pack_sequences(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in p3
+    # shard hash partitioning is reused by the group-by: exactly one
+    # data-sized shuffle (plus AQE reads); no second hashpartitioning
+    # on (shard, window_id)
+    assert p3.count("hashpartitioning(shard") <= 1

@@ -1,0 +1,354 @@
+"""Training-data preparation operators: deterministic dataset
+splitting, sequence packing, corpus-frequency boilerplate pruning, and
+heavy-hitter token accounting.
+
+These are the "last mile" of an LLM data pipeline — after cleaning and
+dedup (functions.text / functions.dedup), the corpus is split into
+train/val/test, packed into fixed-size context windows, and audited
+for vocabulary skew. Everything here is pure Column expressions plus
+bounded-size broadcasts: the only shuffles are (a) keyed aggregates on
+low-cardinality keys and (b) the per-shard packing window, whose
+parallelism is the shard count — chosen by the caller to match the
+cluster, so the sequential scan inside each shard stays executor-local
+at any corpus size.
+
+Cross-engine determinism: all randomness-like assignment (splits,
+shards) derives from md5 of a stable key — the same convention as
+``operators.analytics.q_hash_sample`` — so Spark and DuckDB agree
+bit-for-bit and reruns/retries can't reshuffle the split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wd2duckdb_spark.catalog import tbl
+
+#: Context-window capacity (tokens) for q_pack_sequences. Small because
+#: the synthetic docs average ~55 tokens; the operator is
+#: capacity-agnostic.
+PACK_CAPACITY = 128
+
+#: Packing shards. At scale this is the parallelism of the packing
+#: stage (one ordered scan per shard); 1000-executor clusters want
+#: thousands of shards. 8 keeps the fixture result auditable.
+PACK_SHARDS = 8
+
+#: Document-frequency ratio above which a token is considered corpus
+#: boilerplate and pruned from every document.
+BOILERPLATE_DF = 0.78
+
+#: Minimum corpus-frequency share for a token to count as a heavy
+#: hitter (0.5% of all tokens).
+HEAVY_SUPPORT = 0.005
+
+
+def md5_bucket(col: Column, n: int) -> Column:
+    """Deterministic bucket in [0, n): first 8 md5 hex chars → int.
+
+    Portable across engines (md5 is bit-stable everywhere) unlike
+    ``hash()``/``rand()``; the 8-hex prefix is < 2^32 so the value is
+    nonnegative and ``pmod`` == ``%``.
+    """
+    return F.pmod(
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(n),
+    )
+
+
+def md5_bucket_sql(expr: str, n: int) -> str:
+    """DuckDB twin of :func:`md5_bucket`."""
+    return (
+        f"(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {n})"
+    )
+
+
+def _ws_tokens(col: str = "text") -> Column:
+    return F.size(F.split(F.trim(col), " "))
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split with per-source
+    accounting (doc + token counts, per-source doc share).
+
+    Assignment is md5(doc_id) mod 100 — content-stable, so adding or
+    removing other documents never moves an existing document between
+    splits (re-ingest safe), and every engine/retry agrees. The plan is
+    one scan → one tiny (split, source) aggregate → a window over that
+    aggregate's handful of rows; nothing data-sized shuffles.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    b = md5_bucket(F.col("doc_id"), 100)
+    split = (
+        F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+    ).alias("split")
+    agg = (
+        d.select(split, "source", _ws_tokens().alias("n_tokens"))
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+    w = Window.partitionBy("source")
+    return agg.select(
+        "split",
+        "source",
+        "n_docs",
+        "total_tokens",
+        # floor-normalized (PLANS.md "rounding ties")
+        (
+            F.floor(
+                F.col("n_docs") / F.sum("n_docs").over(w) * 10000 + F.lit(0.5)
+            )
+            / 10000
+        ).alias("doc_share"),
+    ).orderBy("source", "split")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing: assign documents to
+    fixed-capacity context windows and report per-window fill.
+
+    The GPT-style packing discipline — concatenate documents in a
+    deterministic order, cut every PACK_CAPACITY tokens — is a running
+    prefix sum, which is inherently sequential. The scalable form
+    shards the corpus first (md5(doc_id) mod PACK_SHARDS) and packs
+    within each shard: the prefix sum becomes a per-shard window
+    (sum ROWS UNBOUNDED PRECEDING..1 PRECEDING), so parallelism =
+    shard count and each shard wastes at most one underfilled tail
+    window. A document is assigned to the window where its first token
+    lands (floor(cum_before / capacity)); boundary-spanning documents
+    overflow into the next cut, which the fill_ratio column exposes.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    shard = md5_bucket(F.col("doc_id"), PACK_SHARDS).alias("shard")
+    base = d.select(shard, "doc_id", _ws_tokens().alias("n_tokens"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    assigned = base.withColumn(
+        "window_id",
+        F.floor(cum_before / float(PACK_CAPACITY)).cast("long"),
+    )
+    return (
+        assigned.groupBy("shard", "window_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("window_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .select(
+            "shard",
+            "window_id",
+            "n_docs",
+            "window_tokens",
+            "first_doc",
+            (
+                F.floor(
+                    F.col("window_tokens") / float(PACK_CAPACITY) * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("fill_ratio"),
+        )
+        .orderBy("shard", "window_id")
+    )
+
+
+def q_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate pruning: drop every token whose
+    document-frequency ratio exceeds BOILERPLATE_DF, preserving the
+    order of the survivors, and fingerprint the cleaned text.
+
+    The C4/Gopher "remove ubiquitous boilerplate" step re-expressed
+    for Spark: the high-DF vocabulary is computed once (explode →
+    distinct → count, bounded by |vocab| not corpus size), collapsed
+    to a single array row, and broadcast; the prune itself is then a
+    pure higher-order ``filter`` expression over each document's token
+    array — order-preserving, zero shuffle, whole-stage codegen. At
+    100 TB the only data-sized pass is the DF count; the rewrite pass
+    is scan-bound.
+    """
+    d = tbl(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.split(F.lower(F.trim("text")), " ")
+    ndocs = d.agg(F.count("*").alias("n_total"))  # 1 row
+    dfc = (
+        d.select("doc_id", F.explode(toks).alias("word"))
+        .distinct()
+        .groupBy("word")
+        .agg(F.count("*").alias("d"))
+    )
+    hi = (
+        dfc.crossJoin(F.broadcast(ndocs))
+        .filter(F.col("d") / F.col("n_total") > BOILERPLATE_DF)
+        .agg(F.sort_array(F.collect_list("word")).alias("hiwords"))
+    )  # 1 row (possibly empty array)
+    kept = F.filter(
+        toks, lambda x: ~F.array_contains(F.col("hiwords"), x)
+    )
+    return (
+        d.crossJoin(F.broadcast(hi))
+        .select(
+            "doc_id",
+            F.size(toks).cast("int").alias("n_before"),
+            F.size(kept).cast("int").alias("n_after"),
+            F.md5(F.array_join(kept, " ")).alias("cleaned_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters: tokens holding ≥ HEAVY_SUPPORT of
+    all token occurrences, with their frequency share, top-20.
+
+    Two-phase exact counting (partial map-side combine into a |vocab|-
+    sized aggregate), a 1-row broadcast for the total, deterministic
+    (cnt DESC, word) tie-break. The mergeable-sketch variant of this
+    audit — per-partition count-min sketches merged on the driver — is
+    cross-checked against these exact counts in
+    tests/test_training.py.
+    """
+    d = tbl(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    words = d.select(
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("word")
+    )
+    counts = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))  # 1 row
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.lit(HEAVY_SUPPORT) * F.col("total"))
+        .select(
+            "word",
+            "cnt",
+            (
+                F.floor(F.col("cnt") / F.col("total") * 10000 + F.lit(0.5))
+                / 10000
+            ).alias("share"),
+        )
+        .orderBy(F.desc("cnt"), "word")
+        .limit(20)
+    )
+
+
+QUERIES = {
+    "dataset_split": q_dataset_split,
+    "pack_sequences": q_pack_sequences,
+    "boilerplate_prune": q_boilerplate_prune,
+    "heavy_hitters": q_heavy_hitters,
+}
+
+ORACLES: dict[str, str] = {
+    "dataset_split": f"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   {md5_bucket_sql('doc_id', 100)} AS b,
+                   len(string_split(trim(text), ' ')) AS n_tokens
+            FROM documents
+        ),
+        agg AS (
+            SELECT CASE WHEN b < 90 THEN 'train'
+                        WHEN b < 95 THEN 'val'
+                        ELSE 'test' END AS split,
+                   source,
+                   count(*) AS n_docs,
+                   sum(n_tokens) AS total_tokens
+            FROM d GROUP BY 1, 2
+        )
+        SELECT split, source,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(total_tokens AS BIGINT) AS total_tokens,
+               floor(n_docs / CAST(sum(n_docs) OVER (PARTITION BY source)
+                                   AS DOUBLE) * 10000 + 0.5) / 10000
+                   AS doc_share
+        FROM agg
+        ORDER BY source, split
+    """,
+    "pack_sequences": f"""
+        WITH d AS (
+            SELECT doc_id,
+                   {md5_bucket_sql('doc_id', PACK_SHARDS)} AS shard,
+                   len(string_split(trim(text), ' ')) AS n_tokens
+            FROM documents
+        ),
+        assigned AS (
+            SELECT shard, doc_id, n_tokens,
+                   CAST(floor(COALESCE(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / {PACK_CAPACITY}.0) AS BIGINT) AS window_id
+            FROM d
+        )
+        SELECT shard, window_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS window_tokens,
+               CAST(min(doc_id) AS BIGINT) AS first_doc,
+               floor(sum(n_tokens) / {PACK_CAPACITY}.0 * 10000 + 0.5) / 10000
+                   AS fill_ratio
+        FROM assigned
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    "boilerplate_prune": f"""
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(string_split(lower(trim(text)), ' ')) AS word
+            FROM documents
+        ),
+        dfc AS (
+            SELECT word, count(DISTINCT doc_id) AS d FROM words GROUP BY 1
+        ),
+        hi AS (
+            SELECT COALESCE(list(word ORDER BY word), []) AS hiwords
+            FROM dfc
+            WHERE CAST(d AS DOUBLE) / (SELECT count(*) FROM documents)
+                  > {BOILERPLATE_DF}
+        ),
+        pruned AS (
+            SELECT doc_id, tk,
+                   list_filter(tk, x -> NOT list_contains(hi.hiwords, x))
+                       AS kept
+            FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+                  FROM documents), hi
+        )
+        SELECT doc_id,
+               CAST(len(tk) AS INT) AS n_before,
+               CAST(len(kept) AS INT) AS n_after,
+               -- DuckDB array_to_string([]) is NULL, Spark array_join
+               -- ([]) is '' — coalesce so a fully-pruned doc hashes
+               -- identically in both engines
+               md5(COALESCE(array_to_string(kept, ' '), '')) AS cleaned_fp
+        FROM pruned
+        ORDER BY doc_id
+    """,
+    "heavy_hitters": f"""
+        WITH words AS (
+            SELECT unnest(string_split(lower(trim(text)), ' ')) AS word
+            FROM documents
+        ),
+        c AS (
+            SELECT word, count(*) AS cnt FROM words GROUP BY 1
+        ),
+        t AS (SELECT sum(cnt) AS total FROM c)
+        SELECT word,
+               CAST(cnt AS BIGINT) AS cnt,
+               floor(cnt / CAST(t.total AS DOUBLE) * 10000 + 0.5) / 10000
+                   AS share
+        FROM c, t
+        WHERE cnt >= {HEAVY_SUPPORT} * t.total
+        ORDER BY cnt DESC, word
+        LIMIT 20
+    """,
+}

@@ -11,7 +11,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from wd2duckdb_spark.functions import dedup, multimodal, scalar, similarity, text
+from wd2duckdb_spark.functions import (
+    dedup,
+    multimodal,
+    scalar,
+    similarity,
+    text,
+    training,
+)
 from wd2duckdb_spark.operators import analytics, graph, relational, sketches, skew
 from wd2duckdb_spark.streaming import sessionize, transform_state
 
@@ -21,6 +28,7 @@ _MODULES = (
     analytics,
     scalar,
     text,
+    training,
     dedup,
     similarity,
     sessionize,
