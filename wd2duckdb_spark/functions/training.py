@@ -243,14 +243,79 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance resampling: keep each document with
+    probability proportional to a quality weight (here: token count
+    capped at 100 tokens → weight 1.0), using md5(doc_id)/10000 as the
+    uniform draw — the DSIR-style data-selection step, made
+    deterministic so every engine, retry, and re-run keeps the same
+    documents.
+
+    One scan, one tiny (source) aggregate reporting kept/total docs,
+    kept tokens, and the realized acceptance rate. No shuffle touches
+    document text.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    n_tokens = _ws_tokens()
+    weight = F.least(n_tokens / 100.0, F.lit(1.0))
+    u = md5_bucket(F.col("doc_id"), 10000) / 10000.0
+    return (
+        d.select(
+            "source",
+            n_tokens.alias("n_tokens"),
+            (u < weight).cast("long").alias("keep"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("keep").alias("n_kept"),
+            F.sum(F.col("keep") * F.col("n_tokens")).alias("kept_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            "kept_tokens",
+            (
+                F.floor(
+                    F.col("n_kept") / F.col("n_docs") * 10000 + F.lit(0.5)
+                )
+                / 10000
+            ).alias("accept_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "dataset_split": q_dataset_split,
+    "importance_resample": q_importance_resample,
     "pack_sequences": q_pack_sequences,
     "boilerplate_prune": q_boilerplate_prune,
     "heavy_hitters": q_heavy_hitters,
 }
 
 ORACLES: dict[str, str] = {
+    "importance_resample": f"""
+        WITH d AS (
+            SELECT source,
+                   len(string_split(trim(text), ' ')) AS n_tokens,
+                   CASE WHEN {md5_bucket_sql('doc_id', 10000)} / 10000.0
+                             < least(len(string_split(trim(text), ' '))
+                                     / 100.0, 1.0)
+                        THEN 1 ELSE 0 END AS keep
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(keep) AS BIGINT) AS n_kept,
+               CAST(sum(keep * n_tokens) AS BIGINT) AS kept_tokens,
+               floor(sum(keep) / CAST(count(*) AS DOUBLE) * 10000 + 0.5)
+                   / 10000 AS accept_rate
+        FROM d
+        GROUP BY source
+        ORDER BY source
+    """,
     "dataset_split": f"""
         WITH d AS (
             SELECT doc_id, source,

@@ -1,0 +1,123 @@
+"""Declarative data-quality auditing (Deequ/dbt-test style): a check
+suite compiled into ONE aggregate pass plus one broadcast anti-join
+for referential integrity.
+
+The point at 100 TB: N quality checks must NOT mean N scans. Every
+row-level predicate becomes a conditional-sum column of a single
+hash aggregate (map-side partials, one 1-row result); uniqueness
+rides the same pass as count - count(DISTINCT); only the foreign-key
+check needs a join, and its dimension side broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wd2duckdb_spark.catalog import tbl
+
+#: (check_name, SQL predicate counting VIOLATIONS) over ``orders``.
+#: Single source for the Spark plan and the DuckDB oracle.
+ORDER_CHECKS = (
+    ("null_orderkey", "o_orderkey IS NULL"),
+    ("negative_price", "o_totalprice <= 0"),
+    ("null_orderdate", "o_orderdate IS NULL"),
+    ("bad_status", "o_orderstatus NOT IN ('O', 'F', 'P')"),
+)
+
+
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality report over ``orders``: row-level predicates,
+    key uniqueness, and referential integrity against ``customer`` —
+    one row per check with violation counts and a pass flag.
+    """
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+
+    viol_cols = [
+        F.sum(F.expr(pred).cast("long")).alias(name)
+        for name, pred in ORDER_CHECKS
+    ]
+    agg = o.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias(
+            "dup_orderkey"
+        ),
+        *viol_cols,
+    )
+    stack_args = ", ".join(
+        f"'{name}', {name}"
+        for name in ["dup_orderkey"] + [n for n, _ in ORDER_CHECKS]
+    )
+    n_checks = 1 + len(ORDER_CHECKS)
+    row_checks = agg.selectExpr(
+        "n_rows",
+        f"stack({n_checks}, {stack_args}) AS (check_name, n_violations)",
+    )
+
+    orphans = (
+        o.join(
+            F.broadcast(c),
+            o["o_custkey"] == c["c_custkey"],
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n_violations"))
+        .crossJoin(F.broadcast(o.agg(F.count("*").alias("n_rows"))))
+        .select("n_rows", F.lit("orphan_custkey").alias("check_name"),
+                "n_violations")
+    )
+
+    return (
+        row_checks.unionByName(orphans)
+        .select(
+            "check_name",
+            F.col("n_violations").cast("long").alias("n_violations"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            (F.col("n_violations") == 0).cast("int").alias("pass"),
+        )
+        .orderBy("check_name")
+    )
+
+
+def _check_selects() -> str:
+    parts = [
+        """
+        SELECT 'dup_orderkey' AS check_name,
+               count(*) - count(DISTINCT o_orderkey) AS n_violations
+        FROM orders
+        """
+    ]
+    for name, pred in ORDER_CHECKS:
+        parts.append(
+            f"""
+        SELECT '{name}' AS check_name,
+               sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS n_violations
+        FROM orders
+        """
+        )
+    parts.append(
+        """
+        SELECT 'orphan_custkey' AS check_name, count(*) AS n_violations
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL
+        """
+    )
+    return " UNION ALL ".join(parts)
+
+
+QUERIES = {
+    "dq_report": q_dq_report,
+}
+
+ORACLES: dict[str, str] = {
+    "dq_report": f"""
+        WITH checks AS ({_check_selects()}),
+        tot AS (SELECT count(*) AS n_rows FROM orders)
+        SELECT check_name,
+               CAST(COALESCE(n_violations, 0) AS BIGINT) AS n_violations,
+               CAST(tot.n_rows AS BIGINT) AS n_rows,
+               CAST(COALESCE(n_violations, 0) = 0 AS INT) AS pass
+        FROM checks, tot
+        ORDER BY check_name
+    """,
+}

@@ -1,0 +1,168 @@
+"""Event-time analytics: SCD2 interval construction, time-interval
+rolling windows, and linear-regression aggregates.
+
+The warehouse temporal tier on top of the ``events`` table. Every
+operator partitions by ``user_id`` (high cardinality — scales out) and
+needs exactly ONE shuffle: consecutive windows share the same
+(partition, order) spec so Spark reuses one sort, and the aggregates
+are plain hash aggregates with map-side partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wd2duckdb_spark.catalog import tbl
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build: collapse each user's
+    event stream into validity intervals of its ``event_type``
+    attribute — a new interval opens only when the attribute CHANGES.
+
+    Classic change-data-capture → dimension-table derivation: detect
+    changes with lag(), then close each change row's interval with
+    lead(). Both windows use the identical (user_id; ts, event_id)
+    spec, so the plan sorts once and pipelines the second window over
+    the first — one shuffle total, no join. The event_id tie-break
+    makes same-timestamp rows deterministic in both engines.
+    """
+    e = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    return (
+        changes.select(
+            "user_id",
+            F.col("event_type").alias("attr"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+        .withColumn(
+            "is_current", F.col("valid_to").isNull().cast("int")
+        )
+        .orderBy("user_id", "valid_from", "attr")
+    )
+
+
+def q_rolling_7d_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day per-user feature columns via a TIME-INTERVAL
+    RANGE frame (``RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT
+    ROW`` over the raw timestamp) — the ML-feature-backfill shape.
+
+    Unlike the numeric RANGE frame of ``window_range_frame``, the
+    bound here is a calendar interval evaluated against the timestamp
+    ordering key directly — no day-ordinal projection, and the frame
+    stays tie-safe for same-timestamp events. One shuffle on user_id;
+    the frame is computed with a sliding two-pointer over each user's
+    sorted events, so cost is O(events) regardless of window width.
+    """
+    e = tbl(spark, sf_dir, "events")
+    over = (
+        "OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)"
+    )
+    return e.selectExpr(
+        "event_id",
+        "user_id",
+        "ts",
+        f"CAST(count(*) {over} AS BIGINT) AS w7_events",
+        f"round(sum(value) {over}, 2) AS w7_value_sum",
+        f"round(max(value) {over}, 2) AS w7_value_max",
+    ).orderBy("event_id")
+
+
+def q_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend of ``value`` over time via the SQL
+    regression aggregate family (regr_slope/intercept/r2/count) —
+    closed-form OLS as a single distributive aggregate, no iteration,
+    no UDF, map-side partials like any sum.
+
+    x is epoch seconds as double (exact for microsecond timestamps —
+    micros < 2^53), scaled to days so the slope is per-day drift.
+    """
+    e = tbl(spark, sf_dir, "events")
+    x = "(CAST(ts AS DOUBLE) / 86400.0)"
+    return (
+        e.selectExpr("user_id", "value", f"{x} AS xday")
+        .groupBy("user_id")
+        .agg(
+            F.expr("CAST(regr_count(value, xday) AS BIGINT)").alias("n"),
+            F.round(F.expr("regr_slope(value, xday)"), 6).alias(
+                "slope_per_day"
+            ),
+            F.round(F.expr("regr_intercept(value, xday)"), 2).alias(
+                "intercept"
+            ),
+            F.round(F.expr("regr_r2(value, xday)"), 4).alias("r2"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES = {
+    "scd2_intervals": q_scd2_intervals,
+    "rolling_7d_features": q_rolling_7d_features,
+    "regr_trend": q_regr_trend,
+}
+
+ORACLES: dict[str, str] = {
+    "scd2_intervals": """
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_type
+            FROM events
+        ),
+        changes AS (
+            SELECT user_id, event_type, ts, event_id
+            FROM ordered
+            WHERE prev_type IS NULL OR prev_type <> event_type
+        )
+        SELECT user_id,
+               event_type AS attr,
+               ts AS valid_from,
+               lead(ts) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to,
+               CAST(lead(ts) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL AS INT) AS is_current
+        FROM changes
+        ORDER BY user_id, valid_from, attr
+    """,
+    "rolling_7d_features": """
+        SELECT event_id, user_id, ts,
+               CAST(count(*) OVER w AS BIGINT) AS w7_events,
+               round(sum(value) OVER w, 2) AS w7_value_sum,
+               round(max(value) OVER w, 2) AS w7_value_max
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                     AND CURRENT ROW)
+        ORDER BY event_id
+    """,
+    "regr_trend": """
+        WITH x AS (
+            SELECT user_id, value,
+                   CAST(epoch(ts) AS DOUBLE) / 86400.0 AS xday
+            FROM events
+        )
+        SELECT user_id,
+               CAST(regr_count(value, xday) AS BIGINT) AS n,
+               round(regr_slope(value, xday), 6) AS slope_per_day,
+               round(regr_intercept(value, xday), 2) AS intercept,
+               round(regr_r2(value, xday), 4) AS r2
+        FROM x
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+}

@@ -19,13 +19,23 @@ from wd2duckdb_spark.functions import (
     text,
     training,
 )
-from wd2duckdb_spark.operators import analytics, graph, relational, sketches, skew
+from wd2duckdb_spark.operators import (
+    analytics,
+    graph,
+    quality,
+    relational,
+    sketches,
+    skew,
+    temporal,
+)
 from wd2duckdb_spark.streaming import sessionize, transform_state
 
 _MODULES = (
     relational,
     graph,
     analytics,
+    temporal,
+    quality,
     scalar,
     text,
     training,
