@@ -47,6 +47,13 @@ HEADLINE = (
     "hll_distinct_rollup",
     "skew_salted_agg",
     "pq_adc_topk",
+    # round-2 additions (training-prep + temporal tiers); the headline
+    # total is NOT comparable to round-1 numbers — per-query is
+    "pack_sequences",
+    "boilerplate_prune",
+    "scd2_intervals",
+    "rolling_7d_features",
+    "dq_report",
 )
 
 

@@ -183,3 +183,80 @@ def test_upsert_stream_recovers_interrupted_swap(spark, tmp_path):
     # history (1, 3) survived, key 2 replaced, key 4 appended
     assert got == [(1, "a0"), (2, "b1"), (3, "c0"), (4, "d1")]
     shutil.rmtree(base + "._staging", ignore_errors=True)
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from wd2duckdb_spark.maintenance import (
+        snapshot_history,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "tbl")
+    v0 = snapshot_write(spark, spark.range(10), t, mode="overwrite")
+    v1 = snapshot_write(spark, spark.range(10, 15), t, mode="append")
+    v2 = snapshot_write(spark, spark.range(100, 103), t, mode="overwrite")
+    assert (v0, v1, v2) == (0, 1, 2)
+
+    assert snapshot_read(spark, t, 0).count() == 10
+    assert snapshot_read(spark, t, 1).count() == 15
+    assert snapshot_read(spark, t, 2).count() == 3
+    assert snapshot_read(spark, t).count() == 3  # latest
+    assert {r.id for r in snapshot_read(spark, t, 1).collect()} == set(
+        range(15)
+    )
+
+    hist = snapshot_history(spark, t)
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert [h["op"] for h in hist] == ["overwrite", "append", "overwrite"]
+    assert [h["n_dirs"] for h in hist] == [1, 2, 1]
+
+
+def test_snapshot_commit_race_retries(spark, tmp_path):
+    """If another writer claims version N first, the losing writer
+    must commit at N+1 and leave no orphan manifest."""
+    from wd2duckdb_spark.maintenance import (
+        _manifest_versions,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark, spark.range(5), t, mode="overwrite")
+    # simulate a racing writer that already committed version 1
+    log = tmp_path / "tbl" / "_log"
+    (log / "00000001.json").write_text(
+        '{"version": 1, "op": "overwrite", "dirs": ["data/v00000001"]}'
+    )
+    (tmp_path / "tbl" / "data" / "v00000001").mkdir(parents=True)
+    spark.range(7).write.mode("overwrite").parquet(
+        str(tmp_path / "tbl" / "data" / "v00000001")
+    )
+
+    v = snapshot_write(spark, spark.range(20), t, mode="overwrite")
+    assert v == 2
+    assert _manifest_versions(spark, t) == [0, 1, 2]
+    assert snapshot_read(spark, t).count() == 20
+    assert snapshot_read(spark, t, 1).count() == 7
+
+
+def test_snapshot_vacuum_reclaims_orphans_and_old_versions(spark, tmp_path):
+    from wd2duckdb_spark.maintenance import (
+        snapshot_read,
+        snapshot_vacuum,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark, spark.range(4), t, mode="overwrite")
+    snapshot_write(spark, spark.range(6), t, mode="overwrite")
+    # orphan: a data dir no manifest references (crashed writer)
+    orphan = tmp_path / "tbl" / "data" / "v99999999"
+    spark.range(2).write.parquet(str(orphan))
+
+    deleted = snapshot_vacuum(spark, t, keep_last=1)
+    assert "data/v99999999" in deleted
+    assert "data/v00000000" in deleted  # only v0 referenced it
+    assert snapshot_read(spark, t).count() == 6  # latest untouched

@@ -40,6 +40,8 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     queries, oracles = all_queries(), all_oracles()
+    if only == ["--all"]:
+        only = sorted(oracles)
     names = [n for n in (only or HEADLINE) if n in oracles]
 
     spark = get_spark(app_name="compare_duckdb")

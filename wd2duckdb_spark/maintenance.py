@@ -178,3 +178,178 @@ def upsert_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Versioned snapshots (time travel) — a minimal transaction log over parquet
+# ---------------------------------------------------------------------------
+
+_LOG_DIR = "_log"
+_DATA_DIR = "data"
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, p.getFileSystem(hconf)
+
+
+def _manifest_versions(spark: SparkSession, table_dir: str) -> list[int]:
+    jvm, fs = _fs(spark, table_dir)
+    log_p = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/{_LOG_DIR}")
+    if not fs.exists(log_p):
+        return []
+    out = []
+    for st in fs.listStatus(log_p):
+        name = st.getPath().getName()
+        if name.endswith(".json") and not name.startswith("."):
+            out.append(int(name[: -len(".json")]))
+    return sorted(out)
+
+
+def _read_manifest(spark: SparkSession, table_dir: str, version: int) -> dict:
+    import json as _json
+
+    jvm, fs = _fs(spark, table_dir)
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{table_dir}/{_LOG_DIR}/{version:08d}.json"
+    )
+    stream = fs.open(p)
+    try:
+        data = bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return _json.loads(data.decode("utf-8"))
+
+
+def snapshot_write(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+) -> int:
+    """Commit ``df`` to a versioned parquet table and return the new
+    version number — the Delta/Iceberg commit protocol reduced to its
+    load-bearing core, with no engine dependency.
+
+    Layout: ``data/v{N}/`` parquet directories (immutable once
+    written) plus ``_log/{N:08d}.json`` manifests, each listing the
+    data directories that make up that version (append = previous
+    list + the new dir; overwrite = just the new dir). The commit is
+    the atomic rename of a hidden temp manifest onto its final name:
+    rename-onto-existing fails on Hadoop filesystems, so two racing
+    writers cannot both claim a version — the loser re-reads the log
+    and retries at N+1 (optimistic concurrency). Readers resolve a
+    version from the manifest alone and never list ``data/``, which
+    kills both the eventual-consistency-listing hazard and the
+    O(files) planning cost: at 100 TB the manifest stays KB-sized
+    because it lists directories, not files.
+
+    Crash safety: a writer that dies mid-parquet-write leaves an
+    orphaned ``data/v{N}`` that no manifest references — invisible to
+    readers, reclaimed by :func:`snapshot_vacuum`. NOTE: object
+    stores without atomic rename (raw S3) need a locking layer for
+    the final rename, same as Delta's S3 LogStore.
+    """
+    import json as _json
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    jvm, fs = _fs(spark, table_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs.mkdirs(Path(f"{table_dir}/{_LOG_DIR}"))
+
+    for _ in range(10):  # optimistic-concurrency retries
+        versions = _manifest_versions(spark, table_dir)
+        new_v = (versions[-1] + 1) if versions else 0
+        data_rel = f"{_DATA_DIR}/v{new_v:08d}"
+        df.write.mode("error").parquet(f"{table_dir}/{data_rel}")
+        if mode == "append" and versions:
+            prev = _read_manifest(spark, table_dir, versions[-1])
+            dirs = prev["dirs"] + [data_rel]
+        else:
+            dirs = [data_rel]
+        manifest = {
+            "version": new_v,
+            "op": mode,
+            "dirs": dirs,
+        }
+        tmp = Path(f"{table_dir}/{_LOG_DIR}/.tmp-{new_v:08d}.json")
+        final = Path(f"{table_dir}/{_LOG_DIR}/{new_v:08d}.json")
+        out = fs.create(tmp, True)
+        try:
+            out.write(_json.dumps(manifest).encode("utf-8"))
+        finally:
+            out.close()
+        if fs.rename(tmp, final):
+            return new_v
+        # lost the race: another writer committed this version; the
+        # just-written data dir becomes an orphan (vacuumable) and we
+        # retry against the updated log
+        fs.delete(tmp, False)
+        fs.delete(Path(f"{table_dir}/{data_rel}"), True)
+    raise RuntimeError(
+        f"snapshot_write: lost the commit race 10 times at {table_dir}"
+    )
+
+
+def snapshot_read(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read a versioned table at ``version`` (default: latest). Plain
+    multi-path parquet scan of the manifest's directories — pushdown,
+    pruning, and split planning all apply as usual."""
+    versions = _manifest_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions at {table_dir}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"version {v} not in {versions}")
+    manifest = _read_manifest(spark, table_dir, v)
+    return spark.read.parquet(
+        *[f"{table_dir}/{d}" for d in manifest["dirs"]]
+    )
+
+
+def snapshot_history(spark: SparkSession, table_dir: str) -> list[dict]:
+    """The commit log, oldest first: version, op, #data-dirs."""
+    return [
+        {
+            "version": m["version"],
+            "op": m["op"],
+            "n_dirs": len(m["dirs"]),
+        }
+        for m in (
+            _read_manifest(spark, table_dir, v)
+            for v in _manifest_versions(spark, table_dir)
+        )
+    ]
+
+
+def snapshot_vacuum(
+    spark: SparkSession, table_dir: str, keep_last: int = 1
+) -> list[str]:
+    """Delete data directories unreachable from the last ``keep_last``
+    manifests (orphans from crashed/raced writers, plus dirs only
+    older versions reference). Returns the deleted relative paths.
+    Time travel remains valid for the kept versions only."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    jvm, fs = _fs(spark, table_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
+    versions = _manifest_versions(spark, table_dir)
+    live: set[str] = set()
+    for v in versions[-keep_last:]:
+        live.update(_read_manifest(spark, table_dir, v)["dirs"])
+    data_p = Path(f"{table_dir}/{_DATA_DIR}")
+    deleted = []
+    if fs.exists(data_p):
+        for st in fs.listStatus(data_p):
+            rel = f"{_DATA_DIR}/{st.getPath().getName()}"
+            if rel not in live:
+                fs.delete(st.getPath(), True)
+                deleted.append(rel)
+    return sorted(deleted)
