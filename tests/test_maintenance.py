@@ -260,3 +260,59 @@ def test_snapshot_vacuum_reclaims_orphans_and_old_versions(spark, tmp_path):
     assert "data/v99999999" in deleted
     assert "data/v00000000" in deleted  # only v0 referenced it
     assert snapshot_read(spark, t).count() == 6  # latest untouched
+
+
+def test_snapshot_schema_evolution(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from wd2duckdb_spark.maintenance import snapshot_read, snapshot_write
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark, spark.range(3), t, mode="overwrite")
+    snapshot_write(
+        spark,
+        spark.range(3, 5).withColumn("tag", F.lit("new")),
+        t,
+        mode="append",
+    )
+    evolved = snapshot_read(spark, t, merge_schema=True)
+    assert set(evolved.columns) == {"id", "tag"}
+    rows = {r.id: r.tag for r in evolved.collect()}
+    assert rows[0] is None and rows[4] == "new"
+
+
+def test_snapshot_stream_commits_per_batch(spark, tmp_path):
+    from wd2duckdb_spark.maintenance import (
+        snapshot_history,
+        snapshot_read,
+        snapshot_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.range(10).coalesce(1).write.parquet(str(src / "b0"))
+    schema = spark.read.parquet(str(src / "b0")).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src) + "/*")
+    t = str(tmp_path / "tbl")
+    q = snapshot_stream(
+        stream, t, checkpoint=str(tmp_path / "ckpt"), mode="append"
+    )
+    q.awaitTermination(120)
+
+    # second batch arrives; restart the availableNow stream
+    spark.range(10, 15).coalesce(1).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src) + "/*")
+    q = snapshot_stream(
+        stream, t, checkpoint=str(tmp_path / "ckpt"), mode="append"
+    )
+    q.awaitTermination(120)
+
+    assert snapshot_read(spark, t).count() == 15
+    hist = snapshot_history(spark, t)
+    assert len(hist) >= 2 and all(h["op"] == "append" for h in hist)
+    # time travel to the first commit sees only batch 0
+    assert snapshot_read(spark, t, 0).count() == 10

@@ -297,11 +297,20 @@ def snapshot_write(
 
 
 def snapshot_read(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read a versioned table at ``version`` (default: latest). Plain
     multi-path parquet scan of the manifest's directories — pushdown,
-    pruning, and split planning all apply as usual."""
+    pruning, and split planning all apply as usual.
+
+    ``merge_schema=True`` unions the footer schemas across the
+    version's data directories (columns added by later appends come
+    back NULL for older rows) — schema evolution without rewriting
+    history, at the cost of one footer read per directory.
+    """
     versions = _manifest_versions(spark, table_dir)
     if not versions:
         raise FileNotFoundError(f"no committed versions at {table_dir}")
@@ -309,9 +318,10 @@ def snapshot_read(
     if v not in versions:
         raise FileNotFoundError(f"version {v} not in {versions}")
     manifest = _read_manifest(spark, table_dir, v)
-    return spark.read.parquet(
-        *[f"{table_dir}/{d}" for d in manifest["dirs"]]
-    )
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[f"{table_dir}/{d}" for d in manifest["dirs"]])
 
 
 def snapshot_history(spark: SparkSession, table_dir: str) -> list[dict]:
@@ -327,6 +337,38 @@ def snapshot_history(spark: SparkSession, table_dir: str) -> list[dict]:
             for v in _manifest_versions(spark, table_dir)
         )
     ]
+
+
+def snapshot_stream(
+    events,
+    table_dir: str,
+    checkpoint: str,
+    mode: str = "append",
+    available_now: bool = True,
+):
+    """Streaming sink into a versioned snapshot table: every
+    micro-batch becomes one atomic commit, so readers always see a
+    consistent version (never a half-written batch) and the table's
+    history doubles as an audit log of the stream.
+
+    Exactly-once per batch comes from the checkpoint (which source
+    files were consumed) plus the commit protocol; a batch replayed
+    after a crash before its manifest rename re-commits the same rows
+    under a fresh version, and the orphaned first attempt is invisible
+    to readers and vacuumable. Contrast with :func:`upsert_stream`,
+    which rewrites a keyed base in place — this sink is append-only
+    history with time travel.
+    """
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        snapshot_write(batch_df.sparkSession, batch_df, table_dir, mode)
+
+    writer = events.writeStream.foreachBatch(_commit).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def snapshot_vacuum(
