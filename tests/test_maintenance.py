@@ -316,3 +316,56 @@ def test_snapshot_stream_commits_per_batch(spark, tmp_path):
     assert len(hist) >= 2 and all(h["op"] == "append" for h in hist)
     # time travel to the first commit sees only batch 0
     assert snapshot_read(spark, t, 0).count() == 10
+
+
+def test_snapshot_model_based_random_ops(spark, tmp_path):
+    """Model-based check: a random interleaving of overwrite/append
+    commits, time-travel reads, and vacuums must always agree with a
+    trivial in-memory model of the log."""
+    import random
+
+    from wd2duckdb_spark.maintenance import (
+        snapshot_history,
+        snapshot_read,
+        snapshot_vacuum,
+        snapshot_write,
+    )
+
+    rng = random.Random(42)
+    t = str(tmp_path / "tbl")
+    model: dict[int, set[int]] = {}  # version -> expected id set
+    vacuumed_before = -1  # versions <= this may have lost data dirs
+    next_range = 0
+
+    for step in range(12):
+        op = rng.choice(["overwrite", "append", "append", "vacuum"])
+        if op == "vacuum" and model:
+            keep = rng.randint(1, 2)
+            snapshot_vacuum(spark, t, keep_last=keep)
+            vacuumed_before = max(model) - keep
+            continue
+        ids = set(range(next_range, next_range + rng.randint(1, 5)))
+        next_range += 5
+        df = spark.createDataFrame(
+            [(i,) for i in sorted(ids)], "id long"
+        )
+        v = snapshot_write(
+            spark, df, t, mode=op if model else "overwrite"
+        )
+        prev = model[max(model)] if (model and op == "append") else set()
+        model[v] = prev | ids
+
+        # latest always readable and exact
+        got = {r.id for r in snapshot_read(spark, t).collect()}
+        assert got == model[v], f"step {step}: {got} != {model[v]}"
+        # a random non-vacuumed historical version must time-travel
+        candidates = [
+            w for w in model if w > vacuumed_before and w != v
+        ]
+        if candidates:
+            w = rng.choice(candidates)
+            got_w = {r.id for r in snapshot_read(spark, t, w).collect()}
+            assert got_w == model[w], f"v{w}: {got_w} != {model[w]}"
+
+    hist = snapshot_history(spark, t)
+    assert [h["version"] for h in hist] == sorted(model)

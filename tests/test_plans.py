@@ -91,27 +91,27 @@ def test_band_join_avoids_nested_loop(spark):
     )
 
 
-def test_embedding_neardup_plan_is_bucketed(spark):
-    """Banded-LSH near-dup must never fall back to an all-pairs join:
-    the plan is scan -> one bucket groupBy exchange -> in-bucket
-    Generate, with NO join operator of any kind (VERDICT r1 item 1)."""
+def test_embedding_neardup_plan_is_blocked_gemm(spark):
+    """Blocked-GEMM near-dup must never materialize a data-sized
+    self-join: ONE MapInPandas (the BLAS Gram tasks), exactly one tiny
+    nested-loop join (the B-row x B-row block-pair task table — B =
+    EMB_BLOCKS rows per side, not data), and only the candidate
+    re-verify joins on the result-sized pair set."""
     from wd2duckdb_spark.functions.dedup import q_embedding_neardup
     from wd2duckdb_spark.plans import plan_summary
 
     s = plan_summary(q_embedding_neardup(spark, SF_DIR))
-    assert s["nested_loop_join"] == 0
-    assert (
-        s["broadcast_hash_join"] + s["shuffled_hash_join"] + s["sort_merge_join"]
-        == 0
-    )  # candidate pairs come from bucket expansion, not a self-join
-    assert s["generate"] >= 2  # band fan-out + in-bucket pair expansion
-    assert s["exchange"] <= 3  # bucket groupBy, distinct, final sort
+    assert s["map_in_pandas"] == 1
+    assert s["nested_loop_join"] == 1  # B-row task descriptors only
+    assert s["sort_merge_join"] == 0
+    assert s["python_udf"] == 0  # Arrow-batched, not row-at-a-time
+    assert s["exchange"] <= 6
 
 
-def test_embedding_neardup_banded_equals_exhaustive(spark):
-    """The (2 planes, 32 tables) banding has per-pair miss probability
-    ~9e-8 at the 0.4 threshold, so the candidate set must reproduce the
-    exhaustive all-pairs result exactly on the fixture."""
+def test_embedding_neardup_equals_exhaustive(spark):
+    """The margin-guarded BLAS pre-filter plus exact JVM re-verify must
+    reproduce the exhaustive all-pairs result exactly on the
+    fixture."""
     from wd2duckdb_spark.functions.dedup import q_embedding_neardup
     from wd2duckdb_spark.catalog import tbl
 

@@ -1,0 +1,114 @@
+"""Corpus-scaling bench: does per-row throughput hold as the corpus
+grows 1× → 4× → 16×?
+
+Materializes scaled copies of ``documents`` (doc_id remapped into
+disjoint ranges, one token salted per copy so exact-dup semantics
+don't degenerate), then times the scan/agg-bound operator tier over
+each size with the noop sink. If the engine's plans are right, rows/s
+stays ~flat while wall-clock grows linearly — the local[N] proxy for
+"would survive 100×". Pair-generating operators (MinHash-LSH) are
+deliberately excluded: duplicating a corpus k× multiplies its
+NEAR-DUP PAIRS quadratically, which is a semantics change, not a
+scaling test.
+
+Usage: python tools/bench_corpus_scale.py [sf_dir] [multipliers...]
+Prints one JSON line:
+    {"base_rows": N, "runs": {"4x": {"rows": ..., "queries":
+        {name: {"sec": s, "krows_per_sec": r}}}, ...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+BENCH_QUERIES = (
+    "text_quality",
+    "dedup_exact",
+    "simhash",
+    "heavy_hitters",
+    "boilerplate_prune",
+    "pack_sequences",
+    "dataset_split",
+    "token_count_bpe",
+)
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    mults = [int(m) for m in sys.argv[2:]] or [1, 4, 16]
+
+    from pyspark.sql import functions as F
+
+    from wd2duckdb_spark import get_spark
+    from wd2duckdb_spark.registry import all_queries
+
+    spark = get_spark(app_name="bench_corpus_scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()  # warm-up
+
+    queries = all_queries()
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base_rows = base.count()
+
+    stage = tempfile.mkdtemp(prefix="corpus_scale_")
+    out: dict[str, dict] = {}
+    try:
+        for m in mults:
+            scaled_dir = os.path.join(stage, f"x{m}")
+            os.makedirs(scaled_dir)
+            # disjoint doc_id ranges per copy; salt one token per copy
+            # so copies are near- but not exact-duplicates
+            copies = base.crossJoin(
+                spark.range(m).withColumnRenamed("id", "copy")
+            ).select(
+                (F.col("doc_id") * m + F.col("copy")).alias("doc_id"),
+                F.concat(
+                    F.col("text"),
+                    F.lit(" salt"),
+                    F.col("copy").cast("string"),
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+            copies.repartition(
+                max(m, spark.sparkContext.defaultParallelism)
+            ).write.parquet(f"{scaled_dir}/documents.parquet")
+            # the query tier only touches documents; link the rest
+            for t in (
+                "region nation customer supplier part orders lineitem "
+                "events embeddings"
+            ).split():
+                os.symlink(
+                    f"{sf_dir}/{t}.parquet", f"{scaled_dir}/{t}.parquet"
+                )
+            n_rows = base_rows * m
+
+            per_q: dict[str, dict] = {}
+            for name in BENCH_QUERIES:
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    queries[name](spark, scaled_dir).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    best = min(best, time.perf_counter() - t0)
+                per_q[name] = {
+                    "sec": round(best, 3),
+                    "krows_per_sec": round(n_rows / best / 1000, 1),
+                }
+            out[f"{m}x"] = {"rows": n_rows, "queries": per_q}
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+    print(json.dumps({"base_rows": base_rows, "runs": out}))
+
+
+if __name__ == "__main__":
+    main()

