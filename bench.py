@@ -54,6 +54,7 @@ HEADLINE = (
     "scd2_intervals",
     "rolling_7d_features",
     "dq_report",
+    "embedding_neardup",
 )
 
 
