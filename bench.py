@@ -55,6 +55,8 @@ HEADLINE = (
     "rolling_7d_features",
     "dq_report",
     "embedding_neardup",
+    "kmeans_lloyd",
+    "shortest_path_bounded",
 )
 
 

@@ -725,6 +725,155 @@ ORACLES: dict[str, str] = {
     # by tests/test_similarity.py (recall vs. brute force) instead.
 }
 
+#: Lloyd's k-means parameters: K seed centroids (the first K vectors
+#: by vec_id — deterministic, no RNG), T update iterations.
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _floor6(c: Column) -> Column:
+    return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a sequential fold (codegen, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (KMEANS_ITERS synchronous
+    iterations, K = KMEANS_K, seeds = first K vectors by vec_id) over
+    the embedding corpus — the clustering step that produces IVF cells,
+    semantic-dedup groups, and curriculum domains at scale.
+
+    Per iteration: broadcast the K-row centroid table against the
+    corpus (BroadcastNestedLoopJoin of a constant-size side — the
+    canonical "ship the centroids, not the data" plan), argmin by
+    (distance, cid) via a min-struct aggregate, then recompute
+    centroids as per-(cid, pos) means (posexplode keeps the average in
+    native codegen — no array aggregation buffer). The whole loop is
+    one lazy DAG like :func:`~wd2duckdb_spark.operators.graph
+    .q_pagerank_topk`; only the corpus projection is persisted.
+
+    Cross-engine determinism: distances and centroid components are
+    floor-normalized to 6 dp at every iteration (PLANS.md convention),
+    so both engines carry identical centroids forward and the argmin
+    cannot diverge; ties break on cid inside the min-struct. Output is
+    the K-row cluster summary (size + mean within-cluster distance).
+
+    Scale: per iteration one scan + one (vec → cid) shuffle of
+    (K × dims) partial sums — no all-pairs term anywhere; at 100 TB
+    you add a mini-batch sample for the update step, but the dataflow
+    is unchanged.
+    """
+    vecs = (
+        tbl(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .persist()
+    )
+    cents = vecs.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("c")
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        d = vecs.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "cid",
+            _floor6(_sqdist(F.col("v"), F.col("c"))).alias("dist"),
+        )
+        return d.groupBy("vec_id").agg(
+            F.min(F.struct("dist", "cid")).alias("m")
+        ).select(
+            "vec_id",
+            F.col("m.cid").alias("cid"),
+            F.col("m.dist").alias("dist"),
+        )
+
+    for _ in range(KMEANS_ITERS):
+        members = assign(cents).join(vecs, "vec_id")
+        cents = (
+            members.select("cid", F.posexplode("v"))
+            .groupBy("cid", "pos")
+            .agg(_floor6(F.avg("col")).alias("x"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "x"))),
+                    lambda s: s.getField("x"),
+                ).alias("c")
+            )
+        )
+    final = assign(cents)
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            (F.floor(F.avg("dist") * 1e4 + F.lit(0.5)) / 1e4).alias(
+                "avg_dist"
+            ),
+        )
+        .orderBy("cid")
+    )
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd iterations as chained CTEs (DuckDB). The same
+    floor-6 normalization points as the Spark plan keep both engines'
+    centroid streams identical."""
+    sqd = (
+        "list_sum(list_transform(list_zip(v, c),"
+        " z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    )
+    steps = []
+    for i in range(1, KMEANS_ITERS + 1):
+        steps.append(
+            f"""a{i} AS (
+            SELECT vec_id,
+                   min(ROW(floor({sqd} * 1e6 + 0.5) / 1e6, cid)) AS m
+            FROM vecs CROSS JOIN c{i - 1}
+            GROUP BY vec_id
+        ), b{i} AS (
+            SELECT vec_id, CAST(m[2] AS INT) AS cid FROM a{i}
+        ), f{i} AS (
+            SELECT b.cid,
+                   CAST(unnest(range(len(v.v))) AS INT) AS pos,
+                   unnest(v.v) AS x
+            FROM b{i} b JOIN vecs v USING (vec_id)
+        ), c{i} AS (
+            SELECT cid, list(cx ORDER BY pos) AS c FROM (
+                SELECT cid, pos, floor(avg(x) * 1e6 + 0.5) / 1e6 AS cx
+                FROM f{i} GROUP BY cid, pos
+            ) GROUP BY cid)"""
+        )
+    chained = ",\n        ".join(steps)
+    return f"""
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), c0 AS (
+            SELECT CAST(vec_id AS INT) AS cid, v AS c
+            FROM vecs WHERE vec_id < {KMEANS_K}
+        ),
+        {chained},
+        fin AS (
+            SELECT vec_id,
+                   min(ROW(floor({sqd} * 1e6 + 0.5) / 1e6, cid)) AS m
+            FROM vecs CROSS JOIN c{KMEANS_ITERS}
+            GROUP BY vec_id
+        )
+        SELECT CAST(m[2] AS INT) AS cid,
+               count(*) AS n_vecs,
+               floor(avg(m[1]) * 1e4 + 0.5) / 1e4 AS avg_dist
+        FROM fin
+        GROUP BY CAST(m[2] AS INT)
+        ORDER BY cid
+    """
+
+
 QUERIES = {
     "pq_adc_topk": q_pq_adc_topk,
     "embedding_pq_codes": q_embedding_pq_codes,
@@ -734,4 +883,7 @@ QUERIES = {
     "embedding_centroids": q_embedding_centroids,
     "embedding_quantize": q_embedding_quantize,
     "embedding_pca": q_embedding_pca,
+    "kmeans_lloyd": q_kmeans_lloyd,
 }
+
+ORACLES["kmeans_lloyd"] = _kmeans_oracle()

@@ -559,7 +559,124 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the corpus: word → document frequency,
+    total occurrences, and the sorted posting list of doc_ids — the
+    retrieval-side structure a dedup/search pipeline materializes next
+    to the corpus (and the relational dual of the reference's
+    dst_id secondary index, value.rs:332-350).
+
+    explode → one (word) shuffle; the posting list is built with
+    collect_set + array_sort so the aggregation buffer holds each
+    doc_id once. At 100 TB posting lists for stopword-grade terms are
+    the skew risk — cap them (slice) or shard the hot words with the
+    salting pattern in operators/skew.py; the fixture vocabulary is
+    bounded so the plain form is exact here.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("word"),
+    )
+    return (
+        words.groupBy("word")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count("*").alias("tf_total"),
+            F.array_sort(F.collect_set("doc_id")).alias("postings"),
+        )
+        .orderBy("word")
+    )
+
+
+#: Redaction patterns (identical Java-regex / RE2 semantics: no
+#: lookaround, no backreferences).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_NUMBER = r"[0-9]+"
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style pattern redaction over the event payload column:
+    scrub email addresses and digit runs to placeholder tokens and
+    report per-event-type match counts plus the surviving template
+    cardinality — the pre-training scrubbing pass every text pipeline
+    runs, instrumented the way an audit needs it (how much was
+    redacted, what shapes remain).
+
+    Pure per-row regexp expressions (JVM codegen, no UDF) feeding one
+    partial+final aggregate: at 100 TB this runs at scan speed, and
+    the output is bounded by |event types| × |templates|. The
+    patterns deliberately use the regex subset with identical
+    semantics in Java regex and RE2 (no lookaround/backreferences) so
+    the DuckDB oracle runs the same expressions verbatim.
+    """
+    e = tbl(spark, sf_dir, "events")
+    redacted = F.regexp_replace(
+        F.regexp_replace("props", F.lit(PII_EMAIL), F.lit("<EMAIL>")),
+        F.lit(PII_NUMBER),
+        F.lit("<NUM>"),
+    )
+    return (
+        e.select(
+            "event_type",
+            F.regexp_count("props", F.lit(PII_NUMBER)).alias("nums"),
+            F.regexp_count("props", F.lit(PII_EMAIL)).alias("emails"),
+            redacted.alias("template"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("nums").alias("n_numbers"),
+            F.sum("emails").alias("n_emails"),
+            F.countDistinct("template").alias("n_templates"),
+            F.min("template").alias("sample_template"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLES["inverted_index"] = """
+    WITH words AS (
+        SELECT doc_id,
+               unnest(string_split(lower(trim(text)), ' ')) AS word
+        FROM documents
+    ), per_doc AS (
+        SELECT word, doc_id, count(*) AS cnt
+        FROM words GROUP BY word, doc_id
+    )
+    SELECT word,
+           count(*) AS df,
+           sum(cnt) AS tf_total,
+           list(doc_id ORDER BY doc_id) AS postings
+    FROM per_doc
+    GROUP BY word
+    ORDER BY word
+"""
+
+ORACLES["redact_pii"] = f"""
+    WITH r AS (
+        SELECT event_type,
+               len(regexp_extract_all(props, '{PII_NUMBER}')) AS nums,
+               len(regexp_extract_all(props, '{PII_EMAIL}')) AS emails,
+               regexp_replace(
+                   regexp_replace(props, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{PII_NUMBER}', '<NUM>', 'g') AS template
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(nums) AS BIGINT) AS n_numbers,
+           CAST(sum(emails) AS BIGINT) AS n_emails,
+           count(DISTINCT template) AS n_templates,
+           min(template) AS sample_template
+    FROM r
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
 QUERIES = {
+    "inverted_index": q_inverted_index,
+    "redact_pii": q_redact_pii,
     "vocab_entropy": q_vocab_entropy,
     "clean_corpus_pipeline": q_clean_corpus_pipeline,
     "token_count_bpe": q_token_count_bpe,

@@ -287,7 +287,51 @@ def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Shard count for the reproducible training-order manifest.
+N_SHARDS = 16
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global shuffle: assign every document to one of
+    N_SHARDS shards by content-stable md5 (NOT rand() — re-ingest,
+    retry, and engine changes must not move documents), and emit the
+    per-shard manifest a training job consumes: document count, token
+    count, byte count, and an order-insensitive content checksum
+    (sum of per-doc md5 prefixes) that lets the trainer verify a
+    shard's integrity without re-reading the corpus.
+
+    One uniform (shard) shuffle of doc-sized rows; the manifest is
+    N_SHARDS rows regardless of corpus size. The checksum is a SUM of
+    64-bit values — associative/commutative, so partial aggregation
+    order cannot change it (mod-2^63 wraparound aside, which Spark and
+    DuckDB both define as two's-complement BIGINT overflow... avoided
+    here by summing 8-hex (32-bit) prefixes: 2^32 × corpus size stays
+    far below 2^63).
+    """
+    d = tbl(spark, sf_dir, "documents")
+    doc_h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10
+    ).cast("long")
+    return (
+        d.select(
+            md5_bucket(F.col("doc_id"), N_SHARDS).alias("shard"),
+            _ws_tokens().alias("n_tokens"),
+            F.length("text").alias("n_chars"),
+            doc_h.alias("h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("h").alias("checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
 QUERIES = {
+    "shard_manifest": q_shard_manifest,
     "dataset_split": q_dataset_split,
     "importance_resample": q_importance_resample,
     "pack_sequences": q_pack_sequences,
@@ -296,6 +340,24 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {
+    "shard_manifest": f"""
+        WITH d AS (
+            SELECT {md5_bucket_sql('doc_id', N_SHARDS)} AS shard,
+                   len(string_split(trim(text), ' ')) AS n_tokens,
+                   length(text) AS n_chars,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT
+                       AS h
+            FROM documents
+        )
+        SELECT shard,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               CAST(sum(h) AS BIGINT) AS checksum
+        FROM d
+        GROUP BY shard
+        ORDER BY shard
+    """,
     "importance_resample": f"""
         WITH d AS (
             SELECT source,

@@ -989,7 +989,86 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+#: Equi-width histogram bucket count.
+HIST_BUCKETS = 8
+
+ORACLES["histogram_equiwidth"] = f"""
+    WITH bounds AS (
+        SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        FROM orders
+    ), bucketed AS (
+        SELECT o_totalprice, mn, mx,
+               CAST(least(floor((o_totalprice - mn) / (mx - mn)
+                                * {HIST_BUCKETS}),
+                          {HIST_BUCKETS - 1}) AS INT) AS bucket
+        FROM orders CROSS JOIN bounds
+    )
+    SELECT bucket,
+           floor((min(mn) + bucket * (max(mx) - min(mn))
+                  / {HIST_BUCKETS}) * 100 + 0.5) / 100 AS bin_lo,
+           floor((min(mn) + (bucket + 1) * (max(mx) - min(mn))
+                  / {HIST_BUCKETS}) * 100 + 0.5) / 100 AS bin_hi,
+           count(*) AS n_orders,
+           floor(avg(o_totalprice) * 100 + 0.5) / 100 AS avg_price
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
+"""
+
+
+def q_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals: HIST_BUCKETS fixed-width
+    bins between global min and max, with per-bin counts and means —
+    the distribution profile an optimizer's ANALYZE or a data-quality
+    dashboard computes.
+
+    Two aggregate passes, zero sorts: pass 1 reduces to a 1-row
+    (min, max) bounds table that broadcasts back (the scalar-subquery
+    shape); pass 2 buckets every row arithmetically and aggregates.
+    This is the scalable histogram — the equi-DEPTH variant needs a
+    global quantile (see `percentiles_exact` / `approx_quantiles`);
+    equi-width needs only min/max and is a pure map-side expression.
+
+    Both engines compute the bucket from the identical expression
+    ``floor((x - mn) / (mx - mn) * NB)`` on identical doubles, so
+    bin assignment cannot diverge; presentation edges and means are
+    floor-normalized to 2 dp.
+    """
+    o = tbl(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    nb = F.lit(HIST_BUCKETS)
+    f2 = lambda c: F.floor(c * 100 + F.lit(0.5)) / 100  # noqa: E731
+    bucket = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("mn"))
+            / (F.col("mx") - F.col("mn"))
+            * nb
+        ),
+        F.lit(HIST_BUCKETS - 1),
+    ).cast("int")
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .select("o_totalprice", "mn", "mx", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            f2(
+                F.min("mn") + F.col("bucket") * (F.min("mx") - F.min("mn")) / nb
+            ).alias("bin_lo"),
+            f2(
+                F.min("mn")
+                + (F.col("bucket") + 1) * (F.min("mx") - F.min("mn")) / nb
+            ).alias("bin_hi"),
+            F.count("*").alias("n_orders"),
+            f2(F.avg("o_totalprice")).alias("avg_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
 QUERIES = {
+    "histogram_equiwidth": q_histogram_equiwidth,
     "funnel_stages": q_funnel_stages,
     "retention_cohorts": q_retention_cohorts,
     "argmax_extremes": q_argmax_extremes,

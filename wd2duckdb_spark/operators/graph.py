@@ -374,8 +374,116 @@ def q_reachability_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(RCTE_REACHABILITY_SQL)
 
 
+#: Bellman-Ford superstep bound for :func:`q_shortest_path_bounded`.
+SP_ITERS = 4
+
+#: Source vertex (customer key 1 — TPC-H custkeys start at 1).
+SP_SRC = 1
+
+
+def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted bidirectional customer↔supplier edges: weight per
+    trading pair = min lineitem extended price / 1000 (min is exact
+    over doubles, so both engines derive bit-identical weights)."""
+    o = tbl(spark, sf_dir, "orders")
+    l = tbl(spark, sf_dir, "lineitem")
+    pair = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .agg((F.min("l_extendedprice") / 1000.0).alias("w"))
+    )
+    fwd = pair.select(
+        F.col("c").alias("src"), (F.col("s") + _SUPP_NS).alias("dst"), "w"
+    )
+    rev = pair.select(
+        (F.col("s") + _SUPP_NS).alias("src"), F.col("c").alias("dst"), "w"
+    )
+    return fwd.union(rev)
+
+
+def q_shortest_path_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths within SP_ITERS hops (weighted
+    Bellman-Ford supersteps) over the trade graph — the
+    cheapest-route / influence-radius query the reference's
+    `edge(src_id, dst_id)` schema serves via its endpoint indices
+    (value.rs:332-350).
+
+    Each superstep relaxes the CURRENT distance table through the edge
+    list (join on `src`) and folds candidates back with a min-agg —
+    the textbook iterative-dataflow SSSP. Like PageRank above, the
+    loop is a linear lazy chain (one DAG, no per-iteration jobs); only
+    the reused edge table is persisted. Distances are exact across
+    engines: a path cost is the SAME left-to-right double addition
+    sequence in both, and min is exact, so the oracle (unrolled CTEs)
+    matches bit-for-bit before the presentation floor-rounding.
+
+    Scale: the frontier table is vertex-sized, edges shuffle once per
+    superstep on `src`; bucket the edge table on src (layout.py) and
+    every superstep shuffles only the distance vector. Hop-bounded by
+    construction — the 100 TB failure mode of unbounded BFS (frontier
+    = whole graph) cannot occur.
+    """
+    edges = _weighted_edges(spark, sf_dir).persist()
+    dist = spark.range(1).select(
+        F.lit(SP_SRC).cast("long").alias("node"),
+        F.lit(0.0).alias("dist"),
+    )
+    for _ in range(SP_ITERS):
+        relax = dist.join(edges, dist.node == edges.src).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.select(
+        F.col("node").alias("node_id"),
+        (F.floor(F.col("dist") * 1e6 + F.lit(0.5)) / 1e6).alias("dist"),
+    ).orderBy("dist", "node_id")
+
+
+def _shortest_path_oracle() -> str:
+    """Unrolled Bellman-Ford as chained CTEs (DuckDB)."""
+    steps = []
+    for i in range(1, SP_ITERS + 1):
+        steps.append(
+            f"""d{i} AS (
+            SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d{i - 1}
+                UNION ALL
+                SELECT e.dst AS node, d.dist + e.w AS dist
+                FROM d{i - 1} d JOIN edges e ON e.src = d.node
+            ) GROUP BY node)"""
+        )
+    chained = ",\n        ".join(steps)
+    return f"""
+        WITH pair AS (
+            SELECT o_custkey AS c, l_suppkey AS s,
+                   min(l_extendedprice) / 1000.0 AS w
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_custkey, l_suppkey
+        ), edges AS (
+            SELECT c AS src, s + {_SUPP_NS} AS dst, w FROM pair
+            UNION ALL
+            SELECT s + {_SUPP_NS} AS src, c AS dst, w FROM pair
+        ), d0 AS (
+            SELECT CAST({SP_SRC} AS BIGINT) AS node, 0.0::DOUBLE AS dist
+        ),
+        {chained}
+        SELECT node AS node_id,
+               floor(dist * 1e6 + 0.5) / 1e6 AS dist
+        FROM d{SP_ITERS}
+        ORDER BY dist, node_id
+    """
+
+
 ORACLES["pagerank_topk"] = _pagerank_oracle()
 ORACLES["reachability_rcte"] = RCTE_REACHABILITY_SQL
+ORACLES["shortest_path_bounded"] = _shortest_path_oracle()
 
 QUERIES = {
     "graph_2hop": q_graph_2hop,
@@ -384,4 +492,5 @@ QUERIES = {
     "graph_triangle": q_graph_triangle,
     "asof_latest_event": q_asof_latest_event,
     "reachability_rcte": q_reachability_rcte,
+    "shortest_path_bounded": q_shortest_path_bounded,
 }

@@ -105,8 +105,59 @@ def _check_selects() -> str:
     return " UNION ALL ".join(parts)
 
 
+#: Robust-z multiplier: |x - median| > MAD_K * MAD flags an outlier
+#: (≈ 3.4σ for normal data: MAD_K * 0.6745).
+MAD_K = 5
+
+
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median / MAD
+    (median absolute deviation) with a |dev| > MAD_K·MAD flag — the
+    anomaly screen a quality pipeline runs on numeric telemetry, where
+    mean/stddev would be dragged by the very outliers being hunted.
+
+    Dataflow: per-type median (one partial agg → tiny result),
+    broadcast back for deviations, per-type MAD the same way, then one
+    counting pass — three scans but zero wide shuffles; every join
+    side above the fact table is type-cardinality-sized and
+    broadcasts. At 100 TB swap the exact medians for t-digest
+    approx_percentile (mergeable) and the shape is unchanged.
+
+    Cross-engine determinism: median and MAD are floor-normalized to
+    4 dp before any comparison (PLANS.md convention — Spark and DuckDB
+    interpolate quantiles with different FP expression order), so the
+    outlier threshold is computed from identical doubles in both
+    engines.
+    """
+    e = tbl(spark, sf_dir, "events").select("event_type", "value")
+    f4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    med = e.groupBy("event_type").agg(
+        f4(F.expr("percentile(value, 0.5)")).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        f4(F.expr("percentile(adev, 0.5)")).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                (F.col("adev") > MAD_K * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "dq_report": q_dq_report,
+    "outlier_mad": q_outlier_mad,
 }
 
 ORACLES: dict[str, str] = {
@@ -119,5 +170,29 @@ ORACLES: dict[str, str] = {
                CAST(COALESCE(n_violations, 0) = 0 AS INT) AS pass
         FROM checks, tot
         ORDER BY check_name
+    """,
+    "outlier_mad": f"""
+        WITH e AS (SELECT event_type, value FROM events),
+        med AS (
+            SELECT event_type,
+                   floor(quantile_cont(value, 0.5) * 1e4 + 0.5) / 1e4 AS med
+            FROM e GROUP BY event_type
+        ), dev AS (
+            SELECT e.event_type, med, abs(value - med) AS adev
+            FROM e JOIN med USING (event_type)
+        ), mad AS (
+            SELECT event_type,
+                   floor(quantile_cont(adev, 0.5) * 1e4 + 0.5) / 1e4 AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type,
+               count(*) AS n_events,
+               min(d.med) AS med,
+               min(mad.mad) AS mad,
+               CAST(sum(CASE WHEN adev > {MAD_K} * mad.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad USING (event_type)
+        GROUP BY d.event_type
+        ORDER BY event_type
     """,
 }
