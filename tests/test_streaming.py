@@ -377,6 +377,107 @@ def test_stream_stream_interval_join_parity(spark, tmp_path):
     assert len(got) > 0  # non-vacuous: some purchases attribute
 
 
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
+    """Watermarked stream-stream LEFT OUTER interval join: clicks with
+    no purchase inside the lag window must surface as NULL-purchase
+    rows once the watermark passes their expiry. Verifies the three
+    outer-join contracts a finite run can check: (1) the matched
+    subset equals the inner join, (2) NULL rows are genuinely
+    unmatched per the batch twin, (3) every unmatched click old
+    enough to have expired is present."""
+    import datetime
+
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.streaming.joins import attribute_purchases
+
+    base = (
+        tbl(spark, SF_DIR, "events")
+        .filter(F.col("user_id") < 8)
+        .select("ts", "event_id", "user_id", "event_type", "value")
+    )
+    clicks = base.filter(F.col("event_type") == "click").drop("event_type")
+    purchases = base.filter(F.col("event_type") == "purchase").drop(
+        "event_type"
+    )
+
+    dirs = {}
+    cuts = {}
+    for name, df in (("clicks", clicks), ("purchases", purchases)):
+        rows = sorted(df.collect(), key=lambda r: (r.ts, r.event_id))
+        cut = rows[len(rows) // 2].ts
+        cuts[name] = cut
+        d = tmp_path / f"sso_{name}"
+        d.mkdir()
+        df.filter(F.col("ts") <= F.lit(cut)).coalesce(1).write.parquet(
+            str(d / "b0.parquet")
+        )
+        df.filter(F.col("ts") > F.lit(cut)).coalesce(1).write.parquet(
+            str(d / "b1.parquet")
+        )
+        dirs[name] = (d, df.schema)
+
+    def mkstream(name):
+        d, schema = dirs[name]
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d) + "/*.parquet")
+        )
+
+    lag = 30
+    joined = attribute_purchases(
+        mkstream("clicks"),
+        mkstream("purchases"),
+        max_lag_minutes=lag,
+        watermark="1 minute",
+        how="leftOuter",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("sso_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sso_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM sso_out").collect()
+
+    batch_inner = attribute_purchases(
+        clicks, purchases, max_lag_minutes=lag
+    ).collect()
+    want_matched = sorted(
+        (r.click_id, r.purchase_id) for r in batch_inner
+    )
+    got_matched = sorted(
+        (r.click_id, r.purchase_id)
+        for r in got
+        if r.purchase_id is not None
+    )
+    assert got_matched == want_matched
+
+    matched_clicks = {r.click_id for r in batch_inner}
+    null_rows = [r for r in got if r.purchase_id is None]
+    assert null_rows, "no unmatched clicks surfaced"
+    assert all(r.click_id not in matched_clicks for r in null_rows)
+
+    # completeness over the expired region. The global watermark is
+    # the MIN across both inputs and lags one micro-batch: during the
+    # final trigger it reflects only batch-0 data, so the provably
+    # expired region is bounded by min(batch-0 max ts) − delay − lag.
+    # (Spark may advance further in a trailing no-data batch — that
+    # only ADDS null rows, and the assertion is one-sided.)
+    wm_floor = min(cuts.values()) - datetime.timedelta(minutes=1)
+    horizon = wm_floor - datetime.timedelta(minutes=lag)
+    expired_unmatched = {
+        r.event_id
+        for r in clicks.collect()
+        if r.event_id not in matched_clicks and r.ts < horizon
+    }
+    emitted_nulls = {r.click_id for r in null_rows}
+    assert expired_unmatched <= emitted_nulls
+
+
 def test_transform_with_state_lifetime_value(spark, tmp_path):
     """Spark 4 transformWithStateInPandas: per-user lifetime aggregate
     over two micro-batches; the LAST update per user equals the batch

@@ -586,7 +586,121 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Jaccard threshold for the prefix-filter join, as an exact rational
+#: (JACCARD_NUM/JACCARD_DEN) so every derived bound uses integer
+#: arithmetic — no FP ceil() off-by-one can shorten a prefix.
+JACCARD_NUM, JACCARD_DEN = 4, 5  # t = 0.8
+
+
+def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join (3-gram shingle Jaccard ≥ 0.8)
+    via PREFIX FILTERING (SSJoin/PPJoin family) — the third candidate-
+    generation strategy next to MinHash banding (probabilistic, same
+    shingle sets) and blocked GEMM (dense vectors): exact, and
+    sub-quadratic whenever near-identical documents are rare.
+
+    The filter: order every document's shingle set by global document
+    frequency (rarest first, ties on the shingle); if J(a,b) ≥ t,
+    then a and b MUST share a shingle within their first
+    ``n - ⌈t·n⌉ + 1`` shingles — so candidate pairs come from an
+    equi-join on prefix shingles only. At t = 0.8 the prefix is ~n/5
+    rare shingles; the ubiquitous shingles that would explode the
+    join never enter a prefix. Verification is exact: |A∩B| via
+    array_intersect on the per-doc sorted shingle arrays, and the
+    threshold test is integer cross-multiplication
+    (5·|A∩B| ≥ 4·|A∪B|) — no FP at any decision point, which is what
+    makes the brute-force DuckDB oracle match exactly. Bounds use
+    integer arithmetic too (⌈4n/5⌉ = (4n+4) DIV 5): an FP ``ceil``
+    can round 28.000000000000004 up and silently shorten a prefix,
+    turning a pruning bug into missed pairs.
+
+    Scale: one (shingle) shuffle for DF counts, one per-doc window
+    sort for prefix positions, then a join whose fan-out is bounded
+    by the DF of *prefix* shingles — the classic exact alternative to
+    LSH when the threshold is high and misses are unacceptable.
+    """
+    from pyspark.sql import Window
+
+    d = tbl(spark, sf_dir, "documents")
+    sets = (
+        _with_shingles(d)
+        .select("doc_id", F.array_sort("sh").alias("ts"))
+        .persist()
+    )
+    toks = sets.select(
+        "doc_id", F.size("ts").alias("n"), F.explode("ts").alias("tok")
+    )
+    dfc = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    # prefix length n - ceil(t*n) + 1 with ceil(4n/5) = (4n+4) div 5
+    plen = (
+        F.col("n")
+        - F.expr(
+            f"({JACCARD_NUM} * n + {JACCARD_NUM}) DIV {JACCARD_DEN}"
+        )
+        + F.lit(1)
+    )
+    prefix = (
+        toks.join(F.broadcast(dfc), "tok")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= plen)
+        .select("doc_id", "tok")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("a_id"), F.col("ts").alias("ta"))
+    sb = sets.select(F.col("doc_id").alias("b_id"), F.col("ts").alias("tb"))
+    scored = (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.size(F.array_intersect("ta", "tb")).alias("ni"),
+            (F.size("ta") + F.size("tb")).alias("nab"),
+        )
+        .filter(
+            F.lit(JACCARD_DEN) * F.col("ni")
+            >= F.lit(JACCARD_NUM) * (F.col("nab") - F.col("ni"))
+        )
+    )
+    return scored.select(
+        "a_id",
+        "b_id",
+        (
+            F.floor(
+                F.col("ni") / (F.col("nab") - F.col("ni")) * 1e4 + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("jaccard"),
+    ).orderBy("a_id", "b_id")
+
+
 ORACLES: dict[str, str] = {
+    "jaccard_prefix_join": f"""
+        WITH s AS (
+            SELECT doc_id, {word_shingles_expr(3)} AS ts
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   len(list_intersect(a.ts, b.ts)) AS ni,
+                   len(a.ts) + len(b.ts) AS nab
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+        )
+        SELECT a_id, b_id,
+               floor(ni / CAST(nab - ni AS DOUBLE) * 1e4 + 0.5) / 1e4
+                   AS jaccard
+        FROM pairs
+        WHERE {JACCARD_DEN} * ni >= {JACCARD_NUM} * (nab - ni)
+        ORDER BY a_id, b_id
+    """,
     "fuzzy_name_pairs": """
         WITH p AS (
             SELECT p_partkey, p_name,
@@ -734,4 +848,5 @@ QUERIES = {
     "ngram_decontaminate": q_ngram_decontaminate,
     "embedding_neardup": q_embedding_neardup,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "jaccard_prefix_join": q_jaccard_prefix_join,
 }

@@ -635,6 +635,135 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Add-k smoothing constant for the bigram LM.
+BIGRAM_K = 0.5
+
+
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model scoring — the
+    perplexity-style quality filter of a training-data pipeline,
+    without an external model: train bigram/unigram counts on the
+    corpus itself, then score every document by its mean token
+    surprisal −ln P(wᵢ | wᵢ₋₁) with add-k smoothing. Documents whose
+    word sequences are improbable under the corpus's own statistics
+    (boilerplate-free gibberish, wrong-language fragments) score high.
+
+    Dataflow: bigrams are built array-side (zip of the token array
+    with its own shift — no posexplode self-join), then ONE (bigram)
+    aggregate trains the LM; the model table is vocabulary²-bounded,
+    so it joins back as an ordinary shuffle join (broadcast if the
+    vocab is small, as here). Scoring is a second aggregate keyed by
+    doc. At 100 TB: identical shape — the LM table is the only reused
+    state, and it is data-bounded, not corpus-bounded.
+
+    Determinism: per-doc mean surprisal is floor-normalized to 4 dp
+    (log/avg accumulate ulp noise), then per-source means are floored
+    again; the argmax doc ties break on doc_id via min-struct.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), " ")
+    bigrams = F.expr(
+        "transform(sequence(1, size(w) - 1),"
+        " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+    )
+    base = d.select("doc_id", "source", toks.alias("w")).select(
+        "doc_id", "source", F.explode(bigrams).alias("bg")
+    )
+    bg_counts = base.groupBy("bg").agg(F.count("*").alias("c12"))
+    uni = bg_counts.select(
+        F.split("bg", " ").getItem(0).alias("w1"), "c12"
+    ).groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = uni.agg(F.count("*").alias("v"))  # 1 row
+    lm = (
+        bg_counts.select(
+            "bg", F.split("bg", " ").getItem(0).alias("w1"), "c12"
+        )
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            (
+                -F.log(
+                    (F.col("c12") + F.lit(BIGRAM_K))
+                    / (F.col("c1") + F.lit(BIGRAM_K) * F.col("v"))
+                )
+            ).alias("surprisal"),
+        )
+    )
+    per_doc = (
+        base.join(lm, "bg")
+        .groupBy("doc_id", "source")
+        .agg(
+            (
+                F.floor(F.avg("surprisal") * 1e4 + F.lit(0.5)) / 1e4
+            ).alias("doc_surprisal")
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (
+                F.floor(F.avg("doc_surprisal") * 1e4 + F.lit(0.5)) / 1e4
+            ).alias("avg_surprisal"),
+            F.max(
+                F.struct(
+                    F.col("doc_surprisal").alias("s"),
+                    (-F.col("doc_id")).alias("negid"),
+                )
+            ).getField("s").alias("max_surprisal"),
+            (
+                -F.max(
+                    F.struct(
+                        F.col("doc_surprisal").alias("s"),
+                        (-F.col("doc_id")).alias("negid"),
+                    )
+                ).getField("negid")
+            ).alias("most_surprising_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLES["bigram_surprisal"] = f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               string_split(lower(trim(text)), ' ') AS w
+        FROM documents
+    ), base AS (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(w)),
+                      i -> w[i] || ' ' || w[i + 1])) AS bg
+        FROM t
+    ), bgc AS (
+        SELECT bg, count(*) AS c12 FROM base GROUP BY bg
+    ), uni AS (
+        SELECT string_split(bg, ' ')[1] AS w1, sum(c12) AS c1
+        FROM bgc GROUP BY 1
+    ), vocab AS (
+        SELECT count(*) AS v FROM uni
+    ), lm AS (
+        SELECT bg,
+               -ln((c12 + {BIGRAM_K}) / (c1 + {BIGRAM_K} * v)) AS surprisal
+        FROM bgc JOIN uni ON string_split(bg, ' ')[1] = uni.w1
+        CROSS JOIN vocab
+    ), per_doc AS (
+        SELECT doc_id, source,
+               floor(avg(surprisal) * 1e4 + 0.5) / 1e4 AS doc_surprisal
+        FROM base JOIN lm USING (bg)
+        GROUP BY doc_id, source
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           floor(avg(doc_surprisal) * 1e4 + 0.5) / 1e4 AS avg_surprisal,
+           max(ROW(doc_surprisal, -doc_id))[1] AS max_surprisal,
+           -max(ROW(doc_surprisal, -doc_id))[2] AS most_surprising_doc
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+"""
+
+
 ORACLES["inverted_index"] = """
     WITH words AS (
         SELECT doc_id,
@@ -677,6 +806,7 @@ ORACLES["redact_pii"] = f"""
 QUERIES = {
     "inverted_index": q_inverted_index,
     "redact_pii": q_redact_pii,
+    "bigram_surprisal": q_bigram_surprisal,
     "vocab_entropy": q_vocab_entropy,
     "clean_corpus_pipeline": q_clean_corpus_pipeline,
     "token_count_bpe": q_token_count_bpe,

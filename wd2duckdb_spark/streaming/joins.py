@@ -39,6 +39,7 @@ def attribute_purchases(
     purchases: DataFrame,
     max_lag_minutes: int = 30,
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: attribute each purchase to every
     click by the same user in the preceding ``max_lag_minutes``.
@@ -47,6 +48,15 @@ def attribute_purchases(
     (user_id, event_id, ts, value). The equi key (user_id) keeps it a
     hash join; the event-time interval condition lets Spark expire
     buffered rows once the watermark passes click_ts + lag.
+
+    ``how="leftOuter"`` keeps unattributed clicks (conversion-funnel
+    accounting needs the misses, not just the hits). Outer semantics
+    under streaming: a click's NULL row is emitted only when the
+    watermark passes ``click_ts + lag`` — i.e., once no future
+    purchase could still match it. Clicks younger than the final
+    watermark stay buffered and never emit in a finite run; the batch
+    twin has no such horizon, so outer parity tests must compare only
+    the expired region (see tests/test_streaming.py).
     """
     c = clicks.withWatermark("ts", watermark).select(
         F.col("user_id").alias("c_user"),
@@ -67,6 +77,7 @@ def attribute_purchases(
             F.col("purchase_ts")
             <= F.col("click_ts") + F.expr(f"INTERVAL {max_lag_minutes} MINUTES")
         ),
+        how,
     ).select(
         F.col("c_user").alias("user_id"),
         "click_id",
