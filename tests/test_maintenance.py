@@ -214,6 +214,88 @@ def test_snapshot_time_travel(spark, tmp_path):
     assert [h["n_dirs"] for h in hist] == [1, 2, 1]
 
 
+def test_snapshot_diff_append_fast_path_no_join(spark, tmp_path):
+    """Append-only lineage: the CDC feed must come straight from the
+    added directories — scan-only plan, no join anywhere."""
+    from wd2duckdb_spark.maintenance import snapshot_diff, snapshot_write
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark, spark.range(10), t, mode="overwrite")
+    snapshot_write(spark, spark.range(10, 14), t, mode="append")
+
+    d = snapshot_diff(spark, t, 0, 1)
+    rows = d.collect()
+    assert {r.id for r in rows} == set(range(10, 14))
+    assert {r._change for r in rows} == {"insert"}
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+    # same-version diff: empty, same schema
+    assert snapshot_diff(spark, t, 1, 1).count() == 0
+
+
+def test_snapshot_diff_keyed_after_rewrite(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from wd2duckdb_spark.maintenance import snapshot_diff, snapshot_write
+
+    t = str(tmp_path / "tbl")
+    base = spark.range(10).select("id", (F.col("id") * 2).alias("val"))
+    snapshot_write(spark, base, t, mode="overwrite")
+    # v1 rewrites: drop ids 8-9, update val of id 0, insert id 100
+    nxt = (
+        spark.range(8)
+        .select(
+            "id",
+            F.when(F.col("id") == 0, 999).otherwise(F.col("id") * 2).alias(
+                "val"
+            ),
+        )
+        .unionByName(
+            spark.createDataFrame([(100, 7)], "id long, val long")
+        )
+    )
+    snapshot_write(spark, nxt, t, mode="overwrite")
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        snapshot_diff(spark, t, 0, 1)  # rewritten lineage needs keys
+
+    got = {
+        (r.id, r._change)
+        for r in snapshot_diff(spark, t, 0, 1, keys=["id"]).collect()
+    }
+    assert got == {
+        (8, "delete"),
+        (9, "delete"),
+        (0, "update"),
+        (100, "insert"),
+    }
+
+
+def test_snapshot_restore_is_zero_copy_rollback(spark, tmp_path):
+    from wd2duckdb_spark.maintenance import (
+        _read_manifest,
+        snapshot_history,
+        snapshot_read,
+        snapshot_restore,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark, spark.range(10), t, mode="overwrite")
+    snapshot_write(spark, spark.range(3), t, mode="overwrite")
+    v = snapshot_restore(spark, t, 0)
+    assert v == 2
+    assert snapshot_read(spark, t).count() == 10  # latest == v0 content
+    assert snapshot_read(spark, t, 1).count() == 3  # history intact
+    m = _read_manifest(spark, t, 2)
+    assert m["dirs"] == _read_manifest(spark, t, 0)["dirs"]  # no copy
+    assert m["restored_from"] == 0
+    assert snapshot_history(spark, t)[-1]["op"] == "restore"
+
+
 def test_snapshot_commit_race_retries(spark, tmp_path):
     """If another writer claims version N first, the losing writer
     must commit at N+1 and leave no orphan manifest."""

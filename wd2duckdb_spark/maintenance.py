@@ -22,6 +22,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def dir_bytes(spark: SparkSession, path: str) -> int:
@@ -369,6 +370,119 @@ def snapshot_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table_dir: str,
+    v_from: int,
+    v_to: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Change-data feed between two committed versions.
+
+    Returns (key columns…, _change) rows where ``_change`` ∈
+    {insert, delete, update}. Two strategies, chosen from the
+    MANIFESTS — never by scanning data:
+
+    - **append-only lineage** (``v_from``'s directory list is a subset
+      of ``v_to``'s — the common case for event/fact tables): the diff
+      is exactly the rows of the added directories. Zero joins, zero
+      shuffles; the plan is a scan of only the new data, however large
+      the table — this is why the manifest lists immutable directories
+      instead of files.
+    - **rewritten lineage** (overwrite/restore in between): a keyed
+      full-outer diff of the two snapshots — one co-partitioned
+      shuffle join on ``keys`` (which must uniquely identify rows);
+      non-key columns are compared via a content hash computed
+      scan-side, so the shuffle carries (key, 32-byte hash), not the
+      payload.
+    """
+    mf_from = _read_manifest(spark, table_dir, v_from)
+    mf_to = _read_manifest(spark, table_dir, v_to)
+    from_dirs, to_dirs = set(mf_from["dirs"]), set(mf_to["dirs"])
+    key_cols = keys or []
+
+    if from_dirs <= to_dirs:
+        added = sorted(to_dirs - from_dirs)
+        base = snapshot_read(spark, table_dir, v_to)
+        out_cols = key_cols or base.columns
+        if not added:
+            return (
+                base.limit(0)
+                .select(*out_cols)
+                .withColumn("_change", F.lit("insert"))
+            )
+        return (
+            spark.read.parquet(*[f"{table_dir}/{d}" for d in added])
+            .select(*out_cols)
+            .withColumn("_change", F.lit("insert"))
+        )
+
+    if not keys:
+        raise ValueError(
+            "snapshot_diff: lineage was rewritten between "
+            f"v{v_from} and v{v_to}; pass unique `keys` for a keyed diff"
+        )
+    a = snapshot_read(spark, table_dir, v_from)
+    b = snapshot_read(spark, table_dir, v_to)
+    nonkeys = sorted(c for c in b.columns if c not in keys)
+    hcol = lambda df, name: df.select(  # noqa: E731
+        *keys, F.md5(F.to_json(F.struct(*nonkeys))).alias(name)
+    )
+    j = hcol(a, "_ha").join(hcol(b, "_hb"), keys, "full_outer")
+    change = (
+        F.when(F.col("_ha").isNull(), "insert")
+        .when(F.col("_hb").isNull(), "delete")
+        .when(F.col("_ha") != F.col("_hb"), "update")
+    )
+    return (
+        j.withColumn("_change", change)
+        .filter(F.col("_change").isNotNull())
+        .select(*keys, "_change")
+    )
+
+
+def snapshot_restore(spark: SparkSession, table_dir: str, version: int) -> int:
+    """Roll the table back to ``version`` by committing a NEW version
+    whose manifest references the old version's data directories —
+    zero data copied or deleted, history preserved (the rolled-back
+    states remain time-travelable), same optimistic-concurrency rename
+    commit as :func:`snapshot_write`. Returns the new version.
+
+    Caveat: restoring past a :func:`snapshot_vacuum` horizon fails at
+    READ time (the directories are gone) — vacuum trades time-travel
+    depth for space, exactly as in Delta/Iceberg.
+    """
+    import json as _json
+
+    jvm, fs = _fs(spark, table_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
+    if version not in _manifest_versions(spark, table_dir):
+        raise FileNotFoundError(f"version {version} not at {table_dir}")
+    target = _read_manifest(spark, table_dir, version)
+    for _ in range(10):
+        versions = _manifest_versions(spark, table_dir)
+        new_v = versions[-1] + 1
+        manifest = {
+            "version": new_v,
+            "op": "restore",
+            "dirs": target["dirs"],
+            "restored_from": version,
+        }
+        tmp = Path(f"{table_dir}/{_LOG_DIR}/.tmp-{new_v:08d}.json")
+        final = Path(f"{table_dir}/{_LOG_DIR}/{new_v:08d}.json")
+        out = fs.create(tmp, True)
+        try:
+            out.write(_json.dumps(manifest).encode("utf-8"))
+        finally:
+            out.close()
+        if fs.rename(tmp, final):
+            return new_v
+        fs.delete(tmp, False)
+    raise RuntimeError(
+        f"snapshot_restore: lost the commit race 10 times at {table_dir}"
+    )
 
 
 def snapshot_vacuum(
