@@ -330,8 +330,53 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Sample size for the weighted-without-replacement draw.
+WSAMPLE_K = 50
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    exponential-sort): draw WSAMPLE_K documents with probability
+    proportional to token count — the exact-k counterpart of
+    :func:`q_importance_resample`'s independent keep/drop draws (which
+    yield a BINOMIAL sample size). E-S: per item draw u ∈ (0,1],
+    keep the k smallest ``-ln(u)/w`` — provably equivalent to
+    sequential weighted draws without replacement.
+
+    u derives from md5(doc_id) (content-stable, engine/retry
+    deterministic — the module-docstring convention); u = (h+1)/2³²
+    over the 32-bit hash prefix, so u ∈ (0,1] exactly and ln(u) is
+    finite. The plan is a scan + TakeOrderedAndProject: top-k by key
+    never sorts the corpus, and at 100 TB each partition forwards only
+    its local k candidates. ln() may differ by 1 ulp across engines;
+    a flip requires two of the 500 keys within that ulp of the rank-k
+    boundary — the same accepted residual risk as every floor-rounded
+    decision in PLANS.md, but with no bounded normalization available
+    (selection is a rank, not a value).
+    """
+    d = tbl(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(float(2**32))
+    key = -F.log(u) / _ws_tokens()
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            _ws_tokens().alias("n_tokens"),
+            key.alias("k"),
+        )
+        .orderBy("k", "doc_id")
+        .limit(WSAMPLE_K)
+        .select("doc_id", "source", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "shard_manifest": q_shard_manifest,
+    "weighted_sample": q_weighted_sample,
     "dataset_split": q_dataset_split,
     "importance_resample": q_importance_resample,
     "pack_sequences": q_pack_sequences,
@@ -340,6 +385,19 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {
+    "weighted_sample": f"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   len(string_split(trim(text), ' ')) AS n_tokens,
+                   -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            ::BIGINT + 1) / 4294967296.0)
+                       / len(string_split(trim(text), ' ')) AS k
+            FROM documents
+        )
+        SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens
+        FROM (SELECT * FROM d ORDER BY k, doc_id LIMIT {WSAMPLE_K})
+        ORDER BY doc_id
+    """,
     "shard_manifest": f"""
         WITH d AS (
             SELECT {md5_bucket_sql('doc_id', N_SHARDS)} AS shard,

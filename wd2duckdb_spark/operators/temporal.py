@@ -107,13 +107,62 @@ def q_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to per-user daily OHLC bars
+    (open/high/low/close/volume/mean) — the classic resample-and-
+    summarize a metrics or market pipeline runs before charting or
+    feature extraction.
+
+    ONE partial+final aggregate: open/close are min/max over a
+    (ts, event_id, value) struct, so "first by time" needs no window,
+    no sort, and no second pass — the struct comparison makes the
+    extreme BY TIME mergeable across partitions exactly like min/max
+    by value (ties broken by event_id, so the result is deterministic
+    even for same-timestamp events). At 100 TB this is the shape you
+    want: downsampling compresses at the map side, and the output is
+    |users| × |days| regardless of event volume.
+    """
+    e = tbl(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id", "value")
+    return (
+        e.groupBy(
+            "user_id", F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(
+            F.min(key).getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(key).getField("value").alias("close"),
+            F.count("*").alias("volume"),
+            (F.floor(F.avg("value") * 1e4 + F.lit(0.5)) / 1e4).alias(
+                "mean_value"
+            ),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
 QUERIES = {
     "scd2_intervals": q_scd2_intervals,
     "rolling_7d_features": q_rolling_7d_features,
     "regr_trend": q_regr_trend,
+    "ohlc_downsample": q_ohlc_downsample,
 }
 
 ORACLES: dict[str, str] = {
+    "ohlc_downsample": """
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               min(ROW(ts, event_id, value))[3] AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max(ROW(ts, event_id, value))[3] AS close,
+               count(*) AS volume,
+               floor(avg(value) * 1e4 + 0.5) / 1e4 AS mean_value
+        FROM events
+        GROUP BY user_id, date_trunc('day', ts)
+        ORDER BY user_id, day
+    """,
     "scd2_intervals": """
         WITH ordered AS (
             SELECT user_id, event_type, ts, event_id,
