@@ -40,6 +40,7 @@ from typing import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     InputPartition,
 )
@@ -176,6 +177,64 @@ class WikidataDumpReader(DataSourceReader):
         return (eid, t.group(1) if t else None, s)
 
 
+class WikidataDumpStreamReader(DataSourceStreamReader):
+    """Unbounded variant: watch a directory for new dump shards and
+    emit each exactly once — the reference's "pipe never ends" stdin
+    contract (main.rs:261-269) as a real Structured Streaming SOURCE
+    (offset-tracked, checkpoint-replayable) instead of the file-sink
+    workaround in streaming/ingest_stream.py.
+
+    Offsets are the sorted list of fully-ingested shard names (shards
+    are immutable once written, the same assumption Spark's own file
+    source makes); ``partitions(start, end)`` is the set difference,
+    one partition per new shard, each read with the SAME byte-range
+    reader as the batch path — so batch and stream cannot drift.
+    A shard that appears between latestOffset calls lands in the next
+    micro-batch; a failed batch replays its exact shard set from the
+    checkpointed offset (exactly-once into idempotent sinks).
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("wikidata_dump stream: .load(dir) is required")
+        self._batch = WikidataDumpReader(options)
+
+    def _listing(self) -> list[str]:
+        if not os.path.isdir(self.path):
+            raise ValueError(
+                "wikidata_dump stream: path must be a directory of shards"
+            )
+        return sorted(
+            n
+            for n in os.listdir(self.path)
+            if not n.startswith(("_", "."))
+        )
+
+    def initialOffset(self) -> dict:  # noqa: N802 (API name)
+        return {"files": []}
+
+    def latestOffset(self) -> dict:  # noqa: N802 (API name)
+        return {"files": self._listing()}
+
+    def partitions(self, start: dict, end: dict):
+        new = sorted(set(end["files"]) - set(start["files"]))
+        return [
+            _ByteRange(
+                os.path.join(self.path, n),
+                0,
+                os.path.getsize(os.path.join(self.path, n)),
+            )
+            for n in new
+        ]
+
+    def read(self, partition: _ByteRange) -> Iterator[tuple]:
+        return self._batch.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # shards are immutable; nothing to clean up
+
+
 class WikidataDumpDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -186,3 +245,6 @@ class WikidataDumpDataSource(DataSource):
 
     def reader(self, schema) -> WikidataDumpReader:
         return WikidataDumpReader(self.options)
+
+    def streamReader(self, schema) -> WikidataDumpStreamReader:  # noqa: N802
+        return WikidataDumpStreamReader(self.options)
