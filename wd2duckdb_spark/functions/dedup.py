@@ -684,21 +684,30 @@ def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    # brute force WITHOUT the prefix filter (independent check of the
+    # pruning), but via shingle co-occurrence counting rather than an
+    # all-pairs list_intersect nested loop: a pair with 0 shared
+    # shingles can't reach any t > 0, so the equi-join on shingle
+    # enumerates every relevant pair, hash-parallel and lambda-free
+    # (the list_intersect form took >10 min at sf0.1; this runs ~7 s)
     "jaccard_prefix_join": f"""
         WITH s AS (
             SELECT doc_id, {word_shingles_expr(3)} AS ts
             FROM documents
-        ), pairs AS (
+        ), tok AS (
+            SELECT doc_id, len(ts) AS n, unnest(ts) AS shingle FROM s
+        ), inter AS (
             SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                   len(list_intersect(a.ts, b.ts)) AS ni,
-                   len(a.ts) + len(b.ts) AS nab
-            FROM s a JOIN s b ON a.doc_id < b.doc_id
+                   count(*) AS ni, min(a.n) AS na, min(b.n) AS nb
+            FROM tok a
+            JOIN tok b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
         )
         SELECT a_id, b_id,
-               floor(ni / CAST(nab - ni AS DOUBLE) * 1e4 + 0.5) / 1e4
+               floor(ni / CAST(na + nb - ni AS DOUBLE) * 1e4 + 0.5) / 1e4
                    AS jaccard
-        FROM pairs
-        WHERE {JACCARD_DEN} * ni >= {JACCARD_NUM} * (nab - ni)
+        FROM inter
+        WHERE {JACCARD_DEN} * ni >= {JACCARD_NUM} * (na + nb - ni)
         ORDER BY a_id, b_id
     """,
     "fuzzy_name_pairs": """
