@@ -548,16 +548,28 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM built-in levenshtein, no UDF; the equi-join on the block key
     is an ordinary shuffle hash join.
 
-    Two measured cuts inside the block (5.4 s -> ~2 s at sf0.1, was
-    75 s before them at full O(n*m) per pair): (a) a length prefilter
+    Three measured cuts inside the block (75 s at full O(n*m) per
+    pair -> 38 s banded -> 2.5 s parallel at sf0.1): (a) a length
+    prefilter
     |len(a)-len(b)| <= 4 — implied by the distance bound, so it drops
     pairs before any DP runs; (b) the THRESHOLD form
     ``levenshtein(a, b, 4)``, which runs the banded O(len*k) DP with
     early exit instead of the full O(len^2) matrix, returning -1 past
-    the bound."""
+    the bound; (c) REPARTITIONING the probe side before the join: the
+    block table broadcasts (20k rows), so the ~25M-pair expansion
+    runs at the probe side's task granularity — which for a one-file
+    parquet table is ONE task. A broadcast join has no key skew by
+    construction (this fixture's 8 distinct block nouns would be
+    fatal for a shuffled join — that hot-key case is what
+    operators/skew.py salting is for), but it inherits the probe
+    side's partitioning, so the CPU-bound DP fan-out must be spread
+    explicitly — the same bytes-vs-CPU trap documented at
+    _with_shingles."""
     p = tbl(spark, sf_dir, "part").select("p_partkey", "p_name")
     noun = F.element_at(F.split("p_name", " "), -1)
-    a = p.select(
+    a = p.repartition(
+        spark.sparkContext.defaultParallelism * 4
+    ).select(
         F.col("p_partkey").alias("a_key"),
         F.col("p_name").alias("a_name"),
         noun.alias("block"),
@@ -568,7 +580,7 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         noun.alias("block"),
     )
     return (
-        a.join(b, "block")
+        a.join(F.broadcast(b), "block")
         .filter(
             (F.col("a_key") < F.col("b_key"))
             & (
