@@ -57,6 +57,9 @@ HEADLINE = (
     "embedding_neardup",
     "kmeans_lloyd",
     "shortest_path_bounded",
+    "fuzzy_name_pairs",
+    "ngram_decontaminate",
+    "jaccard_prefix_join",
 )
 
 
