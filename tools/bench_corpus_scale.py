@@ -35,7 +35,17 @@ BENCH_QUERIES = (
     "pack_sequences",
     "dataset_split",
     "token_count_bpe",
+    # round-2 additions (documents-tier)
+    "bigram_surprisal",
+    "inverted_index",
+    "shard_manifest",
+    "weighted_sample",
 )
+
+#: Embeddings-tier queries, scaled by duplicating vectors under fresh
+#: vec_ids (centroid geometry is unchanged; assignment/update cost
+#: scales linearly — the property under test).
+EMB_QUERIES = ("kmeans_lloyd", "embedding_centroids", "embedding_quantize")
 
 
 def main() -> None:
@@ -55,6 +65,7 @@ def main() -> None:
     queries = all_queries()
     base = spark.read.parquet(f"{sf_dir}/documents.parquet")
     base_rows = base.count()
+    emb_rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
 
     stage = tempfile.mkdtemp(prefix="corpus_scale_")
     out: dict[str, dict] = {}
@@ -80,10 +91,20 @@ def main() -> None:
             copies.repartition(
                 max(m, spark.sparkContext.defaultParallelism)
             ).write.parquet(f"{scaled_dir}/documents.parquet")
-            # the query tier only touches documents; link the rest
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            emb.crossJoin(
+                spark.range(m).withColumnRenamed("id", "copy")
+            ).select(
+                (F.col("vec_id") * m + F.col("copy")).alias("vec_id"),
+                "embedding",
+                "label",
+            ).repartition(
+                max(m, spark.sparkContext.defaultParallelism)
+            ).write.parquet(f"{scaled_dir}/embeddings.parquet")
+            # the query tier touches documents + embeddings; link the rest
             for t in (
                 "region nation customer supplier part orders lineitem "
-                "events embeddings"
+                "events"
             ).split():
                 os.symlink(
                     f"{sf_dir}/{t}.parquet", f"{scaled_dir}/{t}.parquet"
@@ -102,6 +123,19 @@ def main() -> None:
                 per_q[name] = {
                     "sec": round(best, 3),
                     "krows_per_sec": round(n_rows / best / 1000, 1),
+                }
+            n_vecs = emb_rows * m
+            for name in EMB_QUERIES:
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    queries[name](spark, scaled_dir).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    best = min(best, time.perf_counter() - t0)
+                per_q[name] = {
+                    "sec": round(best, 3),
+                    "krows_per_sec": round(n_vecs / best / 1000, 1),
                 }
             out[f"{m}x"] = {"rows": n_rows, "queries": per_q}
     finally:
