@@ -155,9 +155,98 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip order totals to the [p01, p99] envelope and
+    report the per-priority effect (rows clipped each side, mean
+    before/after) — the standard tail-taming transform before a
+    mean-sensitive model sees the data.
+
+    Two passes: exact global percentiles reduce to one broadcast row;
+    the clip itself is a pure projection folded into the reporting
+    aggregate. At 100 TB use approx_percentile (t-digest) for the
+    bounds — the dataflow is unchanged. Bounds are floor-normalized
+    to 4 dp (PLANS.md: cross-engine quantile interpolation), so the
+    clip decisions compare identical doubles in both engines.
+    """
+    o = tbl(spark, sf_dir, "orders")
+    f4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    bounds = o.agg(
+        f4(F.expr("percentile(o_totalprice, 0.01)")).alias("lo"),
+        f4(F.expr("percentile(o_totalprice, 0.99)")).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum((F.col("o_totalprice") < F.col("lo")).cast("long")).alias(
+                "n_clipped_lo"
+            ),
+            F.sum((F.col("o_totalprice") > F.col("hi")).cast("long")).alias(
+                "n_clipped_hi"
+            ),
+            f4(F.avg("o_totalprice")).alias("mean_raw"),
+            f4(F.avg(clipped)).alias("mean_winsorized"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+#: Minimum group size for the k-anonymity audit.
+K_ANON = 5
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit for a training extract: pseudonymize user ids
+    (content-stable md5 token — consistent across tables and reruns,
+    reversible only via the original id space) and measure k-anonymity
+    over the quasi-identifier (event_type, day): how many cohorts
+    contain fewer than K_ANON distinct users, i.e. rows whose quasi
+    identifiers could single someone out.
+
+    One aggregate over the pseudonymized projection; the report is
+    |event types| × |days| regardless of event volume. The pseudonym
+    never leaves the aggregate (only counts are emitted) — the shape
+    of a release-gate check, not a join-back.
+    """
+    e = tbl(spark, sf_dir, "events")
+    pseudo = F.substring(F.md5(F.col("user_id").cast("string")), 1, 16)
+    cohorts = (
+        e.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            pseudo.alias("p"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("p").alias("n_users"),
+        )
+    )
+    return (
+        cohorts.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_cohorts"),
+            F.sum((F.col("n_users") < K_ANON).cast("long")).alias(
+                "n_small_cohorts"
+            ),
+            F.sum(
+                F.when(F.col("n_users") < K_ANON, F.col("n_events")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_exposed_events"),
+            F.min("n_users").alias("min_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "dq_report": q_dq_report,
     "outlier_mad": q_outlier_mad,
+    "winsorize": q_winsorize,
+    "k_anonymity_audit": q_k_anonymity_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -193,6 +282,48 @@ ORACLES: dict[str, str] = {
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         FROM dev d JOIN mad USING (event_type)
         GROUP BY d.event_type
+        ORDER BY event_type
+    """,
+    "winsorize": """
+        WITH b AS (
+            SELECT floor(quantile_cont(o_totalprice, 0.01) * 1e4 + 0.5) / 1e4
+                       AS lo,
+                   floor(quantile_cont(o_totalprice, 0.99) * 1e4 + 0.5) / 1e4
+                       AS hi
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped_lo,
+               CAST(sum(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped_hi,
+               floor(avg(o_totalprice) * 1e4 + 0.5) / 1e4 AS mean_raw,
+               floor(avg(least(greatest(o_totalprice, lo), hi)) * 1e4 + 0.5)
+                   / 1e4 AS mean_winsorized
+        FROM orders CROSS JOIN b
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "k_anonymity_audit": f"""
+        WITH cohorts AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   count(*) AS n_events,
+                   count(DISTINCT substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                       AS n_users
+            FROM events
+            GROUP BY event_type, date_trunc('day', ts)
+        )
+        SELECT event_type,
+               count(*) AS n_cohorts,
+               CAST(sum(CASE WHEN n_users < {K_ANON} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_small_cohorts,
+               CAST(sum(CASE WHEN n_users < {K_ANON} THEN n_events ELSE 0 END)
+                    AS BIGINT) AS n_exposed_events,
+               min(n_users) AS min_k
+        FROM cohorts
+        GROUP BY event_type
         ORDER BY event_type
     """,
 }
