@@ -762,3 +762,39 @@ def test_asof_join_semantics_and_plan(spark):
         s["broadcast_hash_join"] + s["sort_merge_join"]
         + s["shuffled_hash_join"] + s["nested_loop_join"] == 0
     ), "asof_join must not plan any join operator"
+
+
+def test_fuzzy_name_pairs_plan_shape(spark):
+    """The levenshtein fan-out must be a broadcast join over an
+    explicitly-spread probe side: exactly one broadcast hash join, no
+    shuffled join (the 8-noun block key cannot partition the work),
+    and a round-robin exchange spreading the DP across tasks."""
+    from wd2duckdb_spark.functions.dedup import q_fuzzy_name_pairs
+
+    df = q_fuzzy_name_pairs(spark, SF_DIR)
+    s = plan_summary(df)
+    assert s["broadcast_hash_join"] == 1
+    assert s["sort_merge_join"] + s["shuffled_hash_join"] == 0
+    assert s["exchange"] >= 1  # the probe-side repartition
+
+
+def test_ngram_decontaminate_persist_barrier(spark):
+    """The shingled relation must come from the cache: without the
+    InMemoryRelation barrier, Generate's inferred predicates push the
+    interpreted shingle transform below the repartition into the
+    one-task scan stage (measured 6.3 s vs 1.5 s at sf0.1)."""
+    from wd2duckdb_spark.functions.dedup import q_ngram_decontaminate
+
+    df = q_ngram_decontaminate(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+
+
+def test_math_funcs_no_exchange(spark):
+    """Full-table scalar projection: zero exchanges — no presentation
+    sort, no shuffle; the whole query is one scan-side codegen stage."""
+    from wd2duckdb_spark.functions.scalar import q_math_funcs
+
+    s = plan_summary(q_math_funcs(spark, SF_DIR))
+    assert s["exchange"] == 0
+    assert s["python_udf"] == 0
