@@ -1067,8 +1067,73 @@ def q_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Measure columns for the correlation matrix.
+CORR_MEASURES = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the lineitem measures in
+    ONE aggregate pass — the feature-screening step before a model or
+    an index choice (corr ≈ ±1 ⇒ redundant column / good sort key).
+
+    All C(n,2) coefficients come from a single partial+final aggregate
+    (each corr is a distributive co-moment), then a stack() pivots the
+    1-row result into tidy (m1, m2, corr) rows — no second scan, no
+    join. Floor-normalized to 4 dp: both engines accumulate co-moments
+    in different orders.
+    """
+    l = tbl(spark, sf_dir, "lineitem")
+    pairs = [
+        (a, b)
+        for i, a in enumerate(CORR_MEASURES)
+        for b in CORR_MEASURES[i + 1:]
+    ]
+    aggs = [
+        (
+            F.floor(F.corr(a, b) * 1e4 + F.lit(0.5)) / 1e4
+        ).alias(f"c_{i}")
+        for i, (a, b) in enumerate(pairs)
+    ]
+    stack_args = ", ".join(
+        f"'{a}', '{b}', c_{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return (
+        l.agg(*aggs)
+        .selectExpr(
+            f"stack({len(pairs)}, {stack_args}) AS (m1, m2, corr)"
+        )
+        .orderBy("m1", "m2")
+    )
+
+
+ORACLES["corr_matrix"] = f"""
+    WITH a AS (
+        SELECT
+            {", ".join(
+                f"floor(corr({x}, {y}) * 1e4 + 0.5) / 1e4 AS c_{i}"
+                for i, (x, y) in enumerate(
+                    (x, y)
+                    for j, x in enumerate(CORR_MEASURES)
+                    for y in CORR_MEASURES[j + 1:]
+                )
+            )}
+        FROM lineitem
+    )
+    {" UNION ALL ".join(
+        f"SELECT '{x}' AS m1, '{y}' AS m2, c_{i} AS corr FROM a"
+        for i, (x, y) in enumerate(
+            (x, y)
+            for j, x in enumerate(CORR_MEASURES)
+            for y in CORR_MEASURES[j + 1:]
+        )
+    )}
+    ORDER BY m1, m2
+"""
+
+
 QUERIES = {
     "histogram_equiwidth": q_histogram_equiwidth,
+    "corr_matrix": q_corr_matrix,
     "funnel_stages": q_funnel_stages,
     "retention_cohorts": q_retention_cohorts,
     "argmax_extremes": q_argmax_extremes,
