@@ -242,11 +242,59 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Numeric columns profiled by q_table_profile.
+PROFILE_COLS = ("o_totalprice",)
+PROFILE_TABLE = "orders"
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the orders table in ONE aggregate pass —
+    the ANALYZE/df.summary() surface as a first-class query: per
+    column, row count, null count, distinct count, min/max/mean/
+    stddev, plus table-level row count. Tidy (column, stat, value)
+    rows so the profile of any table is schema-stable.
+
+    Every statistic is a distributive or sketch-free aggregate riding
+    the same partial+final pass; output is |columns| × |stats| rows
+    regardless of table size (at 100 TB swap count(DISTINCT) for
+    approx_count_distinct — one line, same shape). Values are
+    floor-normalized where engines can disagree (mean/stddev)."""
+    o = tbl(spark, sf_dir, PROFILE_TABLE)
+    f4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    c = PROFILE_COLS[0]
+    agg = o.agg(
+        F.count("*").alias("n_rows"),
+        F.count(c).alias("n_present"),
+        F.countDistinct(c).alias("n_distinct"),
+        F.min(c).alias("min_v"),
+        F.max(c).alias("max_v"),
+        f4(F.avg(c)).alias("mean_v"),
+        f4(F.stddev(c)).alias("stddev_v"),
+    )
+    stats = (
+        ("n_rows", "n_rows"),
+        ("n_nulls", "n_rows - n_present"),
+        ("n_distinct", "n_distinct"),
+        ("min", "min_v"),
+        ("max", "max_v"),
+        ("mean", "mean_v"),
+        ("stddev", "stddev_v"),
+    )
+    stack_args = ", ".join(
+        f"'{name}', CAST({expr} AS DOUBLE)" for name, expr in stats
+    )
+    return agg.selectExpr(
+        f"'{c}' AS col_name",
+        f"stack({len(stats)}, {stack_args}) AS (stat, value)",
+    ).orderBy("stat")
+
+
 QUERIES = {
     "dq_report": q_dq_report,
     "outlier_mad": q_outlier_mad,
     "winsorize": q_winsorize,
     "k_anonymity_audit": q_k_anonymity_audit,
+    "table_profile": q_table_profile,
 }
 
 ORACLES: dict[str, str] = {
@@ -304,6 +352,31 @@ ORACLES: dict[str, str] = {
         FROM orders CROSS JOIN b
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
+    """,
+    "table_profile": """
+        WITH a AS (
+            SELECT count(*) AS n_rows,
+                   count(o_totalprice) AS n_present,
+                   count(DISTINCT o_totalprice) AS n_distinct,
+                   min(o_totalprice) AS min_v,
+                   max(o_totalprice) AS max_v,
+                   floor(avg(o_totalprice) * 1e4 + 0.5) / 1e4 AS mean_v,
+                   floor(stddev_samp(o_totalprice) * 1e4 + 0.5) / 1e4
+                       AS stddev_v
+            FROM orders
+        )
+        SELECT 'o_totalprice' AS col_name, stat, value FROM (
+            SELECT 'n_rows' AS stat, CAST(n_rows AS DOUBLE) AS value FROM a
+            UNION ALL
+            SELECT 'n_nulls', CAST(n_rows - n_present AS DOUBLE) FROM a
+            UNION ALL
+            SELECT 'n_distinct', CAST(n_distinct AS DOUBLE) FROM a
+            UNION ALL SELECT 'min', min_v FROM a
+            UNION ALL SELECT 'max', max_v FROM a
+            UNION ALL SELECT 'mean', mean_v FROM a
+            UNION ALL SELECT 'stddev', stddev_v FROM a
+        )
+        ORDER BY stat
     """,
     "k_anonymity_audit": f"""
         WITH cohorts AS (
