@@ -127,13 +127,9 @@ def q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole loop stays lazy and compiles into a single DAG (~2 shuffle
     stages per superstep) instead of one Spark job per iteration (the
     per-superstep persist+count variant measured 10× slower here: all
-    fixed job-scheduling overhead). The rank-independent transition
-    structure (src, dst, deg), which every superstep reuses, is
-    hash-repartitioned on ``src`` and NOT persisted — as in
-    :func:`q_shortest_path_bounded`, the repartition exchange's
-    shuffle files are the reuse mechanism (ReusedExchange) and
-    skipping the block-manager cache keeps AQE free to right-size the
-    rank-vector stages. At a real 100 TB scale you would additionally
+    fixed job-scheduling overhead). Only the rank-independent
+    transition structure (src, dst, deg), which every superstep reuses,
+    is persisted. At a real 100 TB scale you would additionally
     checkpoint the rank vector every few supersteps to bound
     failure-recovery replay, and bucket the edge table on src
     (layout.py) so each superstep shuffles only the rank vector.
@@ -146,9 +142,8 @@ def q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # Rank-independent per-edge transition structure, reused every
     # superstep: (src, dst, deg).
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    trans = edges.join(outdeg, "src").repartition(n_shuffle, "src")
-    n = trans.select("src").distinct().count()
+    trans = edges.join(outdeg, "src").persist()
+    n = trans.select("src").distinct().count()  # also warms the cache
 
     ranks = (
         trans.select(F.col("src").alias("id"))
