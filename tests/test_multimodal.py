@@ -231,3 +231,33 @@ def test_frame_sample_plan_fanout(spark):
         for r in frames.filter(F.col("media_id") == 7).collect()
     )
     assert ts == list(range(0, 7 % 20 * 1000 + 500 + 1, 1000))
+
+
+def test_decode_wav_pcm_known_signal():
+    """Hand-built WAV with known samples: the decoder must recover
+    the exact sample count, energy, peak, and duration."""
+    import struct as st
+
+    import numpy as np
+
+    from wd2duckdb_spark.functions.multimodal import decode_wav_pcm
+
+    samples = np.array([0, 1000, -1000, 32767, -32768, 5], dtype="<i2")
+    data = samples.tobytes()
+    rate = 8000
+    hdr = (
+        b"RIFF" + st.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + st.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + st.pack("<I", len(data))
+    )
+    d = decode_wav_pcm(hdr + data)
+    assert d["sample_rate"] == rate
+    assert d["n_samples"] == 6
+    assert d["sum_sq"] == int((samples.astype(np.int64) ** 2).sum())
+    assert d["peak"] == 32768
+    assert d["duration_ms"] == len(data) * 1000 // (rate * 2)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_wav_pcm(b"RIFX" + b"\x00" * 40)

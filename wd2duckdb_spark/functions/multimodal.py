@@ -369,6 +369,123 @@ def probe_headers(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, PROBE_SCHEMA)
 
 
+def synthesize_audio_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fixture: a REAL RIFF/WAVE container (PCM, mono, 16-bit,
+    WAV_RATE) whose data chunk is the document's text bytes — so the
+    DuckDB oracle can reconstruct every 16-bit sample arithmetically
+    (texts are pure ASCII: byte i == ascii(char i))."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.expr("octet_length(encode(text, 'UTF-8')) >= 2")
+    )
+    dl = "octet_length(encode(text, 'UTF-8'))"
+    wav = _wav_hex_sql(dl)
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.expr(f"unhex({wav}) || encode(text, 'UTF-8')").alias("content"),
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.expr(f"CAST({dl} * 1000 DIV {WAV_BYTE_RATE} AS INT)").alias(
+                "duration_ms"
+            ),
+            F.lit(WAV_RATE).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def decode_wav_pcm(content: bytes) -> dict[str, Any]:
+    """REAL full-sample audio decode, stdlib + numpy only: walk the
+    RIFF chunks, reinterpret the PCM data chunk as little-endian
+    int16, and return the signal statistics a curation pipeline
+    filters on (silence/clipping screens, duration accounting).
+
+    16-bit PCM needs no codec — this closes the "decode is stubbed"
+    gap for audio entirely; only *compressed* media still routes
+    through :func:`decode_image`'s injected-codec seam."""
+    import numpy as np
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    rate = byte_rate = None
+    data = b""
+    pos = 12
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        sz, = struct.unpack("<I", content[pos + 4 : pos + 8])
+        if cid == b"fmt ":
+            _fmt, _ch, rate, byte_rate, _align, bits = struct.unpack(
+                "<HHIIHH", content[pos + 8 : pos + 24]
+            )
+            if _fmt != 1 or bits != 16:
+                raise ValueError("only 16-bit PCM supported")
+        elif cid == b"data":
+            data = content[pos + 8 : pos + 8 + sz]
+        pos += 8 + sz + (sz & 1)
+    s = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2")
+    s64 = s.astype(np.int64)
+    return {
+        "sample_rate": rate,
+        "n_samples": int(s.size),
+        "sum_sq": int((s64 * s64).sum()),
+        "peak": int(np.abs(s64).max()) if s.size else 0,
+        "duration_ms": int(len(data) * 1000 // byte_rate),
+    }
+
+
+PCM_SCHEMA = (
+    "media_id LONG, sample_rate INT, n_samples LONG, sum_sq LONG, "
+    "peak INT, duration_ms INT"
+)
+
+
+def audio_pcm_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched PCM decode: every audio row through
+    :func:`decode_wav_pcm`. Integer outputs only — RMS is derived
+    column-side so the expression is shared with the oracle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dec = pdf["content"].map(lambda b: decode_wav_pcm(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": [d["sample_rate"] for d in dec],
+                    "n_samples": [d["n_samples"] for d in dec],
+                    "sum_sq": [d["sum_sq"] for d in dec],
+                    "peak": [d["peak"] for d in dec],
+                    "duration_ms": [d["duration_ms"] for d in dec],
+                }
+            )
+
+    return media.mapInPandas(batches, PCM_SCHEMA)
+
+
+def q_audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full audio decode under the oracle gate: real WAV containers
+    (data chunk = the document's ASCII bytes) decoded sample-by-sample
+    with numpy in ``mapInPandas``; RMS/peak/duration emitted. The
+    oracle never parses a byte — it derives each 16-bit sample
+    arithmetically from the text characters (ascii(cᵢ) + 256·ascii(cᵢ₊₁),
+    two's-complement signed) and must reach the exact same integer
+    sum-of-squares, so the binary plumbing, the chunk walker, and the
+    numpy reinterpretation are all verified against ground truth.
+    Sum-of-squares stays integer-exact in both engines; only the final
+    RMS division/sqrt is floating (identical inputs → floor-4)."""
+    feats = audio_pcm_features(synthesize_audio_media(spark, sf_dir))
+    rms = F.sqrt(F.col("sum_sq") / F.col("n_samples"))
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        "sum_sq",
+        "peak",
+        (F.floor(rms * 1e4 + F.lit(0.5)) / 1e4).alias("rms"),
+        "duration_ms",
+    ).orderBy("media_id")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal decode pipeline under the driver's oracle gate:
     synthesize the binary media table (real BMP bytes) from
@@ -441,9 +558,42 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["audio_pcm_features"] = f"""
+    WITH d AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS dl
+        FROM documents
+        WHERE octet_length(encode(text)) >= 2
+    ), s AS (
+        SELECT doc_id, dl,
+               unnest(list_transform(range(1, dl // 2 + 1), i ->
+                   CASE WHEN ascii(substr(text, CAST(2*i - 1 AS INT), 1))
+                             + 256 * ascii(substr(text, CAST(2*i AS INT), 1))
+                             >= 32768
+                        THEN ascii(substr(text, CAST(2*i - 1 AS INT), 1))
+                             + 256 * ascii(substr(text, CAST(2*i AS INT), 1))
+                             - 65536
+                        ELSE ascii(substr(text, CAST(2*i - 1 AS INT), 1))
+                             + 256 * ascii(substr(text, CAST(2*i AS INT), 1))
+                   END)) AS smp
+        FROM d
+    )
+    SELECT doc_id AS media_id,
+           CAST({WAV_RATE} AS INT) AS sample_rate,
+           count(*) AS n_samples,
+           CAST(sum(smp * smp) AS BIGINT) AS sum_sq,
+           CAST(max(abs(smp)) AS INT) AS peak,
+           floor(sqrt(sum(smp * smp) / CAST(count(*) AS DOUBLE)) * 1e4 + 0.5)
+               / 1e4 AS rms,
+           CAST(min(dl) * 1000 // {WAV_BYTE_RATE} AS INT) AS duration_ms
+    FROM s
+    GROUP BY doc_id
+    ORDER BY media_id
+"""
+
 QUERIES = {
     "multimodal_features": q_multimodal_features,
     "media_header_probe": q_media_header_probe,
+    "audio_pcm_features": q_audio_pcm_features,
 }
 
 
