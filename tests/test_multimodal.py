@@ -261,3 +261,29 @@ def test_decode_wav_pcm_known_signal():
 
     with pytest.raises(ValueError):
         decode_wav_pcm(b"RIFX" + b"\x00" * 40)
+
+
+def test_decode_bmp_pixels_bottom_up_rows():
+    """Known 2x2 BMP: the decoder must honor bottom-up row storage —
+    the top-left pixel comes from the LAST file row."""
+    import struct as st
+
+    from wd2duckdb_spark.functions.multimodal import decode_bmp_pixels
+
+    w = h = 2
+    stride = ((w * 3 + 3) // 4) * 4  # 8 bytes: 6 pixel + 2 pad
+    # file row 0 (= image BOTTOM row): pixels (B,G,R) = (1,2,3),(4,5,6)
+    # file row 1 (= image TOP row):    pixels (7,8,9),(10,11,12)
+    rows = bytes([1, 2, 3, 4, 5, 6, 0, 0]) + bytes(
+        [7, 8, 9, 10, 11, 12, 0, 0]
+    )
+    hdr = (
+        b"BM" + st.pack("<I", 54 + len(rows)) + b"\x00" * 4
+        + st.pack("<I", 54)
+        + st.pack("<IiiHH", 40, w, h, 1, 24) + b"\x00" * 24
+    )
+    d = decode_bmp_pixels(hdr + rows)
+    assert (d["width"], d["height"]) == (2, 2)
+    assert (d["tl_b"], d["tl_g"], d["tl_r"]) == (7, 8, 9)  # top = 2nd file row
+    # channel sums exclude the stride padding bytes
+    assert (d["sum_b"], d["sum_g"], d["sum_r"]) == (1+4+7+10, 2+5+8+11, 3+6+9+12)

@@ -486,6 +486,99 @@ def q_audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+#: Dimensions for the pixel-decode fixture: 4×4 at 24 bpp → 12-byte
+#: rows, already 4-byte aligned (no BMP row padding to model).
+IMG_W = IMG_H = 4
+IMG_BYTES = IMG_W * IMG_H * 3
+
+
+def synthesize_bitmap_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-consistent BMP fixture: a valid 24-bpp header whose pixel
+    array is EXACTLY the first IMG_BYTES ASCII bytes of the document —
+    unlike :func:`synthesize_media` (header-parse fixture, payload =
+    whole text), this one is dimensionally consistent so full pixel
+    decode is meaningful."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.length("text") >= IMG_BYTES
+    )
+    bmp = _bmp_hex_sql(str(IMG_W), str(IMG_H), str(IMG_BYTES))
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.expr(
+            f"unhex({bmp}) || encode(substr(text, 1, {IMG_BYTES}), 'UTF-8')"
+        ).alias("content"),
+    )
+
+
+def decode_bmp_pixels(content: bytes) -> dict[str, Any]:
+    """REAL full-pixel image decode, stdlib + numpy only: uncompressed
+    24-bpp BMP → (h, w, 3) BGR array, honoring the format's
+    bottom-up row order and 4-byte row stride. Returns exact integer
+    channel sums plus the TOP-LEFT pixel — which lives in the LAST
+    file row, so a decoder that ignores bottom-up storage fails the
+    oracle. Like WAV/PCM, uncompressed BMP needs no codec; this
+    closes the decode gap for raw images."""
+    import numpy as np
+
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off, = struct.unpack("<I", content[10:14])
+    w, h = struct.unpack("<ii", content[18:26])
+    bpp, = struct.unpack("<H", content[28:30])
+    if bpp != 24:
+        raise ValueError("only 24-bpp supported")
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = [
+        np.frombuffer(
+            content[off + (h - 1 - y) * stride :][: w * 3], dtype=np.uint8
+        ).reshape(w, 3)
+        for y in range(h)
+    ]
+    img = np.stack(rows).astype(np.int64)  # (h, w, BGR)
+    sums = img.sum(axis=(0, 1))
+    return {
+        "width": w,
+        "height": h,
+        "sum_b": int(sums[0]),
+        "sum_g": int(sums[1]),
+        "sum_r": int(sums[2]),
+        "tl_b": int(img[0, 0, 0]),
+        "tl_g": int(img[0, 0, 1]),
+        "tl_r": int(img[0, 0, 2]),
+    }
+
+
+PIXEL_SCHEMA = (
+    "media_id LONG, width INT, height INT, sum_b LONG, sum_g LONG, "
+    "sum_r LONG, tl_b INT, tl_g INT, tl_r INT"
+)
+
+
+def q_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full image decode under the oracle gate: dimensionally-real BMP
+    bytes decoded pixel-by-pixel (numpy, bottom-up rows) in
+    ``mapInPandas``; exact integer channel sums and the top-left pixel
+    out. The oracle derives every value arithmetically from the ASCII
+    payload characters — the top-left pixel sits in the LAST file row
+    (byte offset (h−1)·stride), so row-order handling is verified, not
+    just byte accounting."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dec = pdf["content"].map(lambda b: decode_bmp_pixels(bytes(b)))
+            out = {"media_id": pdf["media_id"]}
+            for k in (
+                "width", "height", "sum_b", "sum_g", "sum_r",
+                "tl_b", "tl_g", "tl_r",
+            ):
+                out[k] = [d[k] for d in dec]
+            yield pd.DataFrame(out)
+
+    media = synthesize_bitmap_media(spark, sf_dir)
+    return media.mapInPandas(batches, PIXEL_SCHEMA).orderBy("media_id")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal decode pipeline under the driver's oracle gate:
     synthesize the binary media table (real BMP bytes) from
@@ -590,10 +683,44 @@ ORACLES["audio_pcm_features"] = f"""
     ORDER BY media_id
 """
 
+#: Top-left pixel of a bottom-up 4×4×24bpp BMP = payload bytes 37-39
+#: (1-based): file row h−1 starts at byte offset (h−1)·stride = 36.
+_TL_OFFSET = (IMG_H - 1) * IMG_W * 3
+
+ORACLES["image_pixel_stats"] = f"""
+    WITH d AS (
+        SELECT doc_id, substr(text, 1, {IMG_BYTES}) AS t
+        FROM documents WHERE length(text) >= {IMG_BYTES}
+    ), s AS (
+        SELECT doc_id, t, unnest(range(1, {IMG_BYTES + 1})) AS k FROM d
+    ), v AS (
+        SELECT doc_id, k, ascii(substr(t, CAST(k AS INT), 1)) AS b FROM s
+    )
+    SELECT doc_id AS media_id,
+           CAST({IMG_W} AS INT) AS width,
+           CAST({IMG_H} AS INT) AS height,
+           CAST(sum(CASE WHEN (k-1) % 3 = 0 THEN b ELSE 0 END) AS BIGINT)
+               AS sum_b,
+           CAST(sum(CASE WHEN (k-1) % 3 = 1 THEN b ELSE 0 END) AS BIGINT)
+               AS sum_g,
+           CAST(sum(CASE WHEN (k-1) % 3 = 2 THEN b ELSE 0 END) AS BIGINT)
+               AS sum_r,
+           CAST(max(CASE WHEN k = {_TL_OFFSET + 1} THEN b END) AS INT)
+               AS tl_b,
+           CAST(max(CASE WHEN k = {_TL_OFFSET + 2} THEN b END) AS INT)
+               AS tl_g,
+           CAST(max(CASE WHEN k = {_TL_OFFSET + 3} THEN b END) AS INT)
+               AS tl_r
+    FROM v
+    GROUP BY doc_id
+    ORDER BY media_id
+"""
+
 QUERIES = {
     "multimodal_features": q_multimodal_features,
     "media_header_probe": q_media_header_probe,
     "audio_pcm_features": q_audio_pcm_features,
+    "image_pixel_stats": q_image_pixel_stats,
 }
 
 
