@@ -874,8 +874,92 @@ def _kmeans_oracle() -> str:
     """
 
 
+#: Number of anchor vectors mined for hard negatives.
+HARDNEG_ANCHORS = 32
+
+
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector (the first HARDNEG_ANCHORS by vec_id), the single most
+    similar vector with a DIFFERENT label — the "confusable impostor"
+    a contrastive or reranker loss learns the most from.
+
+    Anchor set broadcasts (it is small by construction — you mine per
+    batch/epoch); the corpus streams through one scan scoring
+    |anchors| cosines per row via the sequential-fold expressions, and
+    a min-struct argmax per anchor keeps only the best impostor —
+    nothing corpus-sized shuffles or materializes. At 100 TB you swap
+    the exact scan for the IVF/LSH candidate paths above, same
+    dataflow. Ties break on vec_id inside the struct; cosine is
+    floor-6 normalized before the argmax so both engines compare
+    identical doubles.
+    """
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    anchors = e.filter(F.col("vec_id") < HARDNEG_ANCHORS).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("v").alias("a_v"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(anchors))
+        .filter(F.col("label") != F.col("a_label"))
+        .select(
+            "a_id",
+            "a_label",
+            "vec_id",
+            "label",
+            _floor6(cosine(F.col("a_v"), F.col("v"))).alias("cos"),
+        )
+    )
+    best = scored.groupBy("a_id").agg(
+        F.max(
+            F.struct(
+                F.col("cos"),
+                (-F.col("vec_id")).alias("negid"),
+                F.col("label").alias("n_label"),
+            )
+        ).alias("m"),
+        F.min("a_label").alias("anchor_label"),
+    )
+    return best.select(
+        F.col("a_id").alias("anchor_id"),
+        "anchor_label",
+        (-F.col("m.negid")).alias("negative_id"),
+        F.col("m.n_label").alias("negative_label"),
+        F.col("m.cos").alias("cosine"),
+    ).orderBy("anchor_id")
+
+
+ORACLES["hard_negative_mining"] = f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ), a AS (
+        SELECT vec_id AS a_id, label AS a_label, v AS a_v
+        FROM e WHERE vec_id < {HARDNEG_ANCHORS}
+    ), scored AS (
+        SELECT a_id, a_label, e.vec_id, e.label,
+               floor(list_cosine_similarity(a_v, e.v) * 1e6 + 0.5) / 1e6
+                   AS cos
+        FROM a CROSS JOIN e
+        WHERE e.label <> a.a_label
+    )
+    SELECT a_id AS anchor_id,
+           min(a_label) AS anchor_label,
+           -(max(ROW(cos, -vec_id, label))[2]) AS negative_id,
+           max(ROW(cos, -vec_id, label))[3] AS negative_label,
+           max(ROW(cos, -vec_id, label))[1] AS cosine
+    FROM scored
+    GROUP BY a_id
+    ORDER BY anchor_id
+"""
+
+
 QUERIES = {
     "pq_adc_topk": q_pq_adc_topk,
+    "hard_negative_mining": q_hard_negative_mining,
     "embedding_pq_codes": q_embedding_pq_codes,
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
