@@ -666,8 +666,14 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(1, size(w) - 1),"
         " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
     )
-    base = d.select("doc_id", "source", toks.alias("w")).select(
-        "doc_id", "source", F.explode(bigrams).alias("bg")
+    base = (
+        d.select("doc_id", "source", toks.alias("w"))
+        # sequence(1, 0) would auto-step DOWN ([1, 0]) for single-token
+        # docs and element_at(w, 0) throws INVALID_INDEX_OF_ZERO —
+        # guard like _with_shingles does; the oracle's range(1, len(w))
+        # is empty for the same docs, so both sides drop them.
+        .filter(F.size("w") >= 2)
+        .select("doc_id", "source", F.explode(bigrams).alias("bg"))
     )
     bg_counts = base.groupBy("bg").agg(F.count("*").alias("c12"))
     uni = bg_counts.select(
