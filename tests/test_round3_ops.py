@@ -1,0 +1,117 @@
+"""Round-3 hardening tests: large-star/small-star connected components
+(VERDICT r2 item 5 — adversarial chain-shaped dup clusters)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+
+def _union_find_labels(n_edges):
+    """Ground truth: python union-find, label = component min."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in n_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_star_cc_converges_logarithmically_on_10k_path(spark):
+    """A 10k-node path graph has diameter 10k: min-label propagation
+    would need ~10k rounds, the star alternation tens (O(log n)).
+    max_iters=40 IS the assertion — the function raises if exceeded."""
+    from wd2duckdb_spark.functions.dedup import connected_components
+
+    n = 10_000
+    pairs = spark.range(n - 1).selectExpr(
+        "id AS a_id", "id + 1 AS b_id"
+    )
+    labels = connected_components(pairs, max_iters=40, algorithm="star")
+    got = labels.selectExpr(
+        "count(*) AS n", "count(distinct cluster_id) AS c", "min(cluster_id) AS m"
+    ).collect()[0]
+    assert (got.n, got.c, got.m) == (n, 1, 0)
+
+
+def test_star_cc_matches_union_find_on_random_graph(spark):
+    from wd2duckdb_spark.functions.dedup import connected_components
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(300), rng.randrange(300)) for _ in range(220)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    expected = _union_find_labels(edges)
+
+    pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {
+        r.node: r.cluster_id
+        for r in connected_components(
+            pairs, max_iters=40, algorithm="star"
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_star_cc_agrees_with_propagation(spark):
+    """Both algorithms behind the one API must produce identical
+    labelings (clustered star shapes — the LSH regime)."""
+    from wd2duckdb_spark.functions.dedup import connected_components
+
+    edges = (
+        [(0, i) for i in range(1, 6)]
+        + [(10, 11), (11, 12), (12, 10)]
+        + [(20, 21)]
+    )
+    pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+    star = {
+        r.node: r.cluster_id
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    prop = {
+        r.node: r.cluster_id
+        for r in connected_components(
+            pairs, algorithm="propagation"
+        ).collect()
+    }
+    assert star == prop
+
+
+def test_cc_unknown_algorithm_raises(spark):
+    from wd2duckdb_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 2)], "a_id long, b_id long")
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        connected_components(pairs, algorithm="bogus")
+
+
+def test_iterative_checkpoint_interval_is_result_invariant(spark):
+    """VERDICT r2 item 8: the failure-recovery checkpoint knob on the
+    iterative graph queries must not change results — only the replay
+    bound. interval=2 (mid-chain eager localCheckpoints) must equal
+    the default single-DAG formulation row-for-row."""
+    from tests.conftest import SF_DIR
+    from wd2duckdb_spark.operators.graph import (
+        q_pagerank_topk,
+        q_shortest_path_bounded,
+    )
+
+    pr0 = q_pagerank_topk(spark, SF_DIR).collect()
+    pr2 = q_pagerank_topk(spark, SF_DIR, checkpoint_interval=2).collect()
+    assert pr0 == pr2
+
+    sp0 = q_shortest_path_bounded(spark, SF_DIR).collect()
+    sp2 = q_shortest_path_bounded(
+        spark, SF_DIR, checkpoint_interval=2
+    ).collect()
+    assert sp0 == sp2

@@ -201,18 +201,26 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
-    """Undirected connected components over ``(a_id, b_id)`` pairs by
-    iterative min-label propagation: every node repeatedly adopts the
-    minimum label among itself and its neighbors until fixpoint.
+def connected_components(
+    pairs: DataFrame, max_iters: int = 50, algorithm: str = "propagation"
+) -> DataFrame:
+    """Undirected connected components over ``(a_id, b_id)`` pairs.
 
     Returns ``(node, cluster_id)`` where cluster_id = the component's
-    minimum node id. Converges in O(component diameter) rounds (early
-    exit on no-change); each round is one join + one aggregation, both
-    on the node key — the standard distributed-CC shape (the
-    large-star/small-star family reduces rounds to ~log n at extreme
-    diameters; LSH dedup components are shallow, so plain propagation
-    is the right cost here).
+    minimum node id. Two algorithms behind one API:
+
+    - ``"propagation"`` (default): iterative min-label propagation —
+      every node repeatedly adopts the minimum label among itself and
+      its neighbors until fixpoint. Converges in O(component diameter)
+      rounds (early exit on no-change); each round is one join + one
+      aggregation, both on the node key. LSH dedup components are
+      shallow (near-cliques), so this is the right default cost.
+    - ``"star"``: the large-star/small-star alternation (Kiveris et
+      al., "Connected Components in MapReduce and Beyond") —
+      O(log² n) rounds WORST case, ~log n in practice, independent of
+      diameter. The insurance policy for adversarial chain-shaped dup
+      clusters (10k-node path: propagation needs 10k rounds, star
+      converges in tens — pinned in tests/test_round3_ops.py).
 
     Every round's labels are ``localCheckpoint``-ed (eager): iterative
     plans grow per round, and without lineage truncation the driver
@@ -225,6 +233,13 @@ def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     Raises ``RuntimeError`` if still unconverged after ``max_iters`` —
     silently returning partial labels would split real components.
     """
+    if algorithm == "star":
+        return _connected_components_star(pairs, max_iters)
+    if algorithm != "propagation":
+        raise ValueError(
+            f"connected_components: unknown algorithm {algorithm!r} "
+            "(expected 'propagation' or 'star')"
+        )
     edges = (
         pairs.selectExpr("a_id AS u", "b_id AS v")
         .union(pairs.selectExpr("b_id AS u", "a_id AS v"))
@@ -268,10 +283,94 @@ def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds "
             "(component diameter exceeds max_iters); raise max_iters or "
-            "switch to a large-star/small-star variant"
+            "rerun with algorithm='star'"
         )
     finally:
         edges.unpersist()
+
+
+def _connected_components_star(
+    pairs: DataFrame, max_iters: int = 50
+) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al. 2014):
+
+    - **large-star** — every node attaches its strictly LARGER
+      neighbors to the minimum of its neighborhood (incl. itself);
+    - **small-star** — every node attaches itself and its smaller
+      neighbors to its minimum smaller neighbor.
+
+    Each round halves chain-ish structures, so rounds scale with
+    log(component size), not diameter. Fixpoint: the edge set is a
+    star forest (every edge is node → component min) and small-star
+    reproduces it unchanged — checked with an exact set compare
+    (count + one-sided exceptAll; both sides are distinct sets).
+    Per-round cost: two groupBy-min + join rounds over the edge set,
+    lineage truncated by eager ``localCheckpoint`` exactly like the
+    propagation variant.
+    """
+    cur = (
+        pairs.selectExpr("a_id AS u", "b_id AS v")
+        .filter("u IS NOT NULL AND v IS NOT NULL AND u <> v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        pairs.selectExpr("a_id AS node")
+        .union(pairs.selectExpr("b_id AS node"))
+        .distinct()
+    )
+    for _ in range(max_iters):
+        # large-star over the symmetrized neighbor lists
+        nbrs = cur.union(cur.selectExpr("v AS u", "u AS v"))
+        mins = nbrs.groupBy("u").agg(F.min("v").alias("mv"))
+        large = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.least("u", "mv").alias("v"),
+            )
+            .distinct()
+        )
+        # small-star over large->small directed edges
+        d = (
+            large.selectExpr("greatest(u, v) AS u", "least(u, v) AS v")
+            .filter("u <> v")
+            .distinct()
+        )
+        smins = d.groupBy("u").agg(F.min("v").alias("mv"))
+        nxt = (
+            d.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("mv").alias("v"))
+            .union(smins.selectExpr("u", "mv AS v"))
+            .filter("u <> v")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        same = (
+            nxt.count() == cur.count()
+            and nxt.exceptAll(cur).limit(1).count() == 0
+        )
+        cur.unpersist()
+        cur = nxt
+        if same:
+            # star forest: cur maps node -> component min. cur stays
+            # checkpoint-cached — it backs the returned lazy plan
+            # (same deliberate leak as the propagation variant's final
+            # labels; bench.py clears cache between queries).
+            return (
+                nodes.join(
+                    cur.withColumnRenamed("u", "node"), "node", "left"
+                )
+                .select(
+                    "node",
+                    F.coalesce("v", "node").alias("cluster_id"),
+                )
+            )
+    raise RuntimeError(
+        f"connected_components(star) did not converge in "
+        f"{max_iters} rounds"
+    )
 
 
 #: (session id, sf_dir) → component labels. connected_components is
@@ -553,31 +652,46 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     `levenshtein` ≤ 4 keeps close adjectives. The block key bounds the
     quadratic term — pairs per block, not per table; at 100 TB widen
     the key (noun + length band / soundex) until blocks fit a task.
-    JVM built-in levenshtein, no UDF; the equi-join on the block key
-    is an ordinary shuffle hash join.
+    JVM built-in levenshtein, no UDF.
 
-    Three measured cuts inside the block (75 s at full O(n*m) per
-    pair -> 38 s banded -> 2.5 s parallel at sf0.1): (a) a length
-    prefilter
-    |len(a)-len(b)| <= 4 — implied by the distance bound, so it drops
-    pairs before any DP runs; (b) the THRESHOLD form
-    ``levenshtein(a, b, 4)``, which runs the banded O(len*k) DP with
-    early exit instead of the full O(len^2) matrix, returning -1 past
-    the bound; (c) REPARTITIONING the probe side before the join: the
-    block table broadcasts (20k rows), so the ~25M-pair expansion
-    runs at the probe side's task granularity — which for a one-file
-    parquet table is ONE task. A broadcast join has no key skew by
-    construction (this fixture's 8 distinct block nouns would be
-    fatal for a shuffled join — that hot-key case is what
-    operators/skew.py salting is for), but it inherits the probe
-    side's partitioning, so the CPU-bound DP fan-out must be spread
-    explicitly — the same bytes-vs-CPU trap documented at
-    _with_shingles."""
+    Plan (round-3 rewrite, VERDICT r2 item 1): a SALTED SHUFFLE join on
+    the block key — ``operators/skew.salted_join``. The round-2 plan
+    broadcast the whole (key, name, block) side; fine at sf0.1
+    (20k rows), fatal at sf100 (~20M rows — the broadcast side is
+    O(table), it grows with the data). Salting fixes both scale
+    problems at once:
+
+    * **no O(table) broadcast** — both sides shuffle; the replicated
+      side costs n_salts× its size IN THE EXCHANGE (bounded, spread
+      over executors), never n_salts× in every executor's memory;
+    * **hot-key spread** — this fixture has only 8 distinct block
+      nouns, so a plain shuffle equi-join would funnel each block's
+      full quadratic pair expansion into ONE reduce task. The
+      content-derived salt splits every block's left side n_salts
+      ways: pairs per task drop to |block|²/n_salts, and the
+      CPU-bound banded-DP fan-out parallelizes without the round-2
+      repartition trick (the shuffle IS the spread).
+
+    The ``shuffle_hash`` hint pins the strategy: Catalyst's size
+    estimate for the exploded replica side is unreliable and an
+    auto-broadcast of it would be strictly worse than round 2
+    (n_salts copies of the table per executor). Hash beats merge here
+    because neither side's sort order is reusable and the build side
+    per (block, salt) cell is |block| rows — bounded by the same
+    widen-the-key rule that bounds pair count.
+
+    Two measured cuts inside the block survive from round 2 (75 s at
+    full O(n*m) per pair → 38 s banded → ~2.5 s spread at sf0.1):
+    (a) a length prefilter |len(a)-len(b)| <= 4 — implied by the
+    distance bound, so it drops pairs before any DP runs; (b) the
+    THRESHOLD form ``levenshtein(a, b, 4)``, which runs the banded
+    O(len*k) DP with early exit instead of the full O(len^2) matrix,
+    returning -1 past the bound."""
+    from wd2duckdb_spark.operators.skew import salted_join
+
     p = tbl(spark, sf_dir, "part").select("p_partkey", "p_name")
     noun = F.element_at(F.split("p_name", " "), -1)
-    a = p.repartition(
-        spark.sparkContext.defaultParallelism * 4
-    ).select(
+    a = p.select(
         F.col("p_partkey").alias("a_key"),
         F.col("p_name").alias("a_name"),
         noun.alias("block"),
@@ -587,8 +701,9 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("b_name"),
         noun.alias("block"),
     )
+    n_salts = spark.sparkContext.defaultParallelism * 2
     return (
-        a.join(F.broadcast(b), "block")
+        salted_join(a, b, on="block", n_salts=n_salts, join_hint="shuffle_hash")
         .filter(
             (F.col("a_key") < F.col("b_key"))
             & (

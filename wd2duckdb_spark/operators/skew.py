@@ -44,6 +44,7 @@ def salted_join(
     on: str | list[str],
     n_salts: int = 16,
     how: str = "inner",
+    join_hint: str | None = None,
 ) -> DataFrame:
     """Equi-join where ``skewed``'s key distribution has hot keys.
 
@@ -54,6 +55,13 @@ def salted_join(
     excess, not more.
 
     Returns columns of both inputs (salt dropped).
+
+    ``join_hint`` (e.g. ``"shuffle_hash"`` / ``"merge"``) is applied to
+    the replicated side right under the join: Catalyst's size estimate
+    for an exploded side is unreliable, and auto-broadcasting the
+    REPLICATED side would ship n_salts copies of it to every executor —
+    the exact failure salting exists to avoid. Pass a hint whenever
+    ``other`` grows with the data.
 
     Only ``inner`` and ``left`` (outer on the skewed side) are
     supported: replication of ``other`` makes right/full outer emit
@@ -69,6 +77,8 @@ def salted_join(
     keys = [on] if isinstance(on, str) else list(on)
     a = with_salt(skewed, n_salts)
     b = replicate(other, n_salts)
+    if join_hint is not None:
+        b = b.hint(join_hint)
     cond = [a[k] == b[k] for k in keys] + [a["_salt"] == b["_salt"]]
     joined = a.join(b, cond, how)
     keep = [a[c] for c in skewed.columns] + [

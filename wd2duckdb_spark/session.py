@@ -42,6 +42,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's coalescing floor is byte-based (default 1 MB), which
+        # under-parallelizes CPU-bound stages whose shuffle input is
+        # small but whose per-row work is heavy (banded levenshtein,
+        # regex, GEMM blocks): a 15 MB shuffle coalesces to 15 tasks on
+        # 32 cores. 64 KB keeps parallelismFirst's
+        # total/defaultParallelism target in charge instead; measured
+        # 3.7 s -> 2.1 s on fuzzy_name_pairs at sf0.1. On a real
+        # cluster per-partition bytes are large and the floor almost
+        # never binds, so the change is local-regime-only by design.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Broadcast threshold: vertex/dim tables are broadcast in label
