@@ -451,3 +451,64 @@ def test_snapshot_model_based_random_ops(spark, tmp_path):
 
     hist = snapshot_history(spark, t)
     assert [h["version"] for h in hist] == sorted(model)
+
+
+def test_snapshot_diff_keys_cover_all_columns(spark, tmp_path):
+    """ADVICE r2: when `keys` covers every column there are no non-key
+    columns to hash — md5(to_json(struct())) failed outright. The diff
+    degrades to presence-only: insert/delete, never update."""
+    from wd2duckdb_spark.maintenance import snapshot_diff, snapshot_write
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(
+        spark,
+        spark.createDataFrame([(1,), (2,), (3,)], "id long"),
+        t,
+        mode="overwrite",
+    )
+    snapshot_write(
+        spark,
+        spark.createDataFrame([(2,), (3,), (4,)], "id long"),
+        t,
+        mode="overwrite",
+    )
+    got = {
+        (r.id, r._change)
+        for r in snapshot_diff(spark, t, 0, 1, keys=["id"]).collect()
+    }
+    assert got == {(1, "delete"), (4, "insert")}
+
+
+def test_snapshot_diff_null_and_map_columns_stable(spark, tmp_path):
+    """ADVICE r2: the old md5(to_json(...)) content hash dropped null
+    fields and serialized maps in nondeterministic key order, so
+    identical rows could diff as spurious updates. xxhash64 over
+    values (maps normalized to key-sorted entries) must report NO
+    change for identical content, and must catch a null <-> value
+    flip as a real update."""
+    from wd2duckdb_spark.maintenance import snapshot_diff, snapshot_write
+
+    schema = "id long, val string, tags map<string,long>"
+    rows_v0 = [
+        (1, None, {"a": 1, "b": 2}),
+        (2, "x", None),
+        (3, None, None),
+    ]
+    # identical content, maps built in reverse insertion order
+    rows_v1 = [
+        (1, None, {"b": 2, "a": 1}),
+        (2, "x", None),
+        (3, "now-set", None),  # the one REAL update: null -> value
+    ]
+    t = str(tmp_path / "tbl")
+    snapshot_write(
+        spark, spark.createDataFrame(rows_v0, schema), t, mode="overwrite"
+    )
+    snapshot_write(
+        spark, spark.createDataFrame(rows_v1, schema), t, mode="overwrite"
+    )
+    got = {
+        (r.id, r._change)
+        for r in snapshot_diff(spark, t, 0, 1, keys=["id"]).collect()
+    }
+    assert got == {(3, "update")}

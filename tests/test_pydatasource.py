@@ -143,3 +143,45 @@ def test_stream_reader_exactly_once_across_restarts(
     write_shard("s2.json", ["Q4", "Q5"])
     got = run_once()
     assert sorted(got) == ["Q1", "Q2", "Q3", "Q4", "Q5"]
+
+
+def test_stream_reader_revisits_growing_shard(registered, spark, tmp_path):
+    """ADVICE r2: a shard listed while still being written must be
+    ingested up to its last COMPLETE line and revisited for the
+    appended tail — name-only offsets dropped the tail silently. The
+    partial trailing line (no newline yet) must never be emitted as a
+    half-record."""
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    shard = shard_dir / "grow.json"
+
+    def line(i):
+        return f'{{"id":"{i}","type":"item","claims":{{}}}},'
+
+    # complete lines for Q1/Q2, then a HALF-WRITTEN Q3 line (no \n)
+    shard.write_text(
+        "[\n" + line("Q1") + "\n" + line("Q2") + "\n" + line("Q3")[:10]
+    )
+
+    def run_once():
+        q = (
+            spark.readStream.format("wikidata_dump")
+            .load(str(shard_dir))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(r.id for r in spark.read.parquet(out).collect())
+
+    assert run_once() == ["Q1", "Q2"]  # half-line withheld, not mangled
+
+    # the writer finishes Q3 and appends Q4
+    with open(shard, "a") as fh:
+        fh.write(line("Q3")[10:] + "\n" + line("Q4") + "\n")
+    assert run_once() == ["Q1", "Q2", "Q3", "Q4"]  # delta only, no dup

@@ -43,8 +43,10 @@ BENCH_QUERIES = (
 )
 
 #: Embeddings-tier queries, scaled by duplicating vectors under fresh
-#: vec_ids (centroid geometry is unchanged; assignment/update cost
-#: scales linearly — the property under test).
+#: vec_ids offset by copy*emb_rows, so ids 0..K-1 — kmeans' seed set —
+#: are the same original vectors at every multiplier (centroid
+#: geometry really is unchanged then; assignment/update cost scales
+#: linearly — the property under test).
 EMB_QUERIES = ("kmeans_lloyd", "embedding_centroids", "embedding_quantize")
 
 
@@ -95,7 +97,15 @@ def main() -> None:
             emb.crossJoin(
                 spark.range(m).withColumnRenamed("id", "copy")
             ).select(
-                (F.col("vec_id") * m + F.col("copy")).alias("vec_id"),
+                # vec_id + copy*emb_rows (NOT vec_id*m + copy): kmeans
+                # seeds on vec_id < K, so ids 0..K-1 must stay the
+                # ORIGINAL first K vectors at every multiplier — the
+                # interleaved remap made the seed set m duplicates of
+                # only ceil(K/m) originals, skewing cross-scale
+                # comparisons (ADVICE r2).
+                (F.col("vec_id") + F.col("copy") * F.lit(emb_rows)).alias(
+                    "vec_id"
+                ),
                 "embedding",
                 "label",
             ).repartition(

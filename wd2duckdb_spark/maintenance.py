@@ -21,8 +21,9 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import MapType
 
 
 def dir_bytes(spark: SparkSession, path: str) -> int:
@@ -395,7 +396,7 @@ def snapshot_diff(
       full-outer diff of the two snapshots — one co-partitioned
       shuffle join on ``keys`` (which must uniquely identify rows);
       non-key columns are compared via a content hash computed
-      scan-side, so the shuffle carries (key, 32-byte hash), not the
+      scan-side, so the shuffle carries (key, 8-byte hash), not the
       payload.
     """
     mf_from = _read_manifest(spark, table_dir, v_from)
@@ -427,9 +428,28 @@ def snapshot_diff(
     a = snapshot_read(spark, table_dir, v_from)
     b = snapshot_read(spark, table_dir, v_to)
     nonkeys = sorted(c for c in b.columns if c not in keys)
-    hcol = lambda df, name: df.select(  # noqa: E731
-        *keys, F.md5(F.to_json(F.struct(*nonkeys))).alias(name)
-    )
+
+    # Content hash (ADVICE r2): xxhash64 over the non-key columns, not
+    # md5(to_json(struct(...))) — to_json drops null fields and gives
+    # maps nondeterministic key order, so identical rows could hash
+    # differently ("update" noise). xxhash64 hashes the VALUES
+    # (null-aware, order-stable); top-level map columns are normalized
+    # to key-sorted entry arrays first because Spark forbids hashing
+    # raw maps. When `keys` covers every column there is nothing to
+    # hash and no update is possible — presence-only diff (lit hash).
+    def _norm(df: DataFrame, c: str) -> Column:
+        if isinstance(df.schema[c].dataType, MapType):
+            return F.array_sort(F.map_entries(F.col(c)))
+        return F.col(c)
+
+    def hcol(df: DataFrame, name: str) -> DataFrame:
+        h = (
+            F.xxhash64(*[_norm(df, c) for c in nonkeys])
+            if nonkeys
+            else F.lit(0)
+        )
+        return df.select(*keys, h.alias(name))
+
     j = hcol(a, "_ha").join(hcol(b, "_hb"), keys, "full_outer")
     change = (
         F.when(F.col("_ha").isNull(), "insert")

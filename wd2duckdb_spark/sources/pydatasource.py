@@ -69,6 +69,19 @@ class _ByteRange(InputPartition):
     end: int  # exclusive; read runs past end to finish its last line
 
 
+@dataclass(frozen=True)
+class _AlignedRange(InputPartition):
+    """A byte range whose BOTH bounds sit exactly on line boundaries
+    (start = 0 or just past a ``\\n``; end likewise). Used by the
+    stream reader's grow-aware deltas: unlike ``_ByteRange``'s split
+    protocol, the first line is NOT discarded and reading stops
+    exactly at ``end`` — the next delta owns everything after."""
+
+    path: str
+    start: int
+    end: int  # exclusive, line-aligned
+
+
 class WikidataDumpReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.path = options.get("path")
@@ -156,6 +169,24 @@ class WikidataDumpReader(DataSourceReader):
                 if row is not None:
                     yield row
 
+    def read_aligned(self, partition: _AlignedRange) -> Iterator[tuple]:
+        """Read ``[start, end)`` where BOTH bounds are line-aligned
+        (stream deltas): no first-line discard, stop exactly at
+        ``end`` — the complement of :meth:`read`'s split protocol."""
+        probe = f'"id":"{self.id_filter}"' if self.id_filter else None
+        with open(partition.path, "rb") as fh:
+            fh.seek(partition.start)
+            while fh.tell() < partition.end:
+                raw = fh.readline()
+                if not raw:
+                    break
+                line = raw.decode("utf-8", errors="replace")
+                if probe is not None and probe not in line.replace(" ", ""):
+                    continue
+                row = self._to_row(line)
+                if row is not None:
+                    yield row
+
     def _emit_lines(self, fh) -> Iterator[tuple]:
         probe = f'"id":"{self.id_filter}"' if self.id_filter else None
         for line in fh:
@@ -184,14 +215,25 @@ class WikidataDumpStreamReader(DataSourceStreamReader):
     (offset-tracked, checkpoint-replayable) instead of the file-sink
     workaround in streaming/ingest_stream.py.
 
-    Offsets are the sorted list of fully-ingested shard names (shards
-    are immutable once written, the same assumption Spark's own file
-    source makes); ``partitions(start, end)`` is the set difference,
-    one partition per new shard, each read with the SAME byte-range
-    reader as the batch path — so batch and stream cannot drift.
-    A shard that appears between latestOffset calls lands in the next
-    micro-batch; a failed batch replays its exact shard set from the
-    checkpointed offset (exactly-once into idempotent sinks).
+    Offsets map shard name → LINE-ALIGNED ingested byte count (the
+    offset of the byte just past the shard's last complete ``\\n``,
+    found by a bounded backwards scan — never a full read).
+    ``partitions(start, end)`` emits one ``_AlignedRange`` per shard
+    whose safe size grew: a shard still being APPENDED to is ingested
+    up to its last complete line and REVISITED for the delta next
+    micro-batch — round 2 recorded names only, so a shard listed
+    mid-write was ingested partially and the appended tail silently
+    dropped (ADVICE r2). A partial trailing line (no ``\\n`` yet) is
+    never emitted, so no half-record ever reaches the sink. A failed
+    batch replays its exact (name, start, end) set from the
+    checkpointed offsets (exactly-once into idempotent sinks).
+
+    Compressed shards (``.bz2``/``.gz``) have no line-aligned prefix
+    semantics: they are emitted whole, once, when their size is STABLE
+    across two consecutive listings, and growth after ingestion raises
+    (create them via atomic rename). Legacy round-2 checkpoints
+    (name-list offsets) are upgraded in place: listed names count as
+    fully ingested at their then-current size.
     """
 
     def __init__(self, options: dict) -> None:
@@ -199,6 +241,9 @@ class WikidataDumpStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("wikidata_dump stream: .load(dir) is required")
         self._batch = WikidataDumpReader(options)
+        # driver-local size memory for the compressed-shard quiescence
+        # check; losing it on restart only delays those shards one poll
+        self._last_sizes: dict[str, int] = {}
 
     def _listing(self) -> list[str]:
         if not os.path.isdir(self.path):
@@ -211,24 +256,86 @@ class WikidataDumpStreamReader(DataSourceStreamReader):
             if not n.startswith(("_", "."))
         )
 
+    @staticmethod
+    def _safe_size(p: str) -> int:
+        """Bytes up to and including the shard's last ``\\n`` — the
+        longest prefix that is whole lines. Backwards chunked scan:
+        O(tail) bytes read, driver-side, regardless of shard size."""
+        size = os.path.getsize(p)
+        if size == 0:
+            return 0
+        with open(p, "rb") as fh:
+            pos = size
+            chunk = 1 << 20
+            while pos > 0:
+                lo = max(0, pos - chunk)
+                fh.seek(lo)
+                buf = fh.read(pos - lo)
+                i = buf.rfind(b"\n")
+                if i >= 0:
+                    return lo + i + 1
+                pos = lo
+        return 0
+
+    @staticmethod
+    def _compressed(name: str) -> bool:
+        return name.endswith((".bz2", ".gz"))
+
+    def _files_map(self, offset: dict) -> dict[str, int]:
+        files = offset.get("files", {})
+        if isinstance(files, list):  # legacy name-list checkpoint
+            return {
+                n: os.path.getsize(os.path.join(self.path, n))
+                for n in files
+                if os.path.exists(os.path.join(self.path, n))
+            }
+        return dict(files)
+
     def initialOffset(self) -> dict:  # noqa: N802 (API name)
-        return {"files": []}
+        return {"files": {}}
 
     def latestOffset(self) -> dict:  # noqa: N802 (API name)
-        return {"files": self._listing()}
+        files: dict[str, int] = {}
+        for n in self._listing():
+            p = os.path.join(self.path, n)
+            if self._compressed(n):
+                size = os.path.getsize(p)
+                stable = self._last_sizes.get(n) == size
+                self._last_sizes[n] = size
+                files[n] = size if stable else 0
+            else:
+                files[n] = self._safe_size(p)
+        return {"files": files}
 
     def partitions(self, start: dict, end: dict):
-        new = sorted(set(end["files"]) - set(start["files"]))
-        return [
-            _ByteRange(
-                os.path.join(self.path, n),
-                0,
-                os.path.getsize(os.path.join(self.path, n)),
-            )
-            for n in new
-        ]
+        s, e = self._files_map(start), self._files_map(end)
+        out = []
+        for n in sorted(e):
+            lo, hi = s.get(n, 0), e[n]
+            if hi < lo:
+                raise ValueError(
+                    f"wikidata_dump stream: shard {n!r} shrank "
+                    f"({lo} -> {hi} bytes); shards must only be "
+                    "appended to or atomically renamed into place"
+                )
+            if hi == lo:
+                continue
+            p = os.path.join(self.path, n)
+            if self._compressed(n):
+                if lo > 0:
+                    raise ValueError(
+                        f"wikidata_dump stream: compressed shard {n!r} "
+                        "grew after ingestion; compressed shards must "
+                        "be finalized before listing (atomic rename)"
+                    )
+                out.append(_ByteRange(p, 0, hi))
+            else:
+                out.append(_AlignedRange(p, lo, hi))
+        return out
 
-    def read(self, partition: _ByteRange) -> Iterator[tuple]:
+    def read(self, partition) -> Iterator[tuple]:
+        if isinstance(partition, _AlignedRange):
+            return self._batch.read_aligned(partition)
         return self._batch.read(partition)
 
     def commit(self, end: dict) -> None:
