@@ -37,6 +37,15 @@ def write_bucketed(
     Edge-class tables bucket/sort on ``src_id``; ``vertex`` on ``id``.
     Join keys co-locate: ``edge JOIN edge`` / ``edge JOIN vertex`` on
     the bucket column plan with zero Exchange on the bucketed sides.
+
+    Each table is repartitioned on its bucket key before the write:
+    bucket assignment uses the same murmur3 hash as ``repartition``,
+    so every writer task holds exactly one bucket and each bucket is
+    ONE file. Without it, every task writes a sliver of every bucket
+    (tasks × buckets small files) and Spark drops the sorted-bucket
+    property at read time (it only trusts sortBy for single-file
+    buckets) — measured 0.86× vs flat on a 2-hop traversal before,
+    1.5× after (tools/bench_bucketed_traversal.py).
     """
     spark = next(iter(tables.values())).sparkSession
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
@@ -46,7 +55,8 @@ def write_bucketed(
         df = tables[name]
         key = "id" if name == "vertex" else "src_id"
         (
-            df.write.mode(mode)
+            df.repartition(n_buckets, key)
+            .write.mode(mode)
             .bucketBy(n_buckets, key)
             .sortBy(key)
             .format("parquet")

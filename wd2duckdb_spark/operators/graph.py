@@ -116,7 +116,9 @@ def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fwd.union(rev)
 
 
-def q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_pagerank_topk(
+    spark: SparkSession, sf_dir: str, checkpoint_interval: int = 0
+) -> DataFrame:
     """Distributed PageRank (5 synchronous iterations, d=0.85) over the
     customer↔supplier trade graph — the iterative-dataflow pattern
     (repeated join → groupBy per superstep), oracle-verified against an
@@ -129,10 +131,16 @@ def q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-superstep persist+count variant measured 10× slower here: all
     fixed job-scheduling overhead). Only the rank-independent
     transition structure (src, dst, deg), which every superstep reuses,
-    is persisted. At a real 100 TB scale you would additionally
-    checkpoint the rank vector every few supersteps to bound
-    failure-recovery replay, and bucket the edge table on src
-    (layout.py) so each superstep shuffles only the rank vector.
+    is persisted. ``checkpoint_interval=k`` (>0) eagerly
+    localCheckpoints the rank vector every k supersteps: at a real
+    100 TB scale an executor loss otherwise replays the WHOLE chain
+    back to the source scan — the knob bounds recovery replay to ≤k
+    supersteps at the cost of materializing the (vertex-sized) rank
+    vector. Default 0 keeps the single lazy DAG — measured fastest
+    locally (the per-superstep persist variant was 10× slower; see
+    module history), and correctness is interval-invariant (pinned in
+    tests/test_round3_ops.py). Additionally, bucket the edge table on
+    src (layout.py) so each superstep shuffles only the rank vector.
 
     The bidirectional construction guarantees every vertex has both in-
     and out-degree ≥ 1 — no dangling-mass term, and the contribution
@@ -150,7 +158,7 @@ def q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("id", F.lit(1.0 / n).alias("rank"))
     )
-    for _ in range(PR_ITERS):
+    for i in range(PR_ITERS):
         contribs = (
             trans.join(ranks, trans.src == ranks.id)
             .groupBy("dst")
@@ -162,6 +170,12 @@ def q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "rank"
             ),
         )
+        if (
+            checkpoint_interval > 0
+            and (i + 1) % checkpoint_interval == 0
+            and i + 1 < PR_ITERS
+        ):
+            ranks = ranks.localCheckpoint(eager=True)
     return (
         ranks.select(
             F.col("id").alias("node_id"), F.round("rank", 6).alias("rank")
@@ -403,7 +417,9 @@ def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fwd.union(rev)
 
 
-def q_shortest_path_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_shortest_path_bounded(
+    spark: SparkSession, sf_dir: str, checkpoint_interval: int = 0
+) -> DataFrame:
     """Single-source shortest paths within SP_ITERS hops (weighted
     Bellman-Ford supersteps) over the trade graph — the
     cheapest-route / influence-radius query the reference's
@@ -439,7 +455,7 @@ def q_shortest_path_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(SP_SRC).cast("long").alias("node"),
         F.lit(0.0).alias("dist"),
     )
-    for _ in range(SP_ITERS):
+    for i in range(SP_ITERS):
         relax = dist.join(edges, dist.node == edges.src).select(
             F.col("dst").alias("node"),
             (F.col("dist") + F.col("w")).alias("dist"),
@@ -449,6 +465,14 @@ def q_shortest_path_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
         )
+        # replay bound for long superstep chains at cluster scale;
+        # default 0 = single lazy DAG (see q_pagerank_topk docstring)
+        if (
+            checkpoint_interval > 0
+            and (i + 1) % checkpoint_interval == 0
+            and i + 1 < SP_ITERS
+        ):
+            dist = dist.localCheckpoint(eager=True)
     return dist.select(
         F.col("node").alias("node_id"),
         (F.floor(F.col("dist") * 1e6 + F.lit(0.5)) / 1e6).alias("dist"),
