@@ -60,6 +60,9 @@ HEADLINE = (
     "fuzzy_name_pairs",
     "ngram_decontaminate",
     "jaccard_prefix_join",
+    # round-3 addition: the SemDeDup composition (cluster + salted
+    # in-cluster cosine prune)
+    "semantic_dedup",
 )
 
 

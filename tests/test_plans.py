@@ -843,3 +843,20 @@ def test_bucketed_traversal_edge_side_no_exchange(spark, kg_tables):
 
     files = glob.glob(f"{wh}/kg_khop.db/edge/part-*")
     assert len(files) <= 4
+
+
+def test_semantic_dedup_pair_join_is_salted_shuffle(spark):
+    """semantic_dedup's in-cluster pair stage must be the salted
+    shuffle self-join (cid is an 8-value hot key — same regime as
+    fuzzy_name_pairs): ShuffledHashJoin on (cid, _salt), and the only
+    broadcasts are the constant-size centroid tables."""
+    from wd2duckdb_spark.functions.similarity import q_semantic_dedup
+    from wd2duckdb_spark.plans import explain_str
+
+    from wd2duckdb_spark.plans import plan_summary as _ps
+
+    df = q_semantic_dedup(spark, SF_DIR)
+    p = explain_str(df, "simple")
+    assert "ShuffledHashJoin" in p  # the salted pair join
+    assert "_salt" in p
+    assert _ps(df)["python_udf"] == 0

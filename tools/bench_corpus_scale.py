@@ -47,7 +47,14 @@ BENCH_QUERIES = (
 #: are the same original vectors at every multiplier (centroid
 #: geometry really is unchanged then; assignment/update cost scales
 #: linearly — the property under test).
-EMB_QUERIES = ("kmeans_lloyd", "embedding_centroids", "embedding_quantize")
+EMB_QUERIES = (
+    "kmeans_lloyd",
+    "embedding_centroids",
+    "embedding_quantize",
+    # semantic_dedup deliberately excluded: like MinHash-LSH it is
+    # pair-generating, and duplicating vectors k× multiplies in-cluster
+    # pairs quadratically — a semantics change, not a scaling test.
+)
 
 
 def main() -> None:

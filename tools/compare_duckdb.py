@@ -74,6 +74,10 @@ def main() -> None:
             .mode("overwrite")
             .save()
         )
+        # persist()-barrier queries cache small intermediates; clear
+        # between queries so no later plan-identical subtree measures
+        # warm off another query's cache (same discipline as bench.py)
+        spark.catalog.clearCache()
         d = time_min2(lambda: con.execute(oracles[name]).fetchall())
         out[name] = {
             "spark": s,

@@ -744,32 +744,16 @@ def _sqdist(a: Column, b: Column) -> Column:
     )
 
 
-def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed Lloyd's k-means (KMEANS_ITERS synchronous
-    iterations, K = KMEANS_K, seeds = first K vectors by vec_id) over
-    the embedding corpus — the clustering step that produces IVF cells,
-    semantic-dedup groups, and curriculum domains at scale.
-
-    Per iteration: broadcast the K-row centroid table against the
-    corpus (BroadcastNestedLoopJoin of a constant-size side — the
-    canonical "ship the centroids, not the data" plan), argmin by
-    (distance, cid) via a min-struct aggregate, then recompute
-    centroids as per-(cid, pos) means (posexplode keeps the average in
-    native codegen — no array aggregation buffer). The whole loop is
-    one lazy DAG like :func:`~wd2duckdb_spark.operators.graph
-    .q_pagerank_topk`; only the corpus projection is persisted.
-
-    Cross-engine determinism: distances and centroid components are
-    floor-normalized to 6 dp at every iteration (PLANS.md convention),
-    so both engines carry identical centroids forward and the argmin
-    cannot diverge; ties break on cid inside the min-struct. Output is
-    the K-row cluster summary (size + mean within-cluster distance).
-
-    Scale: per iteration one scan + one (vec → cid) shuffle of
-    (K × dims) partial sums — no all-pairs term anywhere; at 100 TB
-    you add a mini-batch sample for the update step, but the dataflow
-    is unchanged.
-    """
+def _lloyd_assignment(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared Lloyd's-iterations core: returns ``(vecs, assignment)``
+    where ``vecs`` is the persisted (vec_id, v: array<double>)
+    projection and ``assignment`` is (vec_id, cid, dist) after
+    KMEANS_ITERS floor-6-normalized iterations from the deterministic
+    first-K seeds. Consumed by :func:`q_kmeans_lloyd` (cluster
+    summaries) and :func:`q_semantic_dedup` (cluster-bounded near-dup
+    pruning) — one clustering codepath, one oracle CTE prefix."""
     vecs = (
         tbl(spark, sf_dir, "embeddings")
         .select("vec_id", _as_double(F.col("embedding")).alias("v"))
@@ -807,7 +791,36 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("c")
             )
         )
-    final = assign(cents)
+    return vecs, assign(cents)
+
+
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (KMEANS_ITERS synchronous
+    iterations, K = KMEANS_K, seeds = first K vectors by vec_id) over
+    the embedding corpus — the clustering step that produces IVF cells,
+    semantic-dedup groups, and curriculum domains at scale.
+
+    Per iteration: broadcast the K-row centroid table against the
+    corpus (BroadcastNestedLoopJoin of a constant-size side — the
+    canonical "ship the centroids, not the data" plan), argmin by
+    (distance, cid) via a min-struct aggregate, then recompute
+    centroids as per-(cid, pos) means (posexplode keeps the average in
+    native codegen — no array aggregation buffer). The whole loop is
+    one lazy DAG like :func:`~wd2duckdb_spark.operators.graph
+    .q_pagerank_topk`; only the corpus projection is persisted.
+
+    Cross-engine determinism: distances and centroid components are
+    floor-normalized to 6 dp at every iteration (PLANS.md convention),
+    so both engines carry identical centroids forward and the argmin
+    cannot diverge; ties break on cid inside the min-struct. Output is
+    the K-row cluster summary (size + mean within-cluster distance).
+
+    Scale: per iteration one scan + one (vec → cid) shuffle of
+    (K × dims) partial sums — no all-pairs term anywhere; at 100 TB
+    you add a mini-batch sample for the update step, but the dataflow
+    is unchanged.
+    """
+    vecs, final = _lloyd_assignment(spark, sf_dir)
     return (
         final.groupBy("cid")
         .agg(
@@ -820,10 +833,83 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle() -> str:
-    """Unrolled Lloyd iterations as chained CTEs (DuckDB). The same
-    floor-6 normalization points as the Spark plan keep both engines'
-    centroid streams identical."""
+#: Cosine threshold for SemDeDup-style semantic near-duplicate pruning
+#: (rounded to 4 dp before comparing, like embedding_neardup). 0.35 on
+#: this synthetic corpus prunes ~4% of vectors at sf0.01 — high enough
+#: to be selective, low enough that the keep-set test is non-trivial
+#: at every fixture SF.
+SEMDEDUP_THR = 0.35
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding corpus, then
+    search for cosine near-duplicates ONLY within each cluster and
+    keep the smallest vec_id of every duplicate group's pairs.
+    Returns (vec_id, cid, keep) for the whole corpus.
+
+    This is the semantic analogue of MinHash banding: clustering is
+    the candidate generator that bounds the quadratic term — pairs
+    per CLUSTER, never per corpus. Cross-cluster near-dups are the
+    method's documented approximation (the paper's recall argument:
+    true semantic duplicates land in the same cluster because they
+    are near the same centroid); within-cluster results are EXACT and
+    oracle-verified against a brute-force in-cluster self-join over
+    the identical unrolled-CTE clustering.
+
+    Scale shape: clustering is :func:`_lloyd_assignment` (one scan +
+    one bounded shuffle per iteration); the pair stage is a SALTED
+    shuffle self-join on the cluster id (operators/skew.salted_join —
+    K=8 here makes cid exactly the hot-key regime fuzzy_name_pairs
+    hit, so each cluster's expansion is spread across
+    2×parallelism salt cells rather than funneled into one task).
+    At 100 TB, K grows with the corpus (K ≈ N/target_cluster_size),
+    holding per-cluster pair counts — and per-task memory — constant;
+    the keep-list shuffle is corpus-sized but row-narrow
+    (vec_id, cid, bool).
+
+    Determinism: clustering inherits kmeans_lloyd's floor-6 contract;
+    the pair test compares round(cosine, 4) ≥ SEMDEDUP_THR with the
+    same sequential-fold product order as DuckDB's
+    list_cosine_similarity, so the keep set matches bit-for-bit.
+    """
+    from wd2duckdb_spark.functions.dedup import _cosine_fold_sql
+    from wd2duckdb_spark.operators.skew import salted_join
+
+    vecs, asg = _lloyd_assignment(spark, sf_dir)
+    m = asg.select("vec_id", "cid").join(vecs, "vec_id")
+    a = m.select(
+        "cid", F.col("vec_id").alias("a_id"), F.col("v").alias("va")
+    )
+    b = m.select(
+        "cid", F.col("vec_id").alias("b_id"), F.col("v").alias("vb")
+    )
+    n_salts = spark.sparkContext.defaultParallelism * 2
+    dup_ids = (
+        salted_join(a, b, on="cid", n_salts=n_salts, join_hint="shuffle_hash")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            F.round(F.expr(_cosine_fold_sql("va", "vb")), 4)
+            >= F.lit(SEMDEDUP_THR)
+        )
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        asg.select("vec_id", "cid")
+        .join(dup_ids.withColumn("_dup", F.lit(1)), "vec_id", "left")
+        .select("vec_id", "cid", F.col("_dup").isNull().alias("keep"))
+        .orderBy("vec_id")
+    )
+
+
+def _kmeans_cte_prefix() -> str:
+    """Unrolled Lloyd iterations as chained CTEs (DuckDB), ending in
+    ``fin`` = (vec_id, m=ROW(dist, cid)) — the final assignment. The
+    same floor-6 normalization points as the Spark plan keep both
+    engines' centroid streams identical. Shared by the kmeans_lloyd
+    and semantic_dedup oracles so the clustering semantics cannot
+    drift between them."""
     sqd = (
         "list_sum(list_transform(list_zip(v, c),"
         " z -> (z[1] - z[2]) * (z[1] - z[2])))"
@@ -850,8 +936,7 @@ def _kmeans_oracle() -> str:
             ) GROUP BY cid)"""
         )
     chained = ",\n        ".join(steps)
-    return f"""
-        WITH vecs AS (
+    return f"""vecs AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
             FROM embeddings
         ), c0 AS (
@@ -864,13 +949,40 @@ def _kmeans_oracle() -> str:
                    min(ROW(floor({sqd} * 1e6 + 0.5) / 1e6, cid)) AS m
             FROM vecs CROSS JOIN c{KMEANS_ITERS}
             GROUP BY vec_id
-        )
+        )"""
+
+
+def _kmeans_oracle() -> str:
+    return f"""
+        WITH {_kmeans_cte_prefix()}
         SELECT CAST(m[2] AS INT) AS cid,
                count(*) AS n_vecs,
                floor(avg(m[1]) * 1e4 + 0.5) / 1e4 AS avg_dist
         FROM fin
         GROUP BY CAST(m[2] AS INT)
         ORDER BY cid
+    """
+
+
+def _semantic_dedup_oracle() -> str:
+    return f"""
+        WITH {_kmeans_cte_prefix()},
+        asg AS (
+            SELECT vec_id, CAST(m[2] AS INT) AS cid FROM fin
+        ),
+        pairs AS (
+            SELECT b.vec_id AS dup_id
+            FROM asg a JOIN asg b
+              ON a.cid = b.cid AND a.vec_id < b.vec_id
+            JOIN vecs va ON va.vec_id = a.vec_id
+            JOIN vecs vb ON vb.vec_id = b.vec_id
+            WHERE round(list_cosine_similarity(va.v, vb.v), 4)
+                  >= {SEMDEDUP_THR}
+        )
+        SELECT g.vec_id, g.cid, (d.dup_id IS NULL) AS keep
+        FROM asg g LEFT JOIN (SELECT DISTINCT dup_id FROM pairs) d
+          ON g.vec_id = d.dup_id
+        ORDER BY g.vec_id
     """
 
 
@@ -968,6 +1080,8 @@ QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "embedding_pca": q_embedding_pca,
     "kmeans_lloyd": q_kmeans_lloyd,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 ORACLES["kmeans_lloyd"] = _kmeans_oracle()
+ORACLES["semantic_dedup"] = _semantic_dedup_oracle()
