@@ -701,7 +701,14 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("b_name"),
         noun.alias("block"),
     )
-    n_salts = spark.sparkContext.defaultParallelism * 2
+    # 2x cores locally, capped at 512: salts multiply the replicated
+    # side's shuffle volume (S x |table|) while dividing per-task pair
+    # work (|block|^2 / S) — unbounded S on a 1000-executor cluster
+    # (defaultParallelism ~ 10^4) would shuffle 10^4 copies of the
+    # table to shave task sizes that 512 cells per block already make
+    # small. 8 blocks x 512 salts = 4096 reduce cells, plenty for any
+    # realistic executor count.
+    n_salts = min(spark.sparkContext.defaultParallelism * 2, 512)
     return (
         salted_join(a, b, on="block", n_salts=n_salts, join_hint="shuffle_hash")
         .filter(

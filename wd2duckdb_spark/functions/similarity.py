@@ -884,7 +884,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = m.select(
         "cid", F.col("vec_id").alias("b_id"), F.col("v").alias("vb")
     )
-    n_salts = spark.sparkContext.defaultParallelism * 2
+    # capped like fuzzy_name_pairs: salts trade replicated-side
+    # shuffle volume (S x corpus) for per-task pair work; 512 x K
+    # cells saturate any realistic cluster without an O(cores)
+    # replication factor
+    n_salts = min(spark.sparkContext.defaultParallelism * 2, 512)
     dup_ids = (
         salted_join(a, b, on="cid", n_salts=n_salts, join_hint="shuffle_hash")
         .filter(F.col("a_id") < F.col("b_id"))
