@@ -115,3 +115,42 @@ def test_iterative_checkpoint_interval_is_result_invariant(spark):
         spark, SF_DIR, checkpoint_interval=2
     ).collect()
     assert sp0 == sp2
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_star_cc_property_matches_union_find(spark, edges):
+    """Property: for ANY pair list (self-loops, duplicates, parallel
+    edges included), the star labeling equals python union-find with
+    min-label canonicalization. Self-loop-only nodes are their own
+    singleton cluster (matching the propagation variant's contract)."""
+    from wd2duckdb_spark.functions.dedup import connected_components
+
+    expected = _union_find_labels([(a, b) for a, b in edges if a != b])
+    # nodes appearing ONLY in self-loops still appear in the output
+    for a, b in edges:
+        if a == b:
+            expected.setdefault(a, a)
+
+    pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {
+        r.node: r.cluster_id
+        for r in connected_components(
+            pairs, max_iters=40, algorithm="star"
+        ).collect()
+    }
+    assert got == expected
