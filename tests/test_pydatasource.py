@@ -185,3 +185,55 @@ def test_stream_reader_revisits_growing_shard(registered, spark, tmp_path):
     with open(shard, "a") as fh:
         fh.write(line("Q3")[10:] + "\n" + line("Q4") + "\n")
     assert run_once() == ["Q1", "Q2", "Q3", "Q4"]  # delta only, no dup
+
+
+def test_stream_compressed_shard_grace_and_restart(registered, spark, tmp_path):
+    """Compressed shards are ingested whole only once their mtime is
+    older than compressed_grace_sec (a fresh mtime = possibly still
+    being written), and — because mtime persists, unlike an in-memory
+    stability probe — a driver restart neither re-ingests the shard
+    (duplicate rows) nor trips the shrank-shard guard."""
+    import gzip
+    import os
+    import time
+
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def line(i):
+        return f'{{"id":"{i}","type":"item","claims":{{}}}},\n'
+
+    (shard_dir / "base.json").write_text("[\n" + line("Q9") + "]\n")
+    gz = shard_dir / "s0.json.gz"
+    with gzip.open(gz, "wt") as fh:
+        fh.write("[\n" + line("Q1") + line("Q2") + "]\n")
+
+    def run_once():
+        q = (
+            spark.readStream.format("wikidata_dump")
+            .option("compressed_grace_sec", "60")
+            .load(str(shard_dir))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(r.id for r in spark.read.parquet(out).collect())
+
+    # fresh mtime: the gz shard is withheld, only the json ingests
+    assert run_once() == ["Q9"]
+
+    # age the shard past the grace window: ingested whole, once
+    old = time.time() - 300
+    os.utime(gz, (old, old))
+    assert run_once() == ["Q1", "Q2", "Q9"]
+
+    # "restart": a new query instance against the same checkpoint —
+    # the persisted mtime keeps the shard reported at its full size,
+    # so nothing re-emits and nothing raises
+    assert run_once() == ["Q1", "Q2", "Q9"]

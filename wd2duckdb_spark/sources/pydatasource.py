@@ -229,11 +229,15 @@ class WikidataDumpStreamReader(DataSourceStreamReader):
     checkpointed offsets (exactly-once into idempotent sinks).
 
     Compressed shards (``.bz2``/``.gz``) have no line-aligned prefix
-    semantics: they are emitted whole, once, when their size is STABLE
-    across two consecutive listings, and growth after ingestion raises
-    (create them via atomic rename). Legacy round-2 checkpoints
-    (name-list offsets) are upgraded in place: listed names count as
-    fully ingested at their then-current size.
+    semantics: they are emitted whole, once, when their mtime is at
+    least ``compressed_grace_sec`` old (default 60; a being-written
+    shard has a fresh mtime), and growth after ingestion raises
+    (create them via atomic rename). mtime — unlike an in-memory
+    "size stable across two listings" probe — survives driver
+    restarts, so an already-ingested shard can never be re-reported
+    at offset 0 and regress the checkpoint. Legacy round-2
+    checkpoints (name-list offsets) are upgraded in place: listed
+    names count as fully ingested at their then-current size.
     """
 
     def __init__(self, options: dict) -> None:
@@ -241,9 +245,7 @@ class WikidataDumpStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("wikidata_dump stream: .load(dir) is required")
         self._batch = WikidataDumpReader(options)
-        # driver-local size memory for the compressed-shard quiescence
-        # check; losing it on restart only delays those shards one poll
-        self._last_sizes: dict[str, int] = {}
+        self._grace = float(options.get("compressed_grace_sec", "60"))
 
     def _listing(self) -> list[str]:
         if not os.path.isdir(self.path):
@@ -295,14 +297,16 @@ class WikidataDumpStreamReader(DataSourceStreamReader):
         return {"files": {}}
 
     def latestOffset(self) -> dict:  # noqa: N802 (API name)
+        import time as _time
+
         files: dict[str, int] = {}
         for n in self._listing():
             p = os.path.join(self.path, n)
             if self._compressed(n):
-                size = os.path.getsize(p)
-                stable = self._last_sizes.get(n) == size
-                self._last_sizes[n] = size
-                files[n] = size if stable else 0
+                finalized = (
+                    _time.time() - os.path.getmtime(p) >= self._grace
+                )
+                files[n] = os.path.getsize(p) if finalized else 0
             else:
                 files[n] = self._safe_size(p)
         return {"files": files}
@@ -312,6 +316,12 @@ class WikidataDumpStreamReader(DataSourceStreamReader):
         out = []
         for n in sorted(e):
             lo, hi = s.get(n, 0), e[n]
+            if self._compressed(n) and hi == 0 and lo > 0:
+                # shard ingested to `lo` but its mtime is fresh again:
+                # someone is touching a finalized shard. Nothing safe
+                # to emit now; the next finalized listing raises below
+                # (grew/shrank) unless the content is back unchanged.
+                continue
             if hi < lo:
                 raise ValueError(
                     f"wikidata_dump stream: shard {n!r} shrank "
