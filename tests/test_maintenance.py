@@ -512,3 +512,39 @@ def test_snapshot_diff_null_and_map_columns_stable(spark, tmp_path):
         for r in snapshot_diff(spark, t, 0, 1, keys=["id"]).collect()
     }
     assert got == {(3, "update")}
+
+
+def test_snapshot_diff_nested_maps_and_null_positions(spark, tmp_path):
+    """Code-review round 3: (a) maps nested inside arrays/structs must
+    hash (Spark rejects raw MapType at any depth — they are normalized
+    recursively); (b) moving a value between columns, or flipping
+    null <-> empty map, must register as an update (xxhash64 skips
+    null children, so null positions are hashed explicitly)."""
+    from wd2duckdb_spark.maintenance import snapshot_diff, snapshot_write
+
+    schema = (
+        "id long, a string, b string, "
+        "nest array<map<string,long>>, s struct<m:map<string,long>>"
+    )
+    rows_v0 = [
+        (1, "x", None, [{"k": 1}], {"m": {"q": 2}}),
+        (2, "y", "z", None, None),
+        (3, None, None, [{"w": 9, "v": 8}], None),
+    ]
+    rows_v1 = [
+        (1, None, "x", [{"k": 1}], {"m": {"q": 2}}),  # a/b swapped: UPDATE
+        (2, "y", "z", [], None),                      # null -> []: UPDATE
+        (3, None, None, [{"v": 8, "w": 9}], None),    # same map, reordered
+    ]
+    t = str(tmp_path / "tbl")
+    snapshot_write(
+        spark, spark.createDataFrame(rows_v0, schema), t, mode="overwrite"
+    )
+    snapshot_write(
+        spark, spark.createDataFrame(rows_v1, schema), t, mode="overwrite"
+    )
+    got = {
+        (r.id, r._change)
+        for r in snapshot_diff(spark, t, 0, 1, keys=["id"]).collect()
+    }
+    assert got == {(1, "update"), (2, "update")}

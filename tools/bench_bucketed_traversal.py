@@ -75,20 +75,14 @@ def main() -> None:
         flat_dir = f"{stage}/edges_flat"
         edges.repartition(par).write.parquet(flat_dir)
 
-        spark.sql("CREATE DATABASE IF NOT EXISTS trav")
-        (
-            # repartition on the bucket key first: bucket assignment
-            # uses the same murmur3 hash as repartition, so each writer
-            # task holds exactly one bucket -> ONE file per bucket (the
-            # layout contract; without it every task writes a sliver of
-            # every bucket and the sorted-bucket property is lost)
-            spark.read.parquet(flat_dir)
-            .repartition(par, "src_id")
-            .write.mode("overwrite")
-            .bucketBy(par, "src_id")
-            .sortBy("src_id")
-            .format("parquet")
-            .saveAsTable("trav.edge")
+        # the exact layout under test — write_bucketed owns the
+        # repartition-on-key + bucketBy + sortBy contract
+        from wd2duckdb_spark.layout import write_bucketed
+
+        write_bucketed(
+            {"edge": spark.read.parquet(flat_dir)},
+            database="trav",
+            n_buckets=par,
         )
 
         seeds = spark.range(0, n_nodes, 7).withColumnRenamed("id", "id")

@@ -314,10 +314,15 @@ def _connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # eagerly checkpointed like `cur`: the returned labels must not
+    # keep a lazy reference to `pairs` — re-running the label DataFrame
+    # would otherwise re-execute the whole upstream candidate-pair
+    # plan (e.g. the MinHash-LSH pipeline) once per action
     nodes = (
         pairs.selectExpr("a_id AS node")
         .union(pairs.selectExpr("b_id AS node"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
         # large-star over the symmetrized neighbor lists

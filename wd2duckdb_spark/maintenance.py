@@ -23,7 +23,7 @@ import math
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import MapType
+from pyspark.sql.types import ArrayType, MapType, StructType
 
 
 def dir_bytes(spark: SparkSession, path: str) -> int:
@@ -432,22 +432,45 @@ def snapshot_diff(
     # Content hash (ADVICE r2): xxhash64 over the non-key columns, not
     # md5(to_json(struct(...))) — to_json drops null fields and gives
     # maps nondeterministic key order, so identical rows could hash
-    # differently ("update" noise). xxhash64 hashes the VALUES
-    # (null-aware, order-stable); top-level map columns are normalized
-    # to key-sorted entry arrays first because Spark forbids hashing
-    # raw maps. When `keys` covers every column there is nothing to
-    # hash and no update is possible — presence-only diff (lit hash).
-    def _norm(df: DataFrame, c: str) -> Column:
-        if isinstance(df.schema[c].dataType, MapType):
-            return F.array_sort(F.map_entries(F.col(c)))
-        return F.col(c)
+    # differently ("update" noise). Two subtleties:
+    #
+    # - Spark forbids hashing MapType at ANY nesting depth, so maps
+    #   are normalized RECURSIVELY (through arrays and structs) to
+    #   key-sorted entry arrays before hashing;
+    # - xxhash64 folds a NULL child by leaving the accumulator
+    #   untouched, so ('x', NULL) and (NULL, 'x') would collide —
+    #   each column is therefore paired with its isNull flag, making
+    #   null positions part of the hash.
+    #
+    # When `keys` covers every column there is nothing to hash and no
+    # update is possible — presence-only diff (lit hash).
+    def _norm(col: Column, dt) -> Column:
+        if isinstance(dt, MapType):
+            entries = F.transform(
+                F.map_entries(col),
+                lambda e: F.struct(
+                    _norm(e["key"], dt.keyType).alias("key"),
+                    _norm(e["value"], dt.valueType).alias("value"),
+                ),
+            )
+            return F.array_sort(entries)
+        if isinstance(dt, ArrayType):
+            return F.transform(col, lambda x: _norm(x, dt.elementType))
+        if isinstance(dt, StructType):
+            return F.struct(
+                *[
+                    _norm(col[f.name], f.dataType).alias(f.name)
+                    for f in dt.fields
+                ]
+            )
+        return col
 
     def hcol(df: DataFrame, name: str) -> DataFrame:
-        h = (
-            F.xxhash64(*[_norm(df, c) for c in nonkeys])
-            if nonkeys
-            else F.lit(0)
-        )
+        parts: list[Column] = []
+        for c in nonkeys:
+            parts.append(F.col(c).isNull())
+            parts.append(_norm(F.col(c), df.schema[c].dataType))
+        h = F.xxhash64(*parts) if nonkeys else F.lit(0)
         return df.select(*keys, h.alias(name))
 
     j = hcol(a, "_ha").join(hcol(b, "_hb"), keys, "full_outer")

@@ -246,6 +246,14 @@ class WikidataDumpStreamReader(DataSourceStreamReader):
             raise ValueError("wikidata_dump stream: .load(dir) is required")
         self._batch = WikidataDumpReader(options)
         self._grace = float(options.get("compressed_grace_sec", "60"))
+        #: (size, mtime) -> safe_size memo per shard: a static shard
+        #: costs one stat per trigger, not a tail read
+        self._safe_cache: dict[str, tuple[int, float, int]] = {}
+        #: highest offset seen in a committed start — keeps
+        #: latestOffset from ever reporting BELOW the checkpoint for a
+        #: shard whose readiness signal flaps (offset regression would
+        #: re-ingest the shard: duplicates)
+        self._floor: dict[str, int] = {}
 
     def _listing(self) -> list[str]:
         if not os.path.isdir(self.path):
@@ -258,26 +266,45 @@ class WikidataDumpStreamReader(DataSourceStreamReader):
             if not n.startswith(("_", "."))
         )
 
-    @staticmethod
-    def _safe_size(p: str) -> int:
+    #: Backwards-scan bound for the newline search (bytes). A shard
+    #: whose tail holds no newline within this window is not (yet)
+    #: line-structured at its end — report the last known-safe prefix
+    #: and retry next trigger rather than reading the file in full.
+    _SCAN_CAP = 64 << 20
+
+    def _safe_size(self, p: str) -> int:
         """Bytes up to and including the shard's last ``\\n`` — the
-        longest prefix that is whole lines. Backwards chunked scan:
-        O(tail) bytes read, driver-side, regardless of shard size."""
-        size = os.path.getsize(p)
+        longest prefix that is whole lines. Backwards chunked scan,
+        memoized on (size, mtime): a static shard costs one stat per
+        trigger, and the scan itself is capped at _SCAN_CAP bytes so a
+        pathological no-newline file cannot stall the driver on every
+        trigger."""
+        st = os.stat(p)
+        size = int(st.st_size)
         if size == 0:
             return 0
+        cached = self._safe_cache.get(p)
+        if cached is not None and cached[0] == size and cached[1] == st.st_mtime:
+            return cached[2]
+        prev_safe = cached[2] if cached is not None else 0
+        safe = prev_safe
         with open(p, "rb") as fh:
             pos = size
             chunk = 1 << 20
-            while pos > 0:
-                lo = max(0, pos - chunk)
+            # never scan below the already-known safe prefix, and never
+            # more than _SCAN_CAP bytes in one trigger
+            floor = max(prev_safe, size - self._SCAN_CAP)
+            while pos > floor:
+                lo = max(floor, pos - chunk)
                 fh.seek(lo)
                 buf = fh.read(pos - lo)
                 i = buf.rfind(b"\n")
                 if i >= 0:
-                    return lo + i + 1
+                    safe = lo + i + 1
+                    break
                 pos = lo
-        return 0
+        self._safe_cache[p] = (size, st.st_mtime, safe)
+        return safe
 
     @staticmethod
     def _compressed(name: str) -> bool:
@@ -285,12 +312,27 @@ class WikidataDumpStreamReader(DataSourceStreamReader):
 
     def _files_map(self, offset: dict) -> dict[str, int]:
         files = offset.get("files", {})
-        if isinstance(files, list):  # legacy name-list checkpoint
-            return {
-                n: os.path.getsize(os.path.join(self.path, n))
-                for n in files
-                if os.path.exists(os.path.join(self.path, n))
-            }
+        if isinstance(files, list):
+            # legacy round-2 name-list checkpoint: listed shards were
+            # "fully ingested" at checkpoint time. Upgrade to the
+            # LINE-ALIGNED size, not the raw size — a shard currently
+            # ending mid-line would otherwise upgrade to an offset
+            # ABOVE what latestOffset can ever report, tripping the
+            # shrank-shard guard on every restart. (Bytes appended
+            # between the legacy checkpoint and the upgrade are
+            # counted as ingested — inherent to name-only offsets,
+            # which recorded no byte position.)
+            out: dict[str, int] = {}
+            for n in files:
+                p = os.path.join(self.path, n)
+                if not os.path.exists(p):
+                    continue
+                out[n] = (
+                    os.path.getsize(p)
+                    if self._compressed(n)
+                    else self._safe_size(p)
+                )
+            return out
         return dict(files)
 
     def initialOffset(self) -> dict:  # noqa: N802 (API name)
@@ -302,26 +344,47 @@ class WikidataDumpStreamReader(DataSourceStreamReader):
         files: dict[str, int] = {}
         for n in self._listing():
             p = os.path.join(self.path, n)
-            if self._compressed(n):
-                finalized = (
-                    _time.time() - os.path.getmtime(p) >= self._grace
-                )
-                files[n] = os.path.getsize(p) if finalized else 0
-            else:
-                files[n] = self._safe_size(p)
+            try:
+                if self._compressed(n):
+                    finalized = (
+                        _time.time() - os.path.getmtime(p) >= self._grace
+                    )
+                    cand = os.path.getsize(p) if finalized else 0
+                else:
+                    cand = self._safe_size(p)
+            except FileNotFoundError:
+                continue  # vanished between listdir and stat
+            # never report below a committed offset we've seen: a
+            # flapping readiness signal must not regress the
+            # checkpoint (Spark stores end wholesale; a lower value
+            # would re-emit the shard later = duplicates)
+            files[n] = max(cand, self._floor.get(n, 0))
         return {"files": files}
 
     def partitions(self, start: dict, end: dict):
         s, e = self._files_map(start), self._files_map(end)
+        # remember committed offsets: the floor that keeps a later
+        # latestOffset from regressing the checkpoint
+        for n, v in s.items():
+            if v > self._floor.get(n, 0):
+                self._floor[n] = v
         out = []
         for n in sorted(e):
             lo, hi = s.get(n, 0), e[n]
             if self._compressed(n) and hi == 0 and lo > 0:
-                # shard ingested to `lo` but its mtime is fresh again:
-                # someone is touching a finalized shard. Nothing safe
-                # to emit now; the next finalized listing raises below
-                # (grew/shrank) unless the content is back unchanged.
-                continue
+                # shard ingested to `lo` but its mtime is fresh again
+                # and no floor was known (first batch after restart):
+                # a finalized shard is being modified. Failing the
+                # batch is the only safe move — skipping would let
+                # Spark commit end=0, regress the checkpoint, and
+                # re-ingest the whole shard (duplicates) once the
+                # mtime ages past the grace window.
+                raise ValueError(
+                    f"wikidata_dump stream: compressed shard {n!r} was "
+                    f"modified after being ingested to {lo} bytes; "
+                    "finalized shards must be immutable (atomic rename "
+                    "preserves mtime and cannot trigger this)"
+                )
             if hi < lo:
                 raise ValueError(
                     f"wikidata_dump stream: shard {n!r} shrank "
