@@ -877,6 +877,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wd2duckdb_spark.operators.skew import salted_join
 
     vecs, asg = _lloyd_assignment(spark, sf_dir)
+    # the assignment feeds BOTH the pair stage and the final keep-list
+    # join — without the (narrow, corpus-rows × 3 cols) cache the whole
+    # Lloyd chain computes twice: measured 2.7 → 1.15 s at sf0.1,
+    # min-of-3 in fresh sessions. Same deliberate-cache discipline as
+    # the other persist()-barrier queries (bench clears between runs).
+    asg = asg.persist()
     m = asg.select("vec_id", "cid").join(vecs, "vec_id")
     a = m.select(
         "cid", F.col("vec_id").alias("a_id"), F.col("v").alias("va")
