@@ -51,6 +51,11 @@ def query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[floa
         .select("embedding")
         .first()
     )
+    if row is None:
+        # empty corpus / absent probe id: no query vector. Callers
+        # compose it into a filter or score, so [] flows through to an
+        # empty result instead of a driver-side TypeError.
+        return []
     return [float(x) for x in row["embedding"]]
 
 
@@ -179,6 +184,13 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid ids themselves."""
     cents = _centroids(spark, sf_dir)
     qv = query_vector(spark, sf_dir, 0)
+    if not cents or not qv:
+        # degenerate corpus: no centroids / no query vector
+        return tbl(spark, sf_dir, "embeddings").limit(0).select(
+            "vec_id",
+            F.lit(0).cast("int").alias("cell"),
+            F.lit(0.0).alias("cosine"),
+        )
     q = F.array(*[F.lit(x) for x in qv])
     # driver-side: the query's nprobe nearest cells (tiny, exact)
     def _cos(a: list[float], b: list[float]) -> float:
@@ -317,6 +329,9 @@ def pca_model(spark: SparkSession, sf_dir: str, k: int = 8):
         .collect()
     )
     n = sum(r["n"] for r in rows)
+    if n == 0:
+        _PCA_CACHE[key] = None  # empty corpus: nothing to fit
+        return None
     d = len(rows[0]["s"])
     s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
     ss = np.sum([np.asarray(r["ss"]).reshape(d, d) for r in rows], axis=0)
@@ -346,7 +361,14 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-defined (DuckDB has none); tests/test_similarity.py checks
     the model against full-data numpy PCA instead.
     """
-    mu, evals, evecs, total_var = pca_model(spark, sf_dir)
+    model = pca_model(spark, sf_dir)
+    if model is None:
+        return spark.createDataFrame(
+            [],
+            "component int, eigenvalue double, projected_var double, "
+            "explained_ratio double, whitened_var double",
+        )
+    mu, evals, evecs, total_var = model
     k = len(evals)
     e = tbl(spark, sf_dir, "embeddings")
     centered = F.zip_with(
@@ -514,6 +536,16 @@ def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan (a real deployment broadcasts the trained codebook the
     same way)."""
     cb = _pq_codebook(spark, sf_dir)
+    if len(cb) < PQ_CODES:
+        # degenerate corpus: fewer seed vectors than codes — the
+        # codebook is untrainable. Empty result, correct schema.
+        return tbl(spark, sf_dir, "embeddings").limit(0).select(
+            "vec_id",
+            *[
+                F.lit(0).cast("int").alias(f"code{j}")
+                for j in range(PQ_SUBSPACES)
+            ],
+        )
     e = (
         tbl(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism)
@@ -591,6 +623,11 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-normalized distances (PLANS.md rounding convention)."""
     qv = query_vector(spark, sf_dir, 0)
     cb = _pq_codebook(spark, sf_dir)
+    if not qv or len(cb) < PQ_CODES:
+        # no query vector / untrainable codebook (degenerate corpus)
+        return tbl(spark, sf_dir, "embeddings").limit(0).select(
+            "vec_id", F.lit(0.0).alias("adc_dist")
+        )
     lut = _pq_lut(qv, cb)
     e = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     v = _as_double(F.col("embedding"))

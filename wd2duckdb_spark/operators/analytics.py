@@ -998,9 +998,11 @@ ORACLES["histogram_equiwidth"] = f"""
         FROM orders
     ), bucketed AS (
         SELECT o_totalprice, mn, mx,
-               CAST(least(floor((o_totalprice - mn) / (mx - mn)
-                                * {HIST_BUCKETS}),
-                          {HIST_BUCKETS - 1}) AS INT) AS bucket
+               CAST(coalesce(least(floor((o_totalprice - mn)
+                                         / nullif(mx - mn, 0)
+                                         * {HIST_BUCKETS}),
+                                   {HIST_BUCKETS - 1}), 0) AS INT)
+                   AS bucket
         FROM orders CROSS JOIN bounds
     )
     SELECT bucket,
@@ -1040,13 +1042,19 @@ def q_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nb = F.lit(HIST_BUCKETS)
     f2 = lambda c: F.floor(c * 100 + F.lit(0.5)) / 100  # noqa: E731
-    bucket = F.least(
-        F.floor(
-            (F.col("o_totalprice") - F.col("mn"))
-            / (F.col("mx") - F.col("mn"))
-            * nb
+    # nullif guards the degenerate mn == mx corpus (one row / one
+    # distinct price): ANSI mode makes x/0 an error, and every row
+    # belongs in bucket 0 anyway
+    bucket = F.coalesce(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("mn"))
+                / F.nullif(F.col("mx") - F.col("mn"), F.lit(0.0))
+                * nb
+            ),
+            F.lit(HIST_BUCKETS - 1),
         ),
-        F.lit(HIST_BUCKETS - 1),
+        F.lit(0),
     ).cast("int")
     return (
         o.crossJoin(F.broadcast(bounds))

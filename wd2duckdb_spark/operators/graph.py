@@ -152,6 +152,13 @@ def q_pagerank_topk(
     # superstep: (src, dst, deg).
     trans = edges.join(outdeg, "src").persist()
     n = trans.select("src").distinct().count()  # also warms the cache
+    if n == 0:
+        # degenerate corpus: no edges, no vertices — empty result with
+        # the output schema (1.0/n would otherwise divide by zero)
+        trans.unpersist()
+        return edges.limit(0).select(
+            F.col("src").alias("node_id"), F.lit(0.0).alias("rank")
+        )
 
     ranks = (
         trans.select(F.col("src").alias("id"))
