@@ -46,6 +46,47 @@ def onerow_dir(spark, tmp_path_factory):
     return out
 
 
+#: Per-table columns that stay non-null in the dirty-data variant:
+#: join/grouping keys. Everything else (text, embeddings, measures,
+#: timestamps, labels) goes NULL — the shape of a corrupted feed.
+_KEEP = {
+    "region": {"r_regionkey"},
+    "nation": {"n_nationkey", "n_regionkey"},
+    "customer": {"c_custkey", "c_nationkey"},
+    "supplier": {"s_suppkey", "s_nationkey"},
+    "part": {"p_partkey"},
+    "orders": {"o_orderkey", "o_custkey"},
+    "lineitem": {"l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"},
+    "events": {"event_id", "user_id"},
+    "documents": {"doc_id"},
+    "embeddings": {"vec_id"},
+}
+
+
+@pytest.fixture(scope="module")
+def nulls_dir(spark, tmp_path_factory):
+    """Two rows per table with every non-key column NULLed."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path_factory.mktemp("nulls"))
+    for t in TESTDATA_TABLES:
+        df = spark.read.parquet(f"{SF_DIR}/{t}.parquet").limit(2)
+        cols = [
+            F.col(f.name)
+            if f.name in _KEEP[t]
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in df.schema.fields
+        ]
+        df.select(*cols).coalesce(1).write.parquet(f"{out}/{t}.parquet")
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_survives_all_null_payloads(spark, nulls_dir, name):
+    df = QUERIES[name](spark, nulls_dir)
+    assert df.count() >= 0
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_survives_empty_corpus(spark, empty_dir, name):
     df = QUERIES[name](spark, empty_dir)

@@ -571,7 +571,9 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel, no skew, no driver state.  Beyond brute-force scale,
     raise the threshold and switch to the LSH/IVF candidate paths.
     """
-    e = tbl(spark, sf_dir, "embeddings").select(
+    e = tbl(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()  # dirty rows can't pair
+    ).select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
     )

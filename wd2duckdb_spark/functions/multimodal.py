@@ -117,7 +117,9 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     document text bytes as the pixel array. Dimensions come from the
     doc_id formula, so the DuckDB oracle can rebuild the identical
     bytes and the header parser is tested against ground truth."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "text IS NOT NULL"  # null text cannot form a media payload
+    )
     dl = "octet_length(encode(text, 'UTF-8'))"
     bmp = _bmp_hex_sql("doc_id % 64 + 16", "doc_id % 48 + 16", dl)
     return d.select(
@@ -152,7 +154,9 @@ def synthesize_mixed_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes; the JPEG carries a JFIF APP0 the SOF scan must step over)
     and the text bytes as payload. Exercises every branch of
     :func:`parse_media_header` under the oracle gate."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "text IS NOT NULL"  # null text cannot form a media payload
+    )
     dl = "octet_length(encode(text, 'UTF-8'))"
     w, h = "doc_id % 64 + 16", "doc_id % 48 + 16"
     ihdr = _png_ihdr_hex_sql(w, h)
@@ -178,7 +182,9 @@ def synthesize_video_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fake VIDEO table (content = header + text bytes,
     duration derived from doc_id) — drives the frame-sample fan-out
     path the way :func:`synthesize_media` drives image decode."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "text IS NOT NULL"  # null text cannot form a media payload
+    )
     dur = (F.col("doc_id") % 20 * 1000 + 500).cast("int")
     return d.select(
         F.col("doc_id").alias("media_id"),
@@ -375,6 +381,8 @@ def synthesize_audio_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle can reconstruct every 16-bit sample arithmetically
     (texts are pure ASCII: byte i == ascii(char i))."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "text IS NOT NULL"  # null text cannot form a media payload
+    ).filter(
         F.expr("octet_length(encode(text, 'UTF-8')) >= 2")
     )
     dl = "octet_length(encode(text, 'UTF-8'))"
@@ -499,6 +507,8 @@ def synthesize_bitmap_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole text), this one is dimensionally consistent so full pixel
     decode is meaningful."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "text IS NOT NULL"  # null text cannot form a media payload
+    ).filter(
         F.length("text") >= IMG_BYTES
     )
     bmp = _bmp_hex_sql(str(IMG_W), str(IMG_H), str(IMG_BYTES))

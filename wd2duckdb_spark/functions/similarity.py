@@ -51,10 +51,11 @@ def query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[floa
         .select("embedding")
         .first()
     )
-    if row is None:
-        # empty corpus / absent probe id: no query vector. Callers
-        # compose it into a filter or score, so [] flows through to an
-        # empty result instead of a driver-side TypeError.
+    if row is None or row["embedding"] is None:
+        # empty corpus / absent probe id / NULL vector: no query
+        # vector. Callers compose it into a filter or score, so []
+        # flows through to an empty result instead of a driver-side
+        # TypeError.
         return []
     return [float(x) for x in row["embedding"]]
 
@@ -63,7 +64,9 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors of vec_id=0."""
     qv = query_vector(spark, sf_dir, 0)
     q = F.array(*[F.lit(x) for x in qv])
-    e = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    e = tbl(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") != 0) & F.col("embedding").isNotNull()
+    )
     sim = F.round(cosine(_as_double(F.col("embedding")), q), 6)
     return (
         e.select("vec_id", sim.alias("cosine"))
@@ -119,7 +122,9 @@ def lsh_bucket_ann(
         for p in range(n_planes)
         if sum(qv[d] * _plane_component(p, d) for d in range(n_dims)) >= 0
     )
-    e = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") != vec_id)
+    e = tbl(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") != vec_id) & F.col("embedding").isNotNull()
+    )
     v = _as_double(F.col("embedding"))
     bucketed = e.withColumn("bucket", lsh_bucket_col(v, n_planes, n_dims))
     sim = F.round(cosine(_as_double(F.col("embedding")), q), 6)
@@ -151,6 +156,7 @@ def _centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]
     rows = (
         tbl(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id").isin(*IVF_CENTROID_IDS))
+        .filter(F.col("embedding").isNotNull())
         .select("vec_id", "embedding")
         .collect()
     )
@@ -324,6 +330,7 @@ def pca_model(spark: SparkSession, sf_dir: str, k: int = 8):
 
     rows = (
         tbl(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())  # dirty rows can't fit
         .select("embedding")
         .mapInPandas(partials, "n long, s array<double>, ss array<double>")
         .collect()
@@ -467,6 +474,7 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     rows = (
         tbl(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < PQ_CODES)
+        .filter(F.col("embedding").isNotNull())
         .select("vec_id", "embedding")
         .collect()
     )
@@ -548,6 +556,7 @@ def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     e = (
         tbl(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())  # null vector: no code
         .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("_v", _as_double(F.col("embedding")))
     )
@@ -629,7 +638,9 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.lit(0.0).alias("adc_dist")
         )
     lut = _pq_lut(qv, cb)
-    e = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    e = tbl(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") != 0) & F.col("embedding").isNotNull()
+    )
     v = _as_double(F.col("embedding"))
     # Two projections, not one fused expression: inlining the code
     # computation into every LUT lookup re-expands each 16x8-term
