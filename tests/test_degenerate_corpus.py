@@ -87,6 +87,33 @@ def test_query_survives_all_null_payloads(spark, nulls_dir, name):
     assert df.count() >= 0
 
 
+@pytest.fixture(scope="module")
+def ragged_dir(spark, tmp_path_factory):
+    """20 rows per table, one embedding truncated to 3 dims — the
+    mixed-dimension feed that crashes codebook training and BLAS
+    kernels unless the EMB_DIM schema contract filters it."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path_factory.mktemp("ragged"))
+    for t in TESTDATA_TABLES:
+        df = spark.read.parquet(f"{SF_DIR}/{t}.parquet").limit(20)
+        if t == "embeddings":
+            df = df.withColumn(
+                "embedding",
+                F.when(
+                    F.col("vec_id") == 5, F.expr("slice(embedding, 1, 3)")
+                ).otherwise(F.col("embedding")),
+            )
+        df.coalesce(1).write.parquet(f"{out}/{t}.parquet")
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_survives_ragged_embedding_dims(spark, ragged_dir, name):
+    df = QUERIES[name](spark, ragged_dir)
+    assert df.count() >= 0
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_survives_empty_corpus(spark, empty_dir, name):
     df = QUERIES[name](spark, empty_dir)

@@ -571,8 +571,12 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel, no skew, no driver state.  Beyond brute-force scale,
     raise the threshold and switch to the LSH/IVF candidate paths.
     """
+    from wd2duckdb_spark.functions.similarity import EMB_DIM
+
     e = tbl(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()  # dirty rows can't pair
+        # dirty rows (null / wrong-dimension vectors) can't pair
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == EMB_DIM)
     ).select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),

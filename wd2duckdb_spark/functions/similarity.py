@@ -330,7 +330,10 @@ def pca_model(spark: SparkSession, sf_dir: str, k: int = 8):
 
     rows = (
         tbl(spark, sf_dir, "embeddings")
-        .filter(F.col("embedding").isNotNull())  # dirty rows can't fit
+        .filter(
+            F.col("embedding").isNotNull()
+            & (F.size("embedding") == EMB_DIM)  # dirty rows can't fit
+        )
         .select("embedding")
         .mapInPandas(partials, "n long, s array<double>, ss array<double>")
         .collect()
@@ -459,6 +462,13 @@ PQ_SUBSPACES = 8
 PQ_SUBDIM = 8
 PQ_CODES = 16
 
+#: The engine's embedding-schema contract: vectors are EMB_DIM floats
+#: (the testdata schema; PQ subspace geometry assumes it). Rows with a
+#: different length are DIRTY DATA — dimension-bound operators filter
+#: them out (the same quarantine contract as ingest's corrupt-line
+#: handling) instead of crashing the codebook trainer / BLAS kernels.
+EMB_DIM = PQ_SUBSPACES * PQ_SUBDIM
+
 
 #: (session id, sf_dir) → codebook; the seed collect is 16 rows but
 #: costs a Spark job — memoized like catalog._scan_cache so min-of-N
@@ -475,6 +485,7 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
         tbl(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < PQ_CODES)
         .filter(F.col("embedding").isNotNull())
+        .filter(F.size("embedding") == EMB_DIM)
         .select("vec_id", "embedding")
         .collect()
     )
@@ -556,7 +567,10 @@ def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     e = (
         tbl(spark, sf_dir, "embeddings")
-        .filter(F.col("embedding").isNotNull())  # null vector: no code
+        .filter(
+            F.col("embedding").isNotNull()
+            & (F.size("embedding") == EMB_DIM)  # dirty rows: no code
+        )
         .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("_v", _as_double(F.col("embedding")))
     )
@@ -639,7 +653,9 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     lut = _pq_lut(qv, cb)
     e = tbl(spark, sf_dir, "embeddings").filter(
-        (F.col("vec_id") != 0) & F.col("embedding").isNotNull()
+        (F.col("vec_id") != 0)
+        & F.col("embedding").isNotNull()
+        & (F.size("embedding") == EMB_DIM)
     )
     v = _as_double(F.col("embedding"))
     # Two projections, not one fused expression: inlining the code
