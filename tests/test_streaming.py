@@ -627,3 +627,79 @@ def test_windowed_distinct_users_stream_matches_batch(spark, tmp_path):
     }
     for w, (approx, _) in got.items():
         assert abs(approx - exact[w]) <= max(3, 0.05 * exact[w]), (w, approx, exact[w])
+
+
+def test_neardup_ingest_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    """Dedup-at-ingest against the persisted LSH index: a batch-2 doc
+    near-duplicating a batch-1 doc is dropped even though exact-key
+    dedup would keep it; short docs always pass; a restart with a new
+    shard still sees the full history (the index is on disk, not in
+    stream state)."""
+    from wd2duckdb_spark.streaming.dedup_ingest import neardup_ingest_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    index_dir = str(tmp_path / "index")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def shard(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(in_dir / name)
+        )
+
+    shard("b0.parquet", [(1, base, "en", "web", len(base)), (2, "tiny doc", "en", "web", 8)])
+    # near-dup of doc 1 (one word changed) + a genuinely new doc
+    shard(
+        "b1.parquet",
+        [
+            (3, base.replace("dog", "cat"), "en", "web", len(base)),
+            (4, "completely different content about distributed query engines and shuffles", "en", "web", 70),
+        ],
+    )
+
+    def run():
+        q = neardup_ingest_stream(
+            (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(in_dir) + "/*.parquet")
+            ),
+            index_dir,
+            out_dir,
+            ckpt,
+        )
+        q.awaitTermination(120)
+        return sorted(
+            r.doc_id for r in spark.read.parquet(out_dir).collect()
+        )
+
+    # doc 3 near-duplicates doc 1 -> dropped; 2 (short) and 4 kept
+    assert run() == [1, 2, 4]
+
+    # restart with a new shard: another near-dup of doc 1 plus a copy
+    # of the SHORT doc (no shingles -> always kept)
+    shard(
+        "b2.parquet",
+        [
+            (5, base.replace("quick", "swift"), "en", "web", len(base)),
+            (6, "tiny doc", "en", "web", 8),
+        ],
+    )
+    assert run() == [1, 2, 4, 6]
+
+    # replay idempotence: re-running a batch's writer must not
+    # duplicate its output (batch=<id> overwrite)
+    from wd2duckdb_spark.streaming.dedup_ingest import _batch_dedup
+
+    replay = spark.createDataFrame(
+        [(6, "tiny doc", "en", "web", 8), (5, base.replace("quick", "swift"), "en", "web", len(base))],
+        schema,
+    )
+    _batch_dedup(replay, 2, index_dir, out_dir)  # same batch id as b2
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(out_dir).collect()
+    ) == [1, 2, 4, 6]

@@ -151,19 +151,37 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(spark, sf_dir).orderBy("doc_id")
 
 
-def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs: docs sharing any of the 4 band keys
-    (band = md5 of 2 adjacent signature values). The join is on band
-    keys — the production-scale path (never all-pairs).
+def band_keys(docs: DataFrame) -> DataFrame:
+    """``documents``-shaped DataFrame → (doc_id, band, key): the
+    MinHash LSH band keys of every document with ≥3 tokens (shorter
+    docs emit no keys — they cannot near-duplicate under word-3-gram
+    shingles and are always kept).
 
-    Implementation: bands → groupBy(band, key) collecting the (small)
-    bucket membership → in-bucket pair expansion with a nested
-    transform. One shuffle, signature pipeline computed exactly once —
-    no self-join, no cache. Bucket sizes are bounded by the LSH banding
-    parameters (pathological all-identical corpora excepted, which is
-    inherent to the operator)."""
-    sig = minhash_signatures(spark, sf_dir)
-    bands = sig.select(
+    Shared by :func:`q_minhash_lsh_pairs` (batch pair generation) and
+    ``streaming.dedup_ingest.neardup_ingest_stream`` (per-micro-batch
+    keys probed against the persisted index), so batch and stream
+    cannot drift on signature semantics."""
+    toks = (
+        docs.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
+        .select(
+            "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks")
+        )
+        .filter(F.size("toks") >= 3)
+    )
+    shingled = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 2),"
+                " i -> concat_ws(' ', element_at(toks, i),"
+                " element_at(toks, i + 1), element_at(toks, i + 2)))"
+            )
+        ).alias("shingle"),
+    )
+    sig = shingled.groupBy("doc_id").agg(*_minhash_cols())
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -181,6 +199,20 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing any of the 4 band keys
+    (band = md5 of 2 adjacent signature values). The join is on band
+    keys — the production-scale path (never all-pairs).
+
+    Implementation: bands → groupBy(band, key) collecting the (small)
+    bucket membership → in-bucket pair expansion with a nested
+    transform. One shuffle, signature pipeline computed exactly once —
+    no self-join, no cache. Bucket sizes are bounded by the LSH banding
+    parameters (pathological all-identical corpora excepted, which is
+    inherent to the operator)."""
+    bands = band_keys(tbl(spark, sf_dir, "documents"))
     buckets = (
         bands.groupBy("band", "key")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
