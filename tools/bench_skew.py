@@ -1,0 +1,119 @@
+"""Skew-mitigation bench (SURVEY §4.3): measured evidence for the
+three-tier story on a pathologically skewed join key (the P31/Q5 hub
+shape — 90% of the fact rows on ONE key).
+
+Tiers measured on the same data, broadcast disabled (a broadcast dim
+has no skew problem by construction — salting exists for the cases
+where broadcast is infeasible and for engines/paths AQE's skew-join
+cannot reach, e.g. stream-static joins):
+
+1. plain shuffle join, AQE skew-join OFF — the hot key's entire
+   probe side lands in one reduce task (the failure mode);
+2. plain shuffle join, AQE skew-join ON — runtime partition splitting
+   (the first line of defense, zero code);
+3. operators/skew.salted_join — deterministic spread, works where AQE
+   can't (and its plan is fixed at compile time, so it also guards
+   paths AQE does not re-plan).
+
+Prints one JSON line:
+  {"metric": "skew_join", "rows": N,
+   "plain_no_aqe_sec": ..., "aqe_sec": ..., "salted_sec": ...}
+
+Usage: python tools/bench_skew.py [n_rows] [reps]  (default 8M, 3)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pyspark.sql import functions as F
+
+    from wd2duckdb_spark import get_spark
+    from wd2duckdb_spark.operators.skew import salted_join
+
+    spark = get_spark(
+        app_name="bench_skew",
+        extra_conf={"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # 90% of rows on key 31, the rest uniform over 1000 keys; a payload
+    # expression gives the reducer real per-row work
+    fact = spark.range(n_rows).select(
+        F.when(F.col("id") % 10 != 0, F.lit(31))
+        .otherwise(F.pmod(F.col("id"), F.lit(1000)))
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.md5(F.col("id").cast("string")).alias("label"),
+    )
+    fact.write.mode("overwrite").parquet("/tmp/skew_fact.parquet")
+    dim.write.mode("overwrite").parquet("/tmp/skew_dim.parquet")
+    f = spark.read.parquet("/tmp/skew_fact.parquet")
+    d = spark.read.parquet("/tmp/skew_dim.parquet")
+
+    # pmod keeps the running sum inside long range (ANSI overflow)
+    work = F.sum(
+        F.pmod(F.xxhash64("payload", "label"), F.lit(1_000_003))
+    ).alias("h")
+
+    def run(df) -> float:
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df.agg(work).collect()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    def set_skew(on: bool) -> None:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(on).lower())
+
+    THRESH = "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+    ADVISORY = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    try:
+        set_skew(False)
+        plain_no_aqe = run(f.join(d, "k"))
+        set_skew(True)
+        aqe_default = run(f.join(d, "k"))
+        # AQE's default split threshold is 256 MB: a hot partition
+        # SMALLER than that never splits, yet still serializes one
+        # reducer — exactly the sub-threshold regime this bench sits
+        # in. Tune the thresholds down and AQE splits for real.
+        spark.conf.set(THRESH, "16m")
+        spark.conf.set(ADVISORY, "16m")
+        aqe_tuned = run(f.join(d, "k"))
+        spark.conf.unset(THRESH)
+        spark.conf.unset(ADVISORY)
+        salted = run(salted_join(f, d, "k", n_salts=32))
+    finally:
+        set_skew(True)  # restore the engine default
+        spark.stop()
+
+    print(
+        json.dumps(
+            {
+                "metric": "skew_join",
+                "rows": n_rows,
+                "reps": reps,
+                "plain_no_aqe_sec": plain_no_aqe,
+                "aqe_default_sec": aqe_default,
+                "aqe_tuned_16m_sec": aqe_tuned,
+                "salted_sec": salted,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
