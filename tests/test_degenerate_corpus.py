@@ -124,3 +124,12 @@ def test_query_survives_empty_corpus(spark, empty_dir, name):
 def test_query_survives_one_row_corpus(spark, onerow_dir, name):
     df = QUERIES[name](spark, onerow_dir)
     assert df.count() >= 0
+
+
+def test_histogram_degenerate_bounds_bucket_zero(spark, onerow_dir):
+    """Value-level pin for the mn == mx fix: least() SKIPS nulls, so a
+    nullif/coalesce formulation put the single distinct price in the
+    TOP bucket; the explicit CASE must put it in bucket 0."""
+    rows = QUERIES["histogram_equiwidth"](spark, onerow_dir).collect()
+    assert [r.bucket for r in rows] == [0]
+    assert rows[0].n_orders == 1

@@ -46,11 +46,12 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # 90% of rows on key 31, the rest uniform over 1000 keys; a payload
-    # expression gives the reducer real per-row work
+    # 90% of rows on key 31, the rest (ids divisible by 10) uniform
+    # over all 1000 cold keys via id/10; a payload expression gives
+    # the reducer real per-row work
     fact = spark.range(n_rows).select(
         F.when(F.col("id") % 10 != 0, F.lit(31))
-        .otherwise(F.pmod(F.col("id"), F.lit(1000)))
+        .otherwise(F.pmod((F.col("id") / 10).cast("long"), F.lit(1000)))
         .alias("k"),
         F.col("id").alias("payload"),
     )

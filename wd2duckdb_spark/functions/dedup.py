@@ -120,11 +120,19 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     below the exchange — a 15x slowdown observed at sf0.1. Inline, the
     Generate evaluates it once per input row.
     """
-    d = tbl(spark, sf_dir, "documents")
+    return _shingled_docs(tbl(spark, sf_dir, "documents"))
+
+
+def _shingled_docs(d: DataFrame) -> DataFrame:
+    """DataFrame-level body of :func:`_shingled` — also feeds
+    :func:`band_keys`, so batch queries and the streaming ingest index
+    share ONE tokenize→shingle pipeline."""
     toks = (
         # explicit count: see _with_shingles — AQE would coalesce a
         # bare key-repartition to 1 task and single-thread the md5s
-        d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        d.repartition(
+            d.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
         .select(
             "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks")
         )
@@ -142,45 +150,8 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc MinHash signature (h0..h7) — one shuffle (groupBy doc_id)."""
-    return _shingled(spark, sf_dir).groupBy("doc_id").agg(*_minhash_cols())
-
-
-def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_signatures(spark, sf_dir).orderBy("doc_id")
-
-
-def band_keys(docs: DataFrame) -> DataFrame:
-    """``documents``-shaped DataFrame → (doc_id, band, key): the
-    MinHash LSH band keys of every document with ≥3 tokens (shorter
-    docs emit no keys — they cannot near-duplicate under word-3-gram
-    shingles and are always kept).
-
-    Shared by :func:`q_minhash_lsh_pairs` (batch pair generation) and
-    ``streaming.dedup_ingest.neardup_ingest_stream`` (per-micro-batch
-    keys probed against the persisted index), so batch and stream
-    cannot drift on signature semantics."""
-    toks = (
-        docs.repartition(
-            docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
-        )
-        .select(
-            "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks")
-        )
-        .filter(F.size("toks") >= 3)
-    )
-    shingled = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(toks) - 2),"
-                " i -> concat_ws(' ', element_at(toks, i),"
-                " element_at(toks, i + 1), element_at(toks, i + 2)))"
-            )
-        ).alias("shingle"),
-    )
-    sig = shingled.groupBy("doc_id").agg(*_minhash_cols())
+def _band_key_cols(sig: DataFrame) -> DataFrame:
+    """(doc_id, h0..h7) signatures → (doc_id, band, key) band keys."""
     return sig.select(
         "doc_id",
         F.explode(
@@ -199,6 +170,29 @@ def band_keys(docs: DataFrame) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature (h0..h7) — one shuffle (groupBy doc_id)."""
+    return _shingled(spark, sf_dir).groupBy("doc_id").agg(*_minhash_cols())
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(spark, sf_dir).orderBy("doc_id")
+
+
+def band_keys(docs: DataFrame) -> DataFrame:
+    """``documents``-shaped DataFrame → (doc_id, band, key): the
+    MinHash LSH band keys of every document with ≥3 tokens (shorter
+    docs emit no keys — they cannot near-duplicate under word-3-gram
+    shingles and are always kept).
+
+    Composed from the SAME helpers as the batch tier
+    (:func:`_shingled_docs` → :func:`_minhash_cols` →
+    :func:`_band_key_cols`), so batch pair generation and the
+    streaming ingest index cannot drift on signature semantics."""
+    sig = _shingled_docs(docs).groupBy("doc_id").agg(*_minhash_cols())
+    return _band_key_cols(sig)
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

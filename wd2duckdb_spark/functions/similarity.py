@@ -51,22 +51,29 @@ def query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[floa
         .select("embedding")
         .first()
     )
-    if row is None or row["embedding"] is None:
-        # empty corpus / absent probe id / NULL vector: no query
-        # vector. Callers compose it into a filter or score, so []
-        # flows through to an empty result instead of a driver-side
-        # TypeError.
+    if (
+        row is None
+        or row["embedding"] is None
+        or len(row["embedding"]) != EMB_DIM
+    ):
+        # empty corpus / absent probe id / NULL or wrong-dimension
+        # vector (the EMB_DIM schema contract): no query vector.
+        # Callers short-circuit [] to an EMPTY result — composing an
+        # empty array into the score would instead yield NULL cosines
+        # for every candidate (zip_with pads with nulls).
         return []
     return [float(x) for x in row["embedding"]]
 
 
 def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors of vec_id=0."""
-    qv = query_vector(spark, sf_dir, 0)
-    q = F.array(*[F.lit(x) for x in qv])
     e = tbl(spark, sf_dir, "embeddings").filter(
         (F.col("vec_id") != 0) & F.col("embedding").isNotNull()
     )
+    qv = query_vector(spark, sf_dir, 0)
+    if not qv:
+        return e.limit(0).select("vec_id", F.lit(0.0).alias("cosine"))
+    q = F.array(*[F.lit(x) for x in qv])
     sim = F.round(cosine(_as_double(F.col("embedding")), q), 6)
     return (
         e.select("vec_id", sim.alias("cosine"))
@@ -114,6 +121,12 @@ def lsh_bucket_ann(
     scoring. Here bucketing happens inline on the fixture table.
     """
     qv = query_vector(spark, sf_dir, vec_id)
+    if not qv:
+        return (
+            tbl(spark, sf_dir, "embeddings")
+            .limit(0)
+            .select("vec_id", F.lit(0.0).alias("cosine"))
+        )
     n_dims = len(qv)
     q = F.array(*[F.lit(x) for x in qv])
     # the query's bucket id, computed driver-side with the same planes
@@ -157,6 +170,7 @@ def _centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]
         tbl(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id").isin(*IVF_CENTROID_IDS))
         .filter(F.col("embedding").isNotNull())
+        .filter(F.size("embedding") == EMB_DIM)  # schema contract
         .select("vec_id", "embedding")
         .collect()
     )

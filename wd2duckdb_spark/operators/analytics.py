@@ -995,15 +995,15 @@ HIST_BUCKETS = 8
 ORACLES["histogram_equiwidth"] = f"""
     WITH bounds AS (
         SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
-        FROM orders
+        FROM orders WHERE o_totalprice IS NOT NULL
     ), bucketed AS (
         SELECT o_totalprice, mn, mx,
-               CAST(coalesce(least(floor((o_totalprice - mn)
-                                         / nullif(mx - mn, 0)
-                                         * {HIST_BUCKETS}),
-                                   {HIST_BUCKETS - 1}), 0) AS INT)
-                   AS bucket
+               CAST(CASE WHEN mx = mn THEN 0
+                    ELSE least(floor((o_totalprice - mn) / (mx - mn)
+                                     * {HIST_BUCKETS}),
+                               {HIST_BUCKETS - 1}) END AS INT) AS bucket
         FROM orders CROSS JOIN bounds
+        WHERE o_totalprice IS NOT NULL
     )
     SELECT bucket,
            floor((min(mn) + bucket * (max(mx) - min(mn))
@@ -1036,25 +1036,30 @@ def q_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin assignment cannot diverge; presentation edges and means are
     floor-normalized to 2 dp.
     """
-    o = tbl(spark, sf_dir, "orders")
+    # NULL prices cannot be binned — quarantine-filter them (they
+    # would otherwise land in the TOP bucket: least() skips NULLs in
+    # both engines, so least(floor(NULL), NB-1) = NB-1)
+    o = tbl(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     bounds = o.agg(
         F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
     )
     nb = F.lit(HIST_BUCKETS)
     f2 = lambda c: F.floor(c * 100 + F.lit(0.5)) / 100  # noqa: E731
-    # nullif guards the degenerate mn == mx corpus (one row / one
-    # distinct price): ANSI mode makes x/0 an error, and every row
-    # belongs in bucket 0 anyway
-    bucket = F.coalesce(
+    # the degenerate mn == mx corpus (one distinct price) puts every
+    # row in bucket 0 EXPLICITLY — a nullif/coalesce formulation is
+    # subtly wrong because least() SKIPS nulls (least(floor(NULL),
+    # NB-1) = NB-1, the top bucket), and ANSI mode makes x/0 an error
+    bucket = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
         F.least(
             F.floor(
                 (F.col("o_totalprice") - F.col("mn"))
-                / F.nullif(F.col("mx") - F.col("mn"), F.lit(0.0))
+                / (F.col("mx") - F.col("mn"))
                 * nb
             ),
             F.lit(HIST_BUCKETS - 1),
-        ),
-        F.lit(0),
+        )
     ).cast("int")
     return (
         o.crossJoin(F.broadcast(bounds))
