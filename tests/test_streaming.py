@@ -703,3 +703,25 @@ def test_neardup_ingest_stream_drops_cross_batch_duplicates(spark, tmp_path):
     assert sorted(
         r.doc_id for r in spark.read.parquet(out_dir).collect()
     ) == [1, 2, 4, 6]
+
+
+def test_neardup_ingest_one_batch_equals_batch_twin(spark, tmp_path):
+    """Whole-corpus-as-one-batch through the streaming stage's
+    _batch_dedup must keep exactly the docs q_lsh_keep_list keeps —
+    the stream and its oracle-verified batch twin share the keep
+    rule, not just the signature pipeline."""
+    from wd2duckdb_spark.functions.dedup import q_lsh_keep_list
+    from wd2duckdb_spark.streaming.dedup_ingest import _batch_dedup
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = str(tmp_path / "out")
+    _batch_dedup(docs, 0, str(tmp_path / "index"), out)
+    stream_kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+
+    twin_kept = {
+        r.doc_id
+        for r in q_lsh_keep_list(spark, sf).collect()
+        if r.keep
+    }
+    assert stream_kept == twin_kept

@@ -439,6 +439,43 @@ def q_neardup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def q_lsh_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming dedup-at-ingest stage
+    (streaming/dedup_ingest.py): the BUCKET-MIN keep rule applied to
+    the whole corpus as one batch — a doc is dropped iff any of its
+    LSH band keys is shared with a smaller doc_id. Same
+    :func:`band_keys` pipeline, same rule, so the streaming stage's
+    keep semantics are oracle-verified here (the stream test then
+    pins only the incremental/index mechanics).
+
+    Weaker than `neardup_keep_list` by design: bucket-min drops a doc
+    whose keeper was itself dropped (no transitive connected
+    components) — the trade the streaming stage makes for O(1)-pass
+    incremental decisions against a persisted index.
+
+    One bands shuffle + one window + one anti join; the window state
+    per (band, key) is the bucket membership — bounded by the LSH
+    banding parameters exactly like the pair generator."""
+    from pyspark.sql import Window
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+    bands = band_keys(tbl(spark, sf_dir, "documents"))
+    w = Window.partitionBy("band", "key")
+    dup_ids = (
+        bands.withColumn("_mn", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") > F.col("_mn"))
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.join(
+            dup_ids.withColumn("_d", F.lit(1)), "doc_id", "left"
+        )
+        .select("doc_id", F.col("_d").isNull().alias("keep"))
+        .orderBy("doc_id")
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on normalized content: keep min doc_id per content
     key, count copies. One shuffle on the uniform md5 key."""
@@ -955,6 +992,26 @@ ORACLES: dict[str, str] = {
         FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
         ORDER BY d.doc_id
     """,
+    "lsh_keep_list": f"""
+        WITH {_minhash_sql_cte()},
+        bands AS (
+            {" UNION ALL ".join(
+                f"SELECT doc_id, {b} AS band,"
+                f" md5(CAST(h{2*b} AS VARCHAR) || ',' || CAST(h{2*b+1} AS VARCHAR))"
+                f" AS key FROM sig"
+                for b in range(N_BANDS)
+            )}
+        ),
+        dups AS (
+            SELECT DISTINCT b.doc_id
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key
+             AND a.doc_id < b.doc_id
+        )
+        SELECT d.doc_id, dups.doc_id IS NULL AS keep
+        FROM documents d LEFT JOIN dups ON d.doc_id = dups.doc_id
+        ORDER BY d.doc_id
+    """,
     "dedup_exact": """
         SELECT md5(lower(trim(text))) AS content_key,
                min(doc_id) AS keep_id,
@@ -1030,6 +1087,7 @@ QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "neardup_keep_list": q_neardup_keep_list,
+    "lsh_keep_list": q_lsh_keep_list,
     "dedup_exact": q_dedup_exact,
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
