@@ -147,3 +147,40 @@ def test_cli_stdin_dash(tmp_path):
     con = duckdb.connect(str(db), read_only=True)
     assert con.sql("SELECT count(*) FROM vertex").fetchone()[0] == 7
     con.close()
+
+
+def test_cli_empty_and_garbage_dumps(tmp_path):
+    """Degenerate CLI inputs (round-3 sweep discipline at the e2e
+    surface): an empty dump ('[' ']' only) builds a valid 6-table DB
+    with zero rows; an all-garbage dump quarantines every line, warns,
+    and still exits 0 with an empty DB — per-row error tolerance
+    end to end (main.rs:108-119 sanitizer contract)."""
+    import subprocess
+    import sys
+
+    import duckdb
+
+    empty = tmp_path / "empty.json"
+    empty.write_text("[\n]\n")
+    db1 = tmp_path / "empty.duckdb"
+    r = subprocess.run(
+        [sys.executable, "-m", "wd2duckdb_spark",
+         "--json", str(empty), "--database", str(db1)],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "0 entities processed" in r.stdout
+    con = duckdb.connect(str(db1), read_only=True)
+    assert con.sql("SELECT count(*) FROM vertex").fetchone()[0] == 0
+
+    garbage = tmp_path / "garbage.json"
+    garbage.write_text('[\nnot json\n{"broken": \n@@@@\n]\n')
+    db2 = tmp_path / "garbage.duckdb"
+    r = subprocess.run(
+        [sys.executable, "-m", "wd2duckdb_spark",
+         "--json", str(garbage), "--database", str(db2)],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "3 malformed lines skipped" in (r.stdout + r.stderr)
+    assert "0 entities processed" in r.stdout
