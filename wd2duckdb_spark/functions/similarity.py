@@ -419,8 +419,11 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(component AS INT) AS component",
         "round(eigenvalue, 6) AS eigenvalue",
         "round(projected_var, 6) AS projected_var",
-        f"round(eigenvalue / CAST({total_var!r} AS DOUBLE), 6) AS explained_ratio",
-        "round(projected_var / eigenvalue, 4) AS whitened_var",
+        # nullif: a zero-variance corpus (1 row) has UNDEFINED ratios,
+        # not a division error (ANSI x/0 raises)
+        f"round(eigenvalue / nullif(CAST({total_var!r} AS DOUBLE), 0.0), 6)"
+        " AS explained_ratio",
+        "round(projected_var / nullif(eigenvalue, 0.0), 4) AS whitened_var",
     )
 
 
@@ -614,9 +617,16 @@ def _pq_oracle() -> str:
     return f"""
         WITH seeds AS (
             SELECT vec_id AS c, CAST(embedding AS DOUBLE[]) AS sv
-            FROM embeddings WHERE vec_id < {PQ_CODES}
+            FROM embeddings
+            WHERE vec_id < {PQ_CODES}
+              AND embedding IS NOT NULL AND len(embedding) = {EMB_DIM}
         ), vecs AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            -- mirror the engine's untrainable-codebook guard: if fewer
+            -- than PQ_CODES clean seeds exist, the result is EMPTY
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = {EMB_DIM}
+              AND (SELECT count(*) FROM seeds) = {PQ_CODES}
         ), dist AS (
             SELECT v.vec_id, s.c, {", ".join(d_exprs)}
             FROM vecs v CROSS JOIN seeds s

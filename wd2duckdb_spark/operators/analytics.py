@@ -51,7 +51,12 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map construction + lookup (the per-language map access pattern,
     main.rs:192-193): per-user map of event_type → event count, then
     key-set size and point lookups."""
-    e = tbl(spark, sf_dir, "events")
+    # a NULL event_type cannot be a map KEY (Spark raises
+    # NULL_MAP_KEY at map_from_entries); the oracle's count(*) FILTER
+    # never matches NULL either — filter on both sides
+    e = tbl(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     per_type = e.groupBy("user_id", "event_type").agg(
         F.count("*").alias("cnt")
     )
@@ -64,8 +69,15 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.size(F.map_keys("type_counts")).alias("n_types"),
-            F.element_at("type_counts", "click").alias("n_clicks"),
-            F.element_at("type_counts", "purchase").alias("n_purchases"),
+            # coalesce: a user with no clicks has 0 clicks, not NULL —
+            # matches the oracle's count(*) FILTER semantics (latent at
+            # normal SFs where every user has every event type)
+            F.coalesce(
+                F.element_at("type_counts", "click"), F.lit(0)
+            ).alias("n_clicks"),
+            F.coalesce(
+                F.element_at("type_counts", "purchase"), F.lit(0)
+            ).alias("n_purchases"),
         )
         .orderBy("user_id")
     )
@@ -474,12 +486,18 @@ def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             "users_view",
             "users_click",
             "users_purchase",
-            F.round(F.col("users_click") / F.col("users_view"), 4).alias(
-                "view_to_click"
-            ),
-            F.round(F.col("users_purchase") / F.col("users_click"), 4).alias(
-                "click_to_purchase"
-            ),
+            # nullif: a zero-user stage has an UNDEFINED conversion
+            # rate (NULL), not a crash — ANSI mode makes x/0 an error
+            F.round(
+                F.col("users_click")
+                / F.nullif(F.col("users_view"), F.lit(0)),
+                4,
+            ).alias("view_to_click"),
+            F.round(
+                F.col("users_purchase")
+                / F.nullif(F.col("users_click"), F.lit(0)),
+                4,
+            ).alias("click_to_purchase"),
         )
     )
 
@@ -772,9 +790,11 @@ ORACLES: dict[str, str] = {
                (SELECT count(*) FROM clicks)    AS users_click,
                (SELECT count(*) FROM purchases) AS users_purchase,
                round(CAST((SELECT count(*) FROM clicks) AS DOUBLE)
-                     / (SELECT count(*) FROM views), 4) AS view_to_click,
+                     / nullif((SELECT count(*) FROM views), 0), 4)
+                   AS view_to_click,
                round(CAST((SELECT count(*) FROM purchases) AS DOUBLE)
-                     / (SELECT count(*) FROM clicks), 4) AS click_to_purchase
+                     / nullif((SELECT count(*) FROM clicks), 0), 4)
+                   AS click_to_purchase
     """,
     "retention_cohorts": """
         WITH firsts AS (
@@ -857,6 +877,7 @@ ORACLES: dict[str, str] = {
                count(*) FILTER (event_type = 'click') AS n_clicks,
                count(*) FILTER (event_type = 'purchase') AS n_purchases
         FROM events
+        WHERE event_type IS NOT NULL
         GROUP BY user_id
         ORDER BY user_id
     """,

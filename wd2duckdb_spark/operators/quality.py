@@ -35,7 +35,10 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = tbl(spark, sf_dir, "customer")
 
     viol_cols = [
-        F.sum(F.expr(pred).cast("long")).alias(name)
+        # coalesce: sum over an EMPTY table is NULL, but "no rows"
+        # means zero violations and a PASSING check, matching the
+        # oracle's count-based formulation
+        F.coalesce(F.sum(F.expr(pred).cast("long")), F.lit(0)).alias(name)
         for name, pred in ORDER_CHECKS
     ]
     agg = o.agg(

@@ -86,7 +86,11 @@ def q_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type, then queried at p50/p95/p99. The merge tier is what
     `approx_percentile` lacks: KLL sketches persisted per partition can
     be re-merged across days/reruns with bounded rank error."""
-    e = tbl(spark, sf_dir, "events")
+    # NULL values never enter a sketch, and a group with ZERO sketched
+    # values yields an EMPTY KLL buffer whose get_quantile RAISES —
+    # filter first so degenerate/dirty feeds produce no row instead of
+    # killing the query
+    e = tbl(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     leaf = e.withColumn(
         "bucket", F.pmod(F.col("user_id"), F.lit(8))
     ).groupBy("event_type", "bucket").agg(
