@@ -23,9 +23,15 @@ QUERIES = all_queries()
 
 
 def _write_sliced(spark, src_dir: str, out_dir: str, n_rows: int) -> None:
+    from wd2duckdb_spark.catalog import tbl
+
+    # slice via tbl(), not a raw read: tbl normalizes the events ts
+    # column to TIMESTAMP whatever the parquet layout (the driver has
+    # shipped nanos-as-long variants), so the rewritten degenerate
+    # parquet stays castable by the DuckDB oracle views
     for t in TESTDATA_TABLES:
         (
-            spark.read.parquet(f"{src_dir}/{t}.parquet")
+            tbl(spark, src_dir, t)
             .limit(n_rows)
             .coalesce(1)
             .write.parquet(f"{out_dir}/{t}.parquet")
@@ -150,16 +156,25 @@ def test_histogram_degenerate_bounds_bucket_zero(spark, onerow_dir):
 # empty-sum divergences).
 # ---------------------------------------------------------------------------
 
-#: Upstream-Spark divergence, excluded with reasons: CUBE / ROLLUP /
-#: GROUPING SETS whose input relation is EMPTY emit 0 rows in Spark,
-#: while DuckDB (and PostgreSQL, per the SQL standard) emit the ()
-#: grand-total grouping row. Not fixable query-side without grafting
-#: a synthetic row onto every grouping-sets plan.
-_EMPTY_GROUPING_SETS_DIVERGENCE = {
-    "cube_orders",
-    "cube_grouping_id",
-    "grouping_sets_revenue",
-    "rollup_acctbal",
+from wd2duckdb_spark.registry import all_oracles
+
+ORACLES = all_oracles()
+
+#: Upstream-Spark divergence: CUBE / ROLLUP / GROUPING SETS whose
+#: input relation is EMPTY emit 0 rows in Spark, while DuckDB (and
+#: PostgreSQL, per the SQL standard) emit the () grand-total grouping
+#: row. Not fixable query-side without grafting a synthetic row onto
+#: every grouping-sets plan. rollup_acctbal is additionally excluded
+#: on the ONE-ROW corpus: its filtered input is empty there, hitting
+#: the same divergence; the other three see the single row and agree.
+_EXCLUDE = {
+    "empty": {
+        "cube_orders",
+        "cube_grouping_id",
+        "grouping_sets_revenue",
+        "rollup_acctbal",
+    },
+    "onerow": {"rollup_acctbal"},
 }
 
 
@@ -174,37 +189,52 @@ def _oracle_con(d):
     return con
 
 
-def _assert_parity(spark, d, name):
-    from wd2duckdb_spark.registry import all_oracles
-
-    from tests.test_queries import normalize
-
-    sdf = QUERIES[name](spark, d)
-    srows = [tuple(r) for r in sdf.collect()]
-    con = _oracle_con(d)
-    res = con.execute(all_oracles()[name])
-    dcols = [x[0] for x in res.description]
-    drows = res.fetchall()
+@pytest.fixture(scope="module")
+def onerow_con(onerow_dir):
+    con = _oracle_con(onerow_dir)
+    yield con
     con.close()
-    assert sorted(sdf.columns) == sorted(dcols), f"columns differ: {name}"
-    assert len(srows) == len(drows), f"rowcount differs: {name}"
-    assert normalize(srows, sdf.columns) == normalize(drows, dcols), (
-        f"values differ: {name}"
-    )
 
 
-from wd2duckdb_spark.registry import all_oracles as _all_oracles
+@pytest.fixture(scope="module")
+def empty_con(empty_dir):
+    con = _oracle_con(empty_dir)
+    yield con
+    con.close()
 
-_ORACLE_NAMES = sorted(
-    set(_all_oracles()) - _EMPTY_GROUPING_SETS_DIVERGENCE
+
+@pytest.fixture(scope="module")
+def nulls_con(nulls_dir):
+    con = _oracle_con(nulls_dir)
+    yield con
+    con.close()
+
+
+def _parity(spark, d, con, name):
+    from tests.test_queries import compare_to_oracle
+
+    compare_to_oracle(QUERIES[name](spark, d), con, ORACLES[name], name)
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(ORACLES) - _EXCLUDE["onerow"])
 )
+def test_oracle_parity_on_one_row_corpus(spark, onerow_dir, onerow_con, name):
+    _parity(spark, onerow_dir, onerow_con, name)
 
 
-@pytest.mark.parametrize("name", _ORACLE_NAMES)
-def test_oracle_parity_on_one_row_corpus(spark, onerow_dir, name):
-    _assert_parity(spark, onerow_dir, name)
+@pytest.mark.parametrize(
+    "name", sorted(set(ORACLES) - _EXCLUDE["empty"])
+)
+def test_oracle_parity_on_empty_corpus(spark, empty_dir, empty_con, name):
+    _parity(spark, empty_dir, empty_con, name)
 
 
-@pytest.mark.parametrize("name", _ORACLE_NAMES)
-def test_oracle_parity_on_empty_corpus(spark, empty_dir, name):
-    _assert_parity(spark, empty_dir, name)
+def test_oracle_parity_map_funcs_null_event_types(
+    spark, nulls_dir, nulls_con
+):
+    """Pins the NULL-event_type contract on the only fixture that HAS
+    null event types: both engines must drop them identically (Spark
+    filters before map_from_entries — NULL map keys raise — and the
+    oracle's WHERE mirrors it)."""
+    _parity(spark, nulls_dir, nulls_con, "map_funcs")

@@ -172,6 +172,7 @@ def test_cli_empty_and_garbage_dumps(tmp_path):
     assert "0 entities processed" in r.stdout
     con = duckdb.connect(str(db1), read_only=True)
     assert con.sql("SELECT count(*) FROM vertex").fetchone()[0] == 0
+    con.close()
 
     garbage = tmp_path / "garbage.json"
     garbage.write_text('[\nnot json\n{"broken": \n@@@@\n]\n')

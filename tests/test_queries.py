@@ -40,25 +40,29 @@ def normalize(rows, cols):
     return sorted(out)
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle(spark, con, name):
-    sdf = QUERIES[name](spark, SF_DIR)
+def compare_to_oracle(sdf, con, sql: str, name: str) -> None:
+    """THE oracle-compare contract (columns + rowcount + normalized
+    values) — shared by the sf0.001 gate here and the degenerate
+    parity gate (test_degenerate_corpus.py) so the two cannot drift."""
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
-
-    if name not in ORACLES:
-        assert len(srows) >= 0  # rows-only check (driver's weak mode)
-        return
-
-    res = con.execute(ORACLES[name])
+    res = con.execute(sql)
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
-
     assert sorted(scols) == sorted(dcols), f"columns differ for {name}"
     assert len(srows) == len(drows), f"rowcount differs for {name}"
     assert normalize(srows, scols) == normalize(drows, dcols), (
         f"values differ for {name}"
     )
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, con, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    if name not in ORACLES:
+        assert len(sdf.collect()) >= 0  # rows-only (driver's weak mode)
+        return
+    compare_to_oracle(sdf, con, ORACLES[name], name)
 
 
 def test_entry_smoke(spark):
