@@ -238,3 +238,20 @@ def test_oracle_parity_map_funcs_null_event_types(
     filters before map_from_entries — NULL map keys raise — and the
     oracle's WHERE mirrors it)."""
     _parity(spark, nulls_dir, nulls_con, "map_funcs")
+
+
+@pytest.fixture(scope="module")
+def ragged_con(ragged_dir):
+    con = _oracle_con(ragged_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity_on_ragged_corpus(spark, ragged_dir, ragged_con, name):
+    """NO exclusions: under the symmetric EMB_DIM quarantine (engine
+    filters + verbatim oracle WHERE mirrors) both engines agree on the
+    mixed-dimension feed for every oracle-backed query — DuckDB's
+    list_cosine_similarity would otherwise ERROR outright on ragged
+    pairs."""
+    _parity(spark, ragged_dir, ragged_con, name)

@@ -29,6 +29,10 @@ from pyspark.sql import functions as F
 
 from wd2duckdb_spark.catalog import tbl
 
+#: mirrored from functions.similarity (imported lazily there to avoid
+#: a cycle): the embedding schema contract used in the neardup oracle
+_EMB_DIM = 64
+
 N_MINHASH = 8  #: hash functions in the MinHash signature
 N_BANDS = 4  #: LSH bands (rows per band = N_MINHASH // N_BANDS = 2)
 
@@ -1070,12 +1074,16 @@ ORACLES: dict[str, str] = {
         FROM corpus JOIN bench USING (gram)
         ORDER BY doc_id
     """,
-    "embedding_neardup": """
+    "embedding_neardup": f"""
+        WITH clean AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = {_EMB_DIM}
+        )
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                             CAST(b.embedding AS DOUBLE[])), 4)
                    AS cosine
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        FROM clean a JOIN clean b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                            CAST(b.embedding AS DOUBLE[])), 4)
               > 0.4

@@ -65,11 +65,20 @@ def query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[floa
     return [float(x) for x in row["embedding"]]
 
 
+def clean_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings scan under the EMB_DIM schema contract: NULL or
+    wrong-dimension vectors are dirty data and never participate —
+    mirrored verbatim in every oracle (WHERE embedding IS NOT NULL
+    AND len(embedding) = EMB_DIM), so Spark and DuckDB quarantine
+    identically on ragged feeds."""
+    return tbl(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == EMB_DIM)
+    )
+
+
 def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors of vec_id=0."""
-    e = tbl(spark, sf_dir, "embeddings").filter(
-        (F.col("vec_id") != 0) & F.col("embedding").isNotNull()
-    )
+    e = clean_embeddings(spark, sf_dir).filter(F.col("vec_id") != 0)
     qv = query_vector(spark, sf_dir, 0)
     if not qv:
         return e.limit(0).select("vec_id", F.lit(0.0).alias("cosine"))
@@ -135,9 +144,7 @@ def lsh_bucket_ann(
         for p in range(n_planes)
         if sum(qv[d] * _plane_component(p, d) for d in range(n_dims)) >= 0
     )
-    e = tbl(spark, sf_dir, "embeddings").filter(
-        (F.col("vec_id") != vec_id) & F.col("embedding").isNotNull()
-    )
+    e = clean_embeddings(spark, sf_dir).filter(F.col("vec_id") != vec_id)
     v = _as_double(F.col("embedding"))
     bucketed = e.withColumn("bucket", lsh_bucket_col(v, n_planes, n_dims))
     sim = F.round(cosine(_as_double(F.col("embedding")), q), 6)
@@ -226,7 +233,7 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             key=lambda t: (-t[1], t[0]),
         )[:IVF_NPROBE]
     ]
-    e = tbl(spark, sf_dir, "embeddings").filter(
+    e = clean_embeddings(spark, sf_dir).filter(
         ~F.col("vec_id").isin(0, *IVF_CENTROID_IDS)
     )
     v = _as_double(F.col("embedding"))
@@ -433,6 +440,7 @@ def _ivf_oracle() -> str:
         WITH cents AS (
             SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS e
             FROM embeddings WHERE vec_id IN ({cents})
+              AND embedding IS NOT NULL AND len(embedding) = {EMB_DIM}
         ),
         q AS (
             SELECT CAST(embedding AS DOUBLE[]) AS e
@@ -452,6 +460,7 @@ def _ivf_oracle() -> str:
                     LIMIT 1) AS cell
             FROM embeddings v
             WHERE v.vec_id NOT IN (0, {cents})
+              AND v.embedding IS NOT NULL AND len(v.embedding) = {EMB_DIM}
         )
         SELECT vec_id, CAST(cell AS BIGINT) AS cell,
                round(list_cosine_similarity(ve, (SELECT e FROM q)), 6)
@@ -761,7 +770,7 @@ ORACLES: dict[str, str] = {
 
     "embedding_pq_codes": _pq_oracle(),
 
-    "ann_bruteforce_topk": """
+    "ann_bruteforce_topk": f"""
         WITH q AS (
             SELECT CAST(embedding AS DOUBLE[]) AS e
             FROM embeddings WHERE vec_id = 0
@@ -771,6 +780,7 @@ ORACLES: dict[str, str] = {
                                             (SELECT e FROM q)), 6) AS cosine
         FROM embeddings
         WHERE vec_id <> 0
+          AND embedding IS NOT NULL AND len(embedding) = {EMB_DIM}
         ORDER BY cosine DESC, vec_id
         LIMIT 10
     """
@@ -843,7 +853,7 @@ def _lloyd_assignment(
     summaries) and :func:`q_semantic_dedup` (cluster-bounded near-dup
     pruning) — one clustering codepath, one oracle CTE prefix."""
     vecs = (
-        tbl(spark, sf_dir, "embeddings")
+        clean_embeddings(spark, sf_dir)  # EMB_DIM contract, oracle-mirrored
         .select("vec_id", _as_double(F.col("embedding")).alias("v"))
         .persist()
     )
@@ -1037,6 +1047,7 @@ def _kmeans_cte_prefix() -> str:
     return f"""vecs AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
             FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = {EMB_DIM}
         ), c0 AS (
             SELECT CAST(vec_id AS INT) AS cid, v AS c
             FROM vecs WHERE vec_id < {KMEANS_K}
@@ -1104,7 +1115,7 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-6 normalized before the argmax so both engines compare
     identical doubles.
     """
-    e = tbl(spark, sf_dir, "embeddings").select(
+    e = clean_embeddings(spark, sf_dir).select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("v")
     )
     anchors = e.filter(F.col("vec_id") < HARDNEG_ANCHORS).select(
@@ -1146,6 +1157,7 @@ ORACLES["hard_negative_mining"] = f"""
     WITH e AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = {EMB_DIM}
     ), a AS (
         SELECT vec_id AS a_id, label AS a_label, v AS a_v
         FROM e WHERE vec_id < {HARDNEG_ANCHORS}
