@@ -725,3 +725,153 @@ def test_neardup_ingest_one_batch_equals_batch_twin(spark, tmp_path):
         if r.keep
     }
     assert stream_kept == twin_kept
+
+
+def test_neardup_ingest_probe_streams_index_not_broadcast(spark, tmp_path):
+    """VERDICT r3 item 1: the history-index probe must broadcast the
+    MICRO-BATCH side and stream the index — never build/broadcast the
+    ever-growing index relation. Pinned on the executed plan: the
+    join is a BroadcastHashJoin whose broadcast subtree is the batch
+    bands (the index FileScan appears BEFORE the BroadcastExchange in
+    the tree, i.e. it is the streamed first child)."""
+    from wd2duckdb_spark.functions.dedup import band_keys
+    from wd2duckdb_spark.streaming.dedup_ingest import _history_dups
+
+    index_dir = str(tmp_path / "index")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    hist = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon", "en", "w", 30)], schema
+    )
+    band_keys(hist).withColumn("batch", F.lit(0)).write.parquet(index_dir)
+    seen = spark.read.parquet(index_dir).select("band", "key")
+
+    batch = spark.createDataFrame(
+        [(2, "alpha beta gamma delta epsilon", "en", "w", 30)], schema
+    )
+    probe = _history_dups(band_keys(batch), seen)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the index parquet scan must be the STREAMED side: in the plan
+    # tree text it precedes the BroadcastExchange (first child), and
+    # the broadcast subtree therefore cannot contain it
+    assert plan.index(index_dir.split("/")[-1]) < plan.index(
+        "BroadcastExchange"
+    ), plan
+    # the probe actually works
+    assert [r.doc_id for r in probe.collect()] == [2]
+
+
+def test_neardup_ingest_wedged_first_write_recovers(spark, tmp_path):
+    """ADVICE r3: a crash during the FIRST index write leaves
+    ``index_dir/batch=0/_temporary`` and no data files; the committed-
+    data check must fall back to first-batch semantics instead of
+    wedging every retry on 'unable to infer schema'."""
+    from wd2duckdb_spark.streaming.dedup_ingest import _batch_dedup
+
+    index_dir = tmp_path / "index"
+    (index_dir / "batch=0" / "_temporary").mkdir(parents=True)
+    (index_dir / "batch=0" / "_temporary" / "junk").write_text("x")
+    out_dir = str(tmp_path / "out")
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    batch = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta", "en", "w", 35)], schema
+    )
+    _batch_dedup(batch, 0, str(index_dir), out_dir)  # the retry
+    assert [r.doc_id for r in spark.read.parquet(out_dir).collect()] == [1]
+    # and the retried write committed real index data
+    idx = spark.read.parquet(str(index_dir))
+    assert idx.count() > 0
+
+
+def test_neardup_ingest_drops_dup_of_dropped_doc(spark, tmp_path):
+    """ADVICE r3: ALL docs' band keys are indexed, dropped ones
+    included — so a later batch's doc that near-duplicates only a
+    DROPPED doc is still dropped, and keep decisions don't depend on
+    micro-batch boundaries (parity with the batch twin's every-doc
+    window-min). Fixture: Y shares a band with X (dropped in-batch);
+    Z shares a band with Y ONLY (precondition asserted)."""
+    from wd2duckdb_spark.functions.dedup import band_keys
+    from wd2duckdb_spark.streaming.dedup_ingest import _batch_dedup
+
+    X = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Y = X + " epsilon gamma iota delta theta nu omicron xi"
+    Z = "quebec romeo sierra epsilon gamma iota delta theta nu omicron xi victor whiskey"
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    all_docs = spark.createDataFrame(
+        [(i, t, "en", "w", len(t)) for i, t in ((1, X), (2, Y), (3, Z))],
+        schema,
+    )
+    keys: dict[int, set] = {}
+    for r in band_keys(all_docs).collect():
+        keys.setdefault(r.doc_id, set()).add((r.band, r.key))
+    assert keys[1] & keys[2], "precondition: Y must collide with X"
+    assert keys[2] & keys[3], "precondition: Z must collide with Y"
+    assert not (keys[1] & keys[3]), "precondition: Z must NOT collide with X"
+
+    index_dir, out_dir = str(tmp_path / "index"), str(tmp_path / "out")
+    _batch_dedup(all_docs.filter("doc_id <= 2"), 0, index_dir, out_dir)
+    _batch_dedup(all_docs.filter("doc_id = 3"), 1, index_dir, out_dir)
+    kept = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+    # Y dropped in batch 0 (collides with X); Z dropped in batch 1
+    # because Y's keys are in the index even though Y was dropped
+    assert kept == [1]
+
+
+def test_neardup_ingest_compact_then_replay(spark, tmp_path):
+    """VERDICT r3 item 2: index hygiene. Compacting the band-key index
+    must preserve the ``batch=<id>`` partition layout (the replay
+    filter depends on it), shrink the file count, change no rows —
+    and a batch REPLAYED after compaction must still be idempotent."""
+    import glob
+
+    from wd2duckdb_spark.streaming.dedup_ingest import (
+        _batch_dedup,
+        compact_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    index_dir, out_dir = str(tmp_path / "index"), str(tmp_path / "out")
+
+    b0 = spark.createDataFrame([(1, base, "en", "w", len(base))], schema)
+    b1 = spark.createDataFrame(
+        [
+            (2, base.replace("dog", "cat"), "en", "w", len(base)),
+            (3, "completely different content about distributed query engines", "en", "w", 60),
+        ],
+        schema,
+    )
+    _batch_dedup(b0, 0, index_dir, out_dir)
+    _batch_dedup(b1, 1, index_dir, out_dir)
+    before = {
+        (r.doc_id, r.band, r.key, r.batch)
+        for r in spark.read.parquet(index_dir).collect()
+    }
+    n_files_before = len(glob.glob(f"{index_dir}/batch=*/part-*"))
+
+    compact_index(spark, index_dir)
+
+    # layout preserved: same batch=<id> dirs, fewer-or-equal files,
+    # identical rows (batch partition column included)
+    after = {
+        (r.doc_id, r.band, r.key, r.batch)
+        for r in spark.read.parquet(index_dir).collect()
+    }
+    assert after == before
+    assert sorted(glob.glob(f"{index_dir}/batch=*/")) == sorted(
+        {f"{index_dir}/batch={b}/" for b in (0, 1)}
+    )
+    n_files_after = len(glob.glob(f"{index_dir}/batch=*/part-*"))
+    assert n_files_after <= n_files_before
+    assert n_files_after <= 2  # ~one file per batch partition
+
+    # replay batch 1 post-compaction: output and index unchanged
+    _batch_dedup(b1, 1, index_dir, out_dir)
+    kept = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+    assert kept == [1, 3]
+    again = {
+        (r.doc_id, r.band, r.key, r.batch)
+        for r in spark.read.parquet(index_dir).collect()
+    }
+    assert again == before

@@ -69,6 +69,62 @@ def compact(
     return n
 
 
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """In-place compaction of a hive-partitioned parquet directory
+    that PRESERVES the partition layout; returns the shuffle
+    partition count used.
+
+    The dedup-at-ingest index (streaming/dedup_ingest.py) is the
+    motivating case: it accrues one ``batch=<id>`` directory of up to
+    shuffle-partition-many small files per micro-batch, forever — but
+    its replay filter reads the ``batch`` partition column, so a
+    plain :func:`compact` (which would flatten the layout) is off the
+    table. This rewrite repartitions on ``(partition_col, salt)`` and
+    writes with ``partitionBy``, collapsing every partition directory
+    to ``ceil(value_bytes/target)``-ish files (one per (value, salt)
+    cell) while keeping the directory structure byte-compatible for
+    readers.
+
+    Swap protocol (offline op — run with writers stopped): the
+    compacted copy is fully written to ``<path>._compact`` first, the
+    original is renamed to ``<path>._precompact``, the copy renamed
+    into place, and only then is the backup deleted. A crash at any
+    point leaves either the original or the backup intact; recovery
+    is renaming ``._precompact`` back (documented failure mode, same
+    class as :func:`upsert_stream`'s staging swap).
+    """
+    df = spark.read.parquet(path)
+    n = max(1, math.ceil(dir_bytes(spark, path) / target_file_bytes))
+    # split oversized partition values across ceil(n / n_values) salt
+    # cells so target_file_bytes holds even when one value dominates
+    nvals = df.select(partition_col).distinct().count()
+    k = max(1, math.ceil(n / max(nvals, 1)))
+    salt = F.pmod(F.xxhash64(*df.columns), F.lit(k))
+    tmp = path.rstrip("/") + "._compact"
+    backup = path.rstrip("/") + "._precompact"
+    (
+        df.repartition(max(n, nvals), F.col(partition_col), salt)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(tmp)
+    )
+    jvm, fs = _fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs.delete(Path(backup), True)
+    if not fs.rename(Path(path), Path(backup)):
+        raise IOError(f"compact_partitioned: cannot move {path} aside")
+    if not fs.rename(Path(tmp), Path(path)):
+        fs.rename(Path(backup), Path(path))  # restore the original
+        raise IOError(f"compact_partitioned: swap failed for {path}")
+    fs.delete(Path(backup), True)
+    return max(n, nvals)
+
+
 def upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
     """Merge-by-key: rows of ``updates`` replace base rows with the same
     key; unmatched base rows survive; new keys append.
