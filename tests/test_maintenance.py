@@ -548,3 +548,44 @@ def test_snapshot_diff_nested_maps_and_null_positions(spark, tmp_path):
         for r in snapshot_diff(spark, t, 0, 1, keys=["id"]).collect()
     }
     assert got == {(1, "update"), (2, "update")}
+
+
+def test_snapshot_diff_nested_null_positions_inside_structs_and_arrays(
+    spark, tmp_path
+):
+    """ADVICE r3: null-position encoding must recurse. A struct column
+    flipping ('x', NULL) -> (NULL, 'x'), an array ['x', NULL] ->
+    [NULL, 'x'], and a map value swap {'a': NULL, 'b': 'x'} ->
+    {'a': 'x', 'b': NULL} are all UPDATES (xxhash64 skips null
+    children, so without recursive (isnull, value) tagging each pair
+    hashes identically) — while rows whose nested content is merely
+    reordered-equal stay unreported."""
+    from wd2duckdb_spark.maintenance import snapshot_diff, snapshot_write
+
+    t = str(tmp_path / "t")
+    schema = (
+        "id int, s struct<a:string,b:string>, arr array<string>, "
+        "m map<string,string>"
+    )
+    v0 = spark.createDataFrame(
+        [
+            (1, ("x", None), ["x", None], {"a": None, "b": "x"}),
+            (2, ("k", "l"), ["p", None], {"a": "v"}),  # unchanged row
+        ],
+        schema,
+    )
+    snapshot_write(spark, v0, t, mode="overwrite")
+    v1 = spark.createDataFrame(
+        [
+            (1, (None, "x"), [None, "x"], {"a": "x", "b": None}),
+            (2, ("k", "l"), ["p", None], {"a": "v"}),
+        ],
+        schema,
+    )
+    snapshot_write(spark, v1, t, mode="overwrite")
+
+    got = {
+        (r.id, r._change)
+        for r in snapshot_diff(spark, t, 0, 1, keys=["id"]).collect()
+    }
+    assert got == {(1, "update")}

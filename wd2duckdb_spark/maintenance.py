@@ -495,27 +495,35 @@ def snapshot_diff(
     #   key-sorted entry arrays before hashing;
     # - xxhash64 folds a NULL child by leaving the accumulator
     #   untouched, so ('x', NULL) and (NULL, 'x') would collide —
-    #   each column is therefore paired with its isNull flag, making
-    #   null positions part of the hash.
+    #   every value is therefore paired with its isNull flag, making
+    #   null positions part of the hash AT EVERY NESTING DEPTH
+    #   (ADVICE r3): struct fields, array elements, and map values
+    #   are each wrapped as (isnull, value) structs by _tag, so a
+    #   struct flipping ('x', NULL) → (NULL, 'x') — or an array
+    #   ['x', NULL] → [NULL, 'x'] — hashes differently. Map keys are
+    #   never null in Spark and stay bare.
     #
     # When `keys` covers every column there is nothing to hash and no
     # update is possible — presence-only diff (lit hash).
+    def _tag(col: Column, dt) -> Column:
+        return F.struct(col.isNull().alias("n"), _norm(col, dt).alias("v"))
+
     def _norm(col: Column, dt) -> Column:
         if isinstance(dt, MapType):
             entries = F.transform(
                 F.map_entries(col),
                 lambda e: F.struct(
                     _norm(e["key"], dt.keyType).alias("key"),
-                    _norm(e["value"], dt.valueType).alias("value"),
+                    _tag(e["value"], dt.valueType).alias("value"),
                 ),
             )
             return F.array_sort(entries)
         if isinstance(dt, ArrayType):
-            return F.transform(col, lambda x: _norm(x, dt.elementType))
+            return F.transform(col, lambda x: _tag(x, dt.elementType))
         if isinstance(dt, StructType):
             return F.struct(
                 *[
-                    _norm(col[f.name], f.dataType).alias(f.name)
+                    _tag(col[f.name], f.dataType).alias(f.name)
                     for f in dt.fields
                 ]
             )
