@@ -787,18 +787,20 @@ def test_math_funcs_no_exchange(spark):
 
 
 def test_fuzzy_name_pairs_no_unbounded_broadcast(spark):
-    """VERDICT r2 item 1: the edit-distance pair plan must not
-    broadcast the part table — that side is O(table) and dies at
-    sf100. Pinned shape: a salted ShuffledHashJoin on (block, _salt),
-    broadcast-free, with the banded levenshtein evaluated inside the
-    join (no separate all-pairs materialization)."""
+    """VERDICT r2 item 1 / r3 item 2: the edit-distance pair plan must
+    not broadcast the part table — that side is O(table) and dies at
+    sf100. Pinned shape (round 4): a GRID-decomposed ShuffledHashJoin
+    on (block, _gi, _gj) — √cells replication per side instead of the
+    salted plan's cells× on one side — broadcast-free, with the
+    banded levenshtein evaluated inside the join (no separate
+    all-pairs materialization)."""
     from wd2duckdb_spark.functions.dedup import q_fuzzy_name_pairs
     from wd2duckdb_spark.plans import explain_str
 
     p = explain_str(q_fuzzy_name_pairs(spark, SF_DIR), "simple")
     assert "BroadcastExchange" not in p and "BroadcastHashJoin" not in p
     assert "ShuffledHashJoin" in p
-    assert "_salt" in p
+    assert "_gi" in p and "_gj" in p
     assert "levenshtein" in p
 
 
@@ -845,11 +847,12 @@ def test_bucketed_traversal_edge_side_no_exchange(spark, kg_tables):
     assert len(files) <= 4
 
 
-def test_semantic_dedup_pair_join_is_salted_shuffle(spark):
-    """semantic_dedup's in-cluster pair stage must be the salted
-    shuffle self-join (cid is an 8-value hot key — same regime as
-    fuzzy_name_pairs): ShuffledHashJoin on (cid, _salt), and the only
-    broadcasts are the constant-size centroid tables."""
+def test_semantic_dedup_pair_join_is_grid_shuffle(spark):
+    """semantic_dedup's in-cluster pair stage must be the
+    grid-decomposed shuffle self-join (cid is an 8-value hot key —
+    same regime as fuzzy_name_pairs): ShuffledHashJoin on
+    (cid, _gi, _gj), and the only broadcasts are the constant-size
+    centroid tables."""
     from wd2duckdb_spark.functions.similarity import q_semantic_dedup
     from wd2duckdb_spark.plans import explain_str
 
@@ -857,6 +860,40 @@ def test_semantic_dedup_pair_join_is_salted_shuffle(spark):
 
     df = q_semantic_dedup(spark, SF_DIR)
     p = explain_str(df, "simple")
-    assert "ShuffledHashJoin" in p  # the salted pair join
-    assert "_salt" in p
+    assert "ShuffledHashJoin" in p  # the grid pair join
+    assert "_gi" in p and "_gj" in p
     assert _ps(df)["python_udf"] == 0
+
+
+def test_grid_self_join_correctness_and_plan(spark):
+    """grid_self_join == plain inner join, row-for-row (duplicate
+    multisets included), on a pathologically hot key — with the
+    pinned plan shape: two Generate/explode replications (√cells per
+    side), a ShuffledHashJoin on (key, _gi, _gj), and ZERO broadcast
+    of either table-sized side."""
+    from wd2duckdb_spark.operators.skew import grid_dim, grid_self_join
+
+    # ceil-sqrt replication factor is the operator's scale contract
+    assert [grid_dim(n) for n in (1, 2, 4, 9, 10, 512)] == [1, 2, 2, 3, 4, 23]
+
+    skewed = spark.range(3000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(31)).otherwise(F.col("id") % 97)
+        .alias("k"),
+        F.col("id").alias("a_id"),
+    )
+    other = spark.range(3000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(31)).otherwise(F.col("id") % 97)
+        .alias("k"),
+        F.col("id").alias("b_id"),
+    )
+    plain = skewed.join(other, "k").select("k", "a_id", "b_id")
+    grid = grid_self_join(skewed, other, "k", n_cells=9, join_hint="shuffle_hash")
+    assert sorted(map(tuple, grid.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    p = grid._jdf.queryExecution().executedPlan().toString()
+    # AQE prints final + initial plan; count nodes in the final only
+    final = p.split("== Initial Plan ==")[0]
+    assert "ShuffledHashJoin" in final and "Broadcast" not in final
+    assert final.count("Generate explode") == 2  # both sides √cells×
+    assert "_gi" in final and "_gj" in final

@@ -732,31 +732,25 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the key (noun + length band / soundex) until blocks fit a task.
     JVM built-in levenshtein, no UDF.
 
-    Plan (round-3 rewrite, VERDICT r2 item 1): a SALTED SHUFFLE join on
-    the block key — ``operators/skew.salted_join``. The round-2 plan
-    broadcast the whole (key, name, block) side; fine at sf0.1
-    (20k rows), fatal at sf100 (~20M rows — the broadcast side is
-    O(table), it grows with the data). Salting fixes both scale
-    problems at once:
-
-    * **no O(table) broadcast** — both sides shuffle; the replicated
-      side costs n_salts× its size IN THE EXCHANGE (bounded, spread
-      over executors), never n_salts× in every executor's memory;
-    * **hot-key spread** — this fixture has only 8 distinct block
-      nouns, so a plain shuffle equi-join would funnel each block's
-      full quadratic pair expansion into ONE reduce task. The
-      content-derived salt splits every block's left side n_salts
-      ways: pairs per task drop to |block|²/n_salts, and the
-      CPU-bound banded-DP fan-out parallelizes without the round-2
-      repartition trick (the shuffle IS the spread).
+    Plan (round-4 rewrite, VERDICT r3 item 2; supersedes the round-3
+    salted join, which itself replaced round 2's O(table) broadcast):
+    a GRID-DECOMPOSED shuffle self-join on the block key —
+    ``operators/skew.grid_self_join``. This fixture has only 8
+    distinct block nouns, so a plain shuffle equi-join would funnel
+    each block's full quadratic pair expansion into ONE reduce task;
+    the G×G grid routes pair (x, y) to cell (h(x), h(y)), giving the
+    same |block|²/n_cells per-task pair bound as salting but with
+    each side replicated only √n_cells ways — shuffle volume 2√S·N
+    instead of the salted plan's S·N (≈ 46·N vs 513·N at the cap),
+    and per-cell hash builds of |block|/G rows instead of |block|.
 
     The ``shuffle_hash`` hint pins the strategy: Catalyst's size
     estimate for the exploded replica side is unreliable and an
-    auto-broadcast of it would be strictly worse than round 2
-    (n_salts copies of the table per executor). Hash beats merge here
-    because neither side's sort order is reusable and the build side
-    per (block, salt) cell is |block| rows — bounded by the same
-    widen-the-key rule that bounds pair count.
+    auto-broadcast of a table-sized side is the round-2 failure this
+    plan exists to avoid. Hash beats merge here because neither
+    side's sort order is reusable and the per-cell build side is
+    |block|/G rows — bounded by the same widen-the-key rule that
+    bounds pair count.
 
     Two measured cuts inside the block survive from round 2 (75 s at
     full O(n*m) per pair → 38 s banded → ~2.5 s spread at sf0.1):
@@ -765,7 +759,7 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     THRESHOLD form ``levenshtein(a, b, 4)``, which runs the banded
     O(len*k) DP with early exit instead of the full O(len^2) matrix,
     returning -1 past the bound."""
-    from wd2duckdb_spark.operators.skew import salted_join
+    from wd2duckdb_spark.operators.skew import grid_self_join
 
     p = tbl(spark, sf_dir, "part").select("p_partkey", "p_name")
     noun = F.element_at(F.split("p_name", " "), -1)
@@ -779,16 +773,15 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("b_name"),
         noun.alias("block"),
     )
-    # 2x cores locally, capped at 512: salts multiply the replicated
-    # side's shuffle volume (S x |table|) while dividing per-task pair
-    # work (|block|^2 / S) — unbounded S on a 1000-executor cluster
-    # (defaultParallelism ~ 10^4) would shuffle 10^4 copies of the
-    # table to shave task sizes that 512 cells per block already make
-    # small. 8 blocks x 512 salts = 4096 reduce cells, plenty for any
-    # realistic executor count.
-    n_salts = min(spark.sparkContext.defaultParallelism * 2, 512)
+    # 2x cores locally, capped at 512 CELLS: cells divide per-task
+    # pair work (|block|^2 / n_cells) while each side's replication is
+    # only sqrt(n_cells) — unbounded cells on a 1000-executor cluster
+    # (defaultParallelism ~ 10^4) would buy task sizes that 512 cells
+    # per block already make small. 8 blocks x 512 cells = 4096
+    # reduce cells, plenty for any realistic executor count.
+    n_cells = min(spark.sparkContext.defaultParallelism * 2, 512)
     return (
-        salted_join(a, b, on="block", n_salts=n_salts, join_hint="shuffle_hash")
+        grid_self_join(a, b, on="block", n_cells=n_cells, join_hint="shuffle_hash")
         .filter(
             (F.col("a_key") < F.col("b_key"))
             & (

@@ -956,11 +956,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical unrolled-CTE clustering.
 
     Scale shape: clustering is :func:`_lloyd_assignment` (one scan +
-    one bounded shuffle per iteration); the pair stage is a SALTED
-    shuffle self-join on the cluster id (operators/skew.salted_join —
-    K=8 here makes cid exactly the hot-key regime fuzzy_name_pairs
-    hit, so each cluster's expansion is spread across
-    2×parallelism salt cells rather than funneled into one task).
+    one bounded shuffle per iteration); the pair stage is a
+    GRID-DECOMPOSED shuffle self-join on the cluster id
+    (operators/skew.grid_self_join — K=8 here makes cid exactly the
+    hot-key regime fuzzy_name_pairs hit, so each cluster's expansion
+    is spread across ~2×parallelism grid cells rather than funneled
+    into one task, with each side replicated only √cells ways;
+    VERDICT r3 item 2 — same per-task pair bound as the round-3
+    salted join at 2√S·N instead of S·N shuffle volume).
     At 100 TB, K grows with the corpus (K ≈ N/target_cluster_size),
     holding per-cluster pair counts — and per-task memory — constant;
     the keep-list shuffle is corpus-sized but row-narrow
@@ -972,7 +975,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     list_cosine_similarity, so the keep set matches bit-for-bit.
     """
     from wd2duckdb_spark.functions.dedup import _cosine_fold_sql
-    from wd2duckdb_spark.operators.skew import salted_join
+    from wd2duckdb_spark.operators.skew import grid_self_join
 
     vecs, asg = _lloyd_assignment(spark, sf_dir)
     # the assignment feeds BOTH the pair stage and the final keep-list
@@ -988,13 +991,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = m.select(
         "cid", F.col("vec_id").alias("b_id"), F.col("v").alias("vb")
     )
-    # capped like fuzzy_name_pairs: salts trade replicated-side
-    # shuffle volume (S x corpus) for per-task pair work; 512 x K
-    # cells saturate any realistic cluster without an O(cores)
-    # replication factor
-    n_salts = min(spark.sparkContext.defaultParallelism * 2, 512)
+    # capped like fuzzy_name_pairs: 512 x K grid cells saturate any
+    # realistic cluster at sqrt(cells) replication per side — the
+    # per-task pair bound of the 512-salt plan at ~1/11 its shuffle
+    n_cells = min(spark.sparkContext.defaultParallelism * 2, 512)
     dup_ids = (
-        salted_join(a, b, on="cid", n_salts=n_salts, join_hint="shuffle_hash")
+        grid_self_join(a, b, on="cid", n_cells=n_cells, join_hint="shuffle_hash")
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(
             F.round(F.expr(_cosine_fold_sql("va", "vb")), 4)

@@ -87,6 +87,80 @@ def salted_join(
     return joined.select(*keep)
 
 
+def grid_dim(n_cells: int) -> int:
+    """Grid side length G = ⌈√n_cells⌉ — the per-side replication
+    factor of :func:`grid_self_join` (G² ≥ n_cells cells)."""
+    if n_cells < 1:
+        raise ValueError(f"n_cells must be >= 1, got {n_cells}")
+    import math
+
+    g = math.isqrt(n_cells)
+    return g if g * g >= n_cells else g + 1
+
+
+def grid_self_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    n_cells: int = 256,
+    join_hint: str | None = None,
+) -> DataFrame:
+    """Self-equi-join on a hot block key, decomposed over a G×G grid
+    (G = ⌈√n_cells⌉) — the 2-D upgrade of :func:`salted_join` for the
+    SELF-join case (VERDICT r3 item 2).
+
+    Both inputs are projections of the same table joined on a
+    low-cardinality block key (dedup blocking, cluster ids), so the
+    quadratic pair expansion is the cost driver. Salting bounds
+    per-task pairs at |block|²/S but ships S copies of the replicated
+    side through the exchange; the grid reaches the SAME per-task
+    bound — each cell (i, j) joins the |block|/G rows hashing to
+    group i against the |block|/G rows hashing to group j, i.e.
+    |block|²/G² = |block|²/n_cells pairs — while each side is
+    replicated only G = √n_cells ways. Shuffle volume drops from
+    S·N to 2√S·N (≈ 46·N instead of 513·N at the 512 cap), and the
+    per-cell hash-build side shrinks from |block| to |block|/G rows.
+    This is the triangle/grid scheme the blocked-GEMM kernel
+    (functions/dedup.py embedding_neardup) uses, lifted into a
+    reusable relational operator.
+
+    Routing: the left row's content hash picks its grid ROW i and it
+    replicates across all G columns; the right row's hash picks its
+    COLUMN j and it replicates across all G rows — pair (x, y) meets
+    in exactly cell (h(x), h(y)), so the output multiset equals the
+    plain inner equi-join's (callers' a_id < b_id filters behave
+    identically). Hashes are content-derived (never rand()) so
+    retries and speculative tasks agree.
+
+    ``join_hint`` pins the strategy under the join (same rationale as
+    :func:`salted_join`: Catalyst's size estimate for exploded sides
+    is unreliable, and auto-broadcasting a table-sized side is the
+    failure this operator exists to avoid). Inner joins only: an
+    unmatched row appears in G cells, so outer semantics would emit
+    G duplicates — use :func:`salted_join` for skewed outer joins.
+    """
+    g = grid_dim(n_cells)
+    keys = [on] if isinstance(on, str) else list(on)
+    span = F.sequence(F.lit(0), F.lit(g - 1))
+    a = left.withColumn(
+        "_gi", F.pmod(F.xxhash64(*left.columns), F.lit(g)).cast("int")
+    ).withColumn("_gj", F.explode(span))
+    b = right.withColumn(
+        "_gj", F.pmod(F.xxhash64(*right.columns), F.lit(g)).cast("int")
+    ).withColumn("_gi", F.explode(span))
+    if join_hint is not None:
+        b = b.hint(join_hint)
+    cond = [a[k] == b[k] for k in keys] + [
+        a["_gi"] == b["_gi"],
+        a["_gj"] == b["_gj"],
+    ]
+    joined = a.join(b, cond, "inner")
+    keep = [a[c] for c in left.columns] + [
+        b[c] for c in right.columns if c not in keys
+    ]
+    return joined.select(*keep)
+
+
 # ---------------------------------------------------------------------------
 # Salted two-phase aggregation (driver-contract query)
 # ---------------------------------------------------------------------------
