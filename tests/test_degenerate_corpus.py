@@ -255,3 +255,53 @@ def test_oracle_parity_on_ragged_corpus(spark, ragged_dir, ragged_con, name):
     list_cosine_similarity would otherwise ERROR outright on ragged
     pairs."""
     _parity(spark, ragged_dir, ragged_con, name)
+
+
+# ---------------------------------------------------------------------------
+# Ragged QUERY vector (ADVICE r3): vec_id 0 is the ANN probe vector
+# AND a PQ codebook seed — truncating IT exercises the oracle q-CTE
+# quarantine + empty-result gates, which the vec_id-5 fixture misses.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ragged0_dir(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path_factory.mktemp("ragged0"))
+    for t in TESTDATA_TABLES:
+        df = spark.read.parquet(f"{SF_DIR}/{t}.parquet").limit(20)
+        if t == "embeddings":
+            df = df.withColumn(
+                "embedding",
+                F.when(
+                    F.col("vec_id") == 0, F.expr("slice(embedding, 1, 3)")
+                ).otherwise(F.col("embedding")),
+            )
+        df.coalesce(1).write.parquet(f"{out}/{t}.parquet")
+    return out
+
+
+@pytest.fixture(scope="module")
+def ragged0_con(ragged0_dir):
+    con = _oracle_con(ragged0_dir)
+    yield con
+    con.close()
+
+
+_EMBEDDING_ORACLES = sorted(
+    n for n, sql in ORACLES.items() if "embeddings" in sql.lower()
+)
+
+
+@pytest.mark.parametrize("name", _EMBEDDING_ORACLES)
+def test_oracle_parity_on_ragged_query_vector(
+    spark, ragged0_dir, ragged0_con, name
+):
+    """Every embedding-reading oracle must agree with the engine when
+    the PROBE vector itself is dirty: the engine short-circuits to an
+    empty result (query_vector returns []), so each oracle's q CTE
+    carries the same EMB_DIM quarantine plus a non-empty gate —
+    without them DuckDB would emit NULL-cosine rows (or error on the
+    dimension mismatch) while Spark returns nothing."""
+    _parity(spark, ragged0_dir, ragged0_con, name)

@@ -640,6 +640,14 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from wd2duckdb_spark.functions.similarity import EMB_DIM
 
+    # ADVICE r3: _EMB_DIM is a hand-mirrored literal of this constant
+    # (module-level import would cycle); fail loudly at first use if
+    # the PQ geometry ever changes, instead of letting the engine
+    # filter and the oracle WHERE silently quarantine different rows
+    assert _EMB_DIM == EMB_DIM, (
+        f"dedup._EMB_DIM={_EMB_DIM} drifted from similarity.EMB_DIM="
+        f"{EMB_DIM}; update the mirrored literal"
+    )
     e = tbl(spark, sf_dir, "embeddings").filter(
         # dirty rows (null / wrong-dimension vectors) can't pair
         F.col("embedding").isNotNull()

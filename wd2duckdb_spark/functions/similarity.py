@@ -443,8 +443,13 @@ def _ivf_oracle() -> str:
               AND embedding IS NOT NULL AND len(embedding) = {EMB_DIM}
         ),
         q AS (
+            -- ADVICE r3: mirror the engine's query_vector quarantine —
+            -- a NULL/ragged probe vector means NO query, not NULL
+            -- cosines (the count guard below empties the result like
+            -- the engine's short-circuit)
             SELECT CAST(embedding AS DOUBLE[]) AS e
             FROM embeddings WHERE vec_id = 0
+              AND embedding IS NOT NULL AND len(embedding) = {EMB_DIM}
         ),
         probe AS (
             SELECT cid FROM cents
@@ -467,6 +472,7 @@ def _ivf_oracle() -> str:
                    AS cosine
         FROM assigned
         WHERE cell IN (SELECT cid FROM probe)
+          AND (SELECT count(*) FROM q) = 1
         ORDER BY cosine DESC, vec_id
         LIMIT 10
     """
@@ -747,11 +753,15 @@ def _pq_adc_oracle() -> str:
         WITH pq AS ({_pq_oracle()}),
         codes AS (SELECT * FROM pq),
         q AS (
+            -- ADVICE r3: dirty probe vector => empty q => empty result
+            -- (count guard below), matching the engine's short-circuit
             SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
             WHERE vec_id = 0
+              AND embedding IS NOT NULL AND len(embedding) = {EMB_DIM}
         ), seeds AS (
             SELECT vec_id AS c, CAST(embedding AS DOUBLE[]) AS sv
             FROM embeddings WHERE vec_id < {PQ_CODES}
+              AND embedding IS NOT NULL AND len(embedding) = {EMB_DIM}
         ), lut AS (
             SELECT s.c, {", ".join(lut_exprs)}
             FROM seeds s CROSS JOIN q
@@ -761,6 +771,7 @@ def _pq_adc_oracle() -> str:
         FROM codes
             {joins}
         WHERE codes.vec_id <> 0
+          AND (SELECT count(*) FROM q) = 1
         ORDER BY adc_dist, codes.vec_id LIMIT 10
     """
 
@@ -772,8 +783,11 @@ ORACLES: dict[str, str] = {
 
     "ann_bruteforce_topk": f"""
         WITH q AS (
+            -- ADVICE r3: dirty probe vector => empty q => empty result
+            -- (count guard below), matching the engine's short-circuit
             SELECT CAST(embedding AS DOUBLE[]) AS e
             FROM embeddings WHERE vec_id = 0
+              AND embedding IS NOT NULL AND len(embedding) = {EMB_DIM}
         )
         SELECT vec_id,
                round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
@@ -781,6 +795,7 @@ ORACLES: dict[str, str] = {
         FROM embeddings
         WHERE vec_id <> 0
           AND embedding IS NOT NULL AND len(embedding) = {EMB_DIM}
+          AND (SELECT count(*) FROM q) = 1
         ORDER BY cosine DESC, vec_id
         LIMIT 10
     """

@@ -108,6 +108,80 @@ def _check_selects() -> str:
     return " UNION ALL ".join(parts)
 
 
+def q_dq_embedding_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine ACCOUNTING for the EMB_DIM schema contract (VERDICT
+    r3 item 5): every dimension-bound operator silently filters NULL
+    and wrong-dimension vectors (similarity.clean_embeddings and its
+    verbatim oracle mirrors) — this report is where a pipeline SEES
+    what it lost: per-reason dropped-row counts over ``embeddings``,
+    the embeddings twin of :func:`q_dq_report`.
+
+    One aggregate pass (map-side partials, 1-row result) stacked into
+    tidy (reason, n_dropped, n_rows, pass) rows — adding a reason is
+    one conditional-sum column, never another scan."""
+    from wd2duckdb_spark.functions.similarity import EMB_DIM
+
+    e = tbl(spark, sf_dir, "embeddings")
+    reasons = (
+        ("null_embedding", F.col("embedding").isNull()),
+        (
+            "wrong_dimension",
+            F.col("embedding").isNotNull()
+            & (F.size("embedding") != EMB_DIM),
+        ),
+    )
+    agg = e.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            # coalesce: sum over an EMPTY table is NULL, but "no rows"
+            # means zero quarantined (same contract as dq_report)
+            F.coalesce(F.sum(pred.cast("long")), F.lit(0)).alias(name)
+            for name, pred in reasons
+        ],
+    )
+    stack_args = ", ".join(f"'{name}', {name}" for name, _ in reasons)
+    return (
+        agg.selectExpr(
+            "n_rows",
+            f"stack({len(reasons)}, {stack_args}) AS (reason, n_dropped)",
+        )
+        .select(
+            "reason",
+            F.col("n_dropped").cast("long").alias("n_dropped"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            (F.col("n_dropped") == 0).cast("int").alias("pass"),
+        )
+        .orderBy("reason")
+    )
+
+
+def _embedding_quarantine_oracle() -> str:
+    from wd2duckdb_spark.functions.similarity import EMB_DIM
+
+    return f"""
+        WITH a AS (
+            SELECT count(*) AS n_rows,
+                   COALESCE(sum(CASE WHEN embedding IS NULL
+                                     THEN 1 ELSE 0 END), 0) AS n_null,
+                   COALESCE(sum(CASE WHEN embedding IS NOT NULL
+                                      AND len(embedding) <> {EMB_DIM}
+                                     THEN 1 ELSE 0 END), 0) AS n_wrong
+            FROM embeddings
+        )
+        SELECT reason,
+               CAST(n_dropped AS BIGINT) AS n_dropped,
+               CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(n_dropped = 0 AS INT) AS pass
+        FROM (
+            SELECT 'null_embedding' AS reason, n_null AS n_dropped, n_rows
+            FROM a
+            UNION ALL
+            SELECT 'wrong_dimension', n_wrong, n_rows FROM a
+        )
+        ORDER BY reason
+    """
+
+
 #: Robust-z multiplier: |x - median| > MAD_K * MAD flags an outlier
 #: (≈ 3.4σ for normal data: MAD_K * 0.6745).
 MAD_K = 5
@@ -294,6 +368,7 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dq_report": q_dq_report,
+    "dq_embedding_quarantine": q_dq_embedding_quarantine,
     "outlier_mad": q_outlier_mad,
     "winsorize": q_winsorize,
     "k_anonymity_audit": q_k_anonymity_audit,
@@ -301,6 +376,7 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {
+    "dq_embedding_quarantine": _embedding_quarantine_oracle(),
     "dq_report": f"""
         WITH checks AS ({_check_selects()}),
         tot AS (SELECT count(*) AS n_rows FROM orders)
