@@ -40,6 +40,10 @@ BENCH_QUERIES = (
     "inverted_index",
     "shard_manifest",
     "weighted_sample",
+    # round-4 (VERDICT r3 item 6): the streaming dedup tier's batch
+    # twin — window-min over band buckets, linear in rows (the PAIR
+    # generator stays excluded; the keep rule is not pair-generating)
+    "lsh_keep_list",
 )
 
 #: Embeddings-tier queries, scaled by duplicating vectors under fresh
@@ -141,6 +145,40 @@ def main() -> None:
                     "sec": round(best, 3),
                     "krows_per_sec": round(n_rows / best / 1000, 1),
                 }
+            # Dedup-at-ingest probe cost vs index size (VERDICT r3
+            # item 6): build a band-key index over the m×-scaled
+            # corpus, then time a FIXED-size micro-batch through
+            # _batch_dedup. With the round-4 probe orientation (batch
+            # side broadcast, index streamed) this should stay
+            # flat-to-linear in m — measured here, not asserted.
+            from wd2duckdb_spark.streaming.dedup_ingest import _batch_dedup
+
+            ingest_root = os.path.join(stage, f"ingest_x{m}")
+            idx_dir = f"{ingest_root}/idx"
+            ing_out = f"{ingest_root}/out"
+            hist = spark.read.parquet(f"{scaled_dir}/documents.parquet")
+            _batch_dedup(hist, 0, idx_dir, ing_out)  # m×-sized history
+            index_rows = spark.read.parquet(idx_dir).count()
+            probe = base.select(
+                # ids above every history id: bucket-min must see the
+                # probe docs as the newer side
+                (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+                "text",
+                "lang",
+                "source",
+                "n_chars",
+            )
+            best = float("inf")
+            for attempt in range(2):
+                t0 = time.perf_counter()
+                _batch_dedup(probe, 1 + attempt, idx_dir, ing_out)
+                best = min(best, time.perf_counter() - t0)
+            per_q["dedup_ingest_probe"] = {
+                "sec": round(best, 3),
+                "index_rows": index_rows,
+                "krows_per_sec": round(base_rows / best / 1000, 1),
+            }
+
             n_vecs = emb_rows * m
             for name in EMB_QUERIES:
                 best = float("inf")
