@@ -15,9 +15,18 @@ cannot reach, e.g. stream-static joins):
    can't (and its plan is fixed at compile time, so it also guards
    paths AQE does not re-plan).
 
+A second tier benches the SELF-join regime (the dedup/pair-expansion
+shape: few hot block keys, quadratic in-block fan-out) head-to-head:
+plain AQE shuffle join vs salted_join vs grid_self_join — the grid
+reaches the salted per-task pair bound with √S replication per side
+instead of S on one side (VERDICT r3 item 2), so its exchange writes
+~2√S/S of the salted bytes.
+
 Prints one JSON line:
   {"metric": "skew_join", "rows": N,
-   "plain_no_aqe_sec": ..., "aqe_sec": ..., "salted_sec": ...}
+   "plain_no_aqe_sec": ..., "aqe_sec": ..., "salted_sec": ...,
+   "self_join": {"rows": M, "pairs": P, "plain_aqe_sec": ...,
+                 "salted_sec": ..., "grid_sec": ...}}
 
 Usage: python tools/bench_skew.py [n_rows] [reps]  (default 8M, 3)
 """
@@ -97,6 +106,40 @@ def main() -> None:
         spark.conf.unset(THRESH)
         spark.conf.unset(ADVISORY)
         salted = run(salted_join(f, d, "k", n_salts=32))
+
+        # --- self-join tier: 8 hot blocks, quadratic pair fan-out ---
+        from wd2duckdb_spark.operators.skew import grid_self_join
+
+        self_rows = max(n_rows // 500, 4000)  # ~|block|² pairs per block
+        sj = spark.range(self_rows).select(
+            F.pmod(F.col("id"), F.lit(8)).alias("k"),
+            F.col("id").alias("a_id"),
+        )
+        sj.write.mode("overwrite").parquet("/tmp/skew_self.parquet")
+        sa = spark.read.parquet("/tmp/skew_self.parquet")
+        sb = sa.select("k", F.col("a_id").alias("b_id"))
+        pair_work = F.sum(
+            F.pmod(F.xxhash64("a_id", "b_id"), F.lit(1_000_003))
+        ).alias("h")
+
+        def run_pairs(df) -> float:
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                df.agg(pair_work).collect()
+                best = min(best, time.perf_counter() - t0)
+            return round(best, 3)
+
+        n_cells = 256
+        set_skew(True)
+        self_plain = run_pairs(sa.join(sb, "k"))
+        self_salted = run_pairs(
+            salted_join(sa, sb, "k", n_salts=n_cells, join_hint="shuffle_hash")
+        )
+        self_grid = run_pairs(
+            grid_self_join(sa, sb, "k", n_cells=n_cells, join_hint="shuffle_hash")
+        )
+        n_pairs = self_rows * self_rows // 8
     finally:
         set_skew(True)  # restore the engine default
         spark.stop()
@@ -111,6 +154,14 @@ def main() -> None:
                 "aqe_default_sec": aqe_default,
                 "aqe_tuned_16m_sec": aqe_tuned,
                 "salted_sec": salted,
+                "self_join": {
+                    "rows": self_rows,
+                    "pairs": n_pairs,
+                    "n_cells": n_cells,
+                    "plain_aqe_sec": self_plain,
+                    "salted_sec": self_salted,
+                    "grid_sec": self_grid,
+                },
             }
         )
     )
