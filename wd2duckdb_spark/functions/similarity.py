@@ -42,9 +42,61 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# ---------------------------------------------------------------------------
+# SQL-text expression builders.
+#
+# Literal-heavy expressions (a centroid table, a set of hyperplanes)
+# built via the Column API cost one py4j round-trip PER literal —
+# measured 0.8-0.9 s of pure driver time per plan build for the
+# 8-centroid IVF assign (VERDICT r1 item 6 found the same pathology in
+# the PQ encoder, fixed there with pq_code_sql). One F.expr() parse of
+# the equivalent SQL string is milliseconds. Numerics are unchanged:
+# repr(float) round-trips exactly through the SQL parser (tested), and
+# every fold keeps the same left-associated element order as the
+# Column-API originals, so doubles stay bit-identical.
+# ---------------------------------------------------------------------------
+
+
+def _sql_dbl(x: float) -> str:
+    """Exact SQL double literal (repr round-trips; 'D' forces double)."""
+    return repr(float(x)) + "D"
+
+
+def _sql_arr(vals: list[float]) -> str:
+    return "array(" + ", ".join(_sql_dbl(x) for x in vals) + ")"
+
+
+def _dot_fold_sql(a_sql: str, b_sql: str) -> str:
+    """Sequential-fold dot product — same order as :func:`dot`."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> x * y),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _py_norm(v: list[float]) -> float:
+    """Driver-side L2 norm with the same left-fold add order as
+    :func:`norm`, so the constant is bit-identical to what the JVM
+    would have computed (IEEE adds in the same sequence, then one
+    correctly-rounded sqrt on both sides)."""
+    s = 0.0
+    for x in v:
+        s += x * x
+    return s**0.5
+
+
+#: (session id, sf_dir, vec_id) → probe vector; the fixture tables are
+#: immutable, so the one-row collect is memoized like catalog._scan_cache
+#: — several ANN queries re-fetch the same probe per bench/gate run.
+_qv_cache: dict = {}
+
+
 def query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
     """Fetch one query vector to the driver (a single row — the one
     legitimate collect in this module)."""
+    key = (id(spark), sf_dir, vec_id)
+    if key in _qv_cache:
+        return _qv_cache[key]
     row = (
         tbl(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == vec_id)
@@ -61,8 +113,10 @@ def query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[floa
         # Callers short-circuit [] to an EMPTY result — composing an
         # empty array into the score would instead yield NULL cosines
         # for every candidate (zip_with pads with nulls).
+        _qv_cache[key] = []
         return []
-    return [float(x) for x in row["embedding"]]
+    _qv_cache[key] = qv = [float(x) for x in row["embedding"]]
+    return qv
 
 
 def clean_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,8 +136,14 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = query_vector(spark, sf_dir, 0)
     if not qv:
         return e.limit(0).select("vec_id", F.lit(0.0).alias("cosine"))
-    q = F.array(*[F.lit(x) for x in qv])
-    sim = F.round(cosine(_as_double(F.col("embedding")), q), 6)
+    # norm(q) folds to a driver-side constant; the (norm(v) * norm(q))
+    # product order of cosine() is preserved, doubles unchanged.
+    e = e.withColumn("_v", _as_double(F.col("embedding")))
+    sim = F.round(
+        F.expr(_dot_fold_sql("_v", _sql_arr(qv)))
+        / (norm(F.col("_v")) * F.lit(_py_norm(qv))),
+        6,
+    )
     return (
         e.select("vec_id", sim.alias("cosine"))
         .orderBy(F.desc("cosine"), "vec_id")
@@ -105,15 +165,22 @@ def _plane_component(plane: int, dim: int) -> float:
     return (int(h, 16) / 0x7FFFFFFF) - 1.0
 
 
-def lsh_bucket_col(vec: Column, n_planes: int, n_dims: int) -> Column:
-    """Sign-bit LSH bucket id (0 .. 2^n_planes-1) of an array<double>."""
-    bucket = F.lit(0)
+def lsh_bucket_sql(vec_sql: str, n_planes: int, n_dims: int) -> str:
+    """Sign-bit LSH bucket id (0 .. 2^n_planes-1) of an array<double>
+    column, as SQL text (one parse instead of n_planes × n_dims py4j
+    literal calls — see the SQL-text rationale above). Same integer
+    sum and the same left-fold dot order as the Column-API original."""
+    terms = ["0"]
     for p in range(n_planes):
-        plane = F.array(
-            *[F.lit(_plane_component(p, d)) for d in range(n_dims)]
+        plane = _sql_arr([_plane_component(p, d) for d in range(n_dims)])
+        terms.append(
+            f"IF({_dot_fold_sql(vec_sql, plane)} >= 0, {1 << p}, 0)"
         )
-        bucket = bucket + F.when(dot(vec, plane) >= 0, F.lit(1 << p)).otherwise(0)
-    return bucket
+    return " + ".join(terms)
+
+
+def lsh_bucket_col(vec_sql: str, n_planes: int, n_dims: int) -> Column:
+    return F.expr(lsh_bucket_sql(vec_sql, n_planes, n_dims))
 
 
 def lsh_bucket_ann(
@@ -137,7 +204,6 @@ def lsh_bucket_ann(
             .select("vec_id", F.lit(0.0).alias("cosine"))
         )
     n_dims = len(qv)
-    q = F.array(*[F.lit(x) for x in qv])
     # the query's bucket id, computed driver-side with the same planes
     q_bucket = sum(
         (1 << p)
@@ -145,9 +211,18 @@ def lsh_bucket_ann(
         if sum(qv[d] * _plane_component(p, d) for d in range(n_dims)) >= 0
     )
     e = clean_embeddings(spark, sf_dir).filter(F.col("vec_id") != vec_id)
-    v = _as_double(F.col("embedding"))
-    bucketed = e.withColumn("bucket", lsh_bucket_col(v, n_planes, n_dims))
-    sim = F.round(cosine(_as_double(F.col("embedding")), q), 6)
+    # hoisted norms: norm(q) is a driver-side constant and norm(v) a
+    # per-row column computed ONCE (the Column-API original re-derived
+    # it inside cosine); the (norm(v) * norm(q)) product order is
+    # preserved so the rounded doubles are unchanged.
+    bucketed = e.withColumn(
+        "_v", _as_double(F.col("embedding"))
+    ).withColumn("bucket", lsh_bucket_col("_v", n_planes, n_dims))
+    sim = F.round(
+        F.expr(_dot_fold_sql("_v", _sql_arr(qv)))
+        / (norm(F.col("_v")) * F.lit(_py_norm(qv))),
+        6,
+    )
     return (
         bucketed.filter(F.col("bucket") == q_bucket)
         .select("vec_id", sim.alias("cosine"))
@@ -172,7 +247,15 @@ IVF_CENTROID_IDS = tuple(range(1, 9))
 IVF_NPROBE = 2
 
 
+#: (session id, sf_dir) → IVF centroid table; memoized like the PQ
+#: codebook — an 8-row collect, but a full Spark job per plan build.
+_cent_cache: dict = {}
+
+
 def _centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
+    key = (id(spark), sf_dir)
+    if key in _cent_cache:
+        return _cent_cache[key]
     rows = (
         tbl(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id").isin(*IVF_CENTROID_IDS))
@@ -181,21 +264,42 @@ def _centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]
         .select("vec_id", "embedding")
         .collect()
     )
-    return sorted(
+    _cent_cache[key] = out = sorted(
         (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows
     )
+    return out
 
 
-def ivf_assign_col(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
+def ivf_assign_col(
+    vec_sql: str, nv_sql: str, cents: list[tuple[int, list[float]]]
+) -> Column:
     """Nearest-centroid cell id of an array<double> vector (first-max
     tie-break on ascending centroid id — same rule as the oracle's
-    ``ORDER BY sim DESC, cid``)."""
-    sims = F.array(
-        *[cosine(vec, F.array(*[F.lit(x) for x in c])) for _cid, c in cents]
+    ``ORDER BY sim DESC, cid``).
+
+    ``vec_sql``/``nv_sql`` name the vector column and its precomputed
+    L2 norm: the row norm is computed once per row instead of once per
+    centroid, centroid norms fold to driver-side constants, and the
+    whole assign is ONE parsed expression (the SQL-text rationale
+    above — this was 0.8 s of py4j literal traffic per plan build).
+    The (norm(v) * norm(c)) product order of :func:`cosine` is kept,
+    so the sims array is bit-identical to the Column-API original."""
+    sims = ", ".join(
+        f"{_dot_fold_sql(vec_sql, _sql_arr(c))}"
+        f" / ({nv_sql} * {_sql_dbl(_py_norm(c))})"
+        for _cid, c in cents
     )
-    return F.element_at(
-        F.array(*[F.lit(cid) for cid, _c in cents]),
-        F.array_position(sims, F.array_max(sims)).cast("int"),
+    cids = ", ".join(str(cid) for cid, _c in cents)
+    # single-pass argmax: strict > keeps the FIRST maximum (ascending
+    # cid tie-break, matching array_position(S, array_max(S)) — which
+    # would evaluate the sims array twice per row). Spark orders NaN
+    # above every double in both forms, so degenerate zero-norm rows
+    # pick the same first-NaN cell either way.
+    return F.expr(
+        f"aggregate(zip_with(array({sims}), array({cids}),"
+        " (s, c) -> named_struct('s', s, 'c', c)),"
+        " named_struct('s', CAST('-Infinity' AS DOUBLE), 'c', -1),"
+        " (acc, e) -> IF(e.s > acc.s, e, acc)).c"
     )
 
 
@@ -218,7 +322,6 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("int").alias("cell"),
             F.lit(0.0).alias("cosine"),
         )
-    q = F.array(*[F.lit(x) for x in qv])
     # driver-side: the query's nprobe nearest cells (tiny, exact)
     def _cos(a: list[float], b: list[float]) -> float:
         d = sum(x * y for x, y in zip(a, b))
@@ -236,9 +339,19 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = clean_embeddings(spark, sf_dir).filter(
         ~F.col("vec_id").isin(0, *IVF_CENTROID_IDS)
     )
-    v = _as_double(F.col("embedding"))
-    assigned = e.withColumn("cell", ivf_assign_col(v, cents))
-    sim = F.round(cosine(_as_double(F.col("embedding")), q), 6)
+    # row norm hoisted: computed once per row, shared by the assign
+    # (one per centroid in the Column-API original) and the final
+    # query-cosine — product orders preserved, doubles unchanged.
+    assigned = (
+        e.withColumn("_v", _as_double(F.col("embedding")))
+        .withColumn("_nv", norm(F.col("_v")))
+        .withColumn("cell", ivf_assign_col("_v", "_nv", cents))
+    )
+    sim = F.round(
+        F.expr(_dot_fold_sql("_v", _sql_arr(qv)))
+        / (F.col("_nv") * F.lit(_py_norm(qv))),
+        6,
+    )
     return (
         assigned.filter(F.col("cell").isin(*probe))
         .select("vec_id", "cell", sim.alias("cosine"))
@@ -1133,12 +1246,20 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical doubles.
     """
     e = clean_embeddings(spark, sf_dir).select(
-        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+        "vec_id",
+        "label",
+        _as_double(F.col("embedding")).alias("v"),
+        # norm hoisted to each SIDE of the cross join: one fold per
+        # corpus row + one per anchor instead of two per (row, anchor)
+        # pair — the (norm(a_v) * norm(v)) product order of cosine()
+        # is preserved so the floor-6 doubles are unchanged.
+        norm(_as_double(F.col("embedding"))).alias("nv"),
     )
     anchors = e.filter(F.col("vec_id") < HARDNEG_ANCHORS).select(
         F.col("vec_id").alias("a_id"),
         F.col("label").alias("a_label"),
         F.col("v").alias("a_v"),
+        F.col("nv").alias("a_n"),
     )
     scored = (
         e.crossJoin(F.broadcast(anchors))
@@ -1148,7 +1269,10 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a_label",
             "vec_id",
             "label",
-            _floor6(cosine(F.col("a_v"), F.col("v"))).alias("cos"),
+            _floor6(
+                dot(F.col("a_v"), F.col("v"))
+                / (F.col("a_n") * F.col("nv"))
+            ).alias("cos"),
         )
     )
     best = scored.groupBy("a_id").agg(
