@@ -161,3 +161,83 @@ def test_pq_adc_correlates_with_exact_distance(spark):
     mean_all = np.mean([true_d[k] for k in keys])
     mean_picked = np.mean([true_d[k] for k in picks])
     assert mean_picked < mean_all, (mean_picked, mean_all)
+
+
+def test_sql_dbl_nonfinite_literals_parse_and_evaluate(spark):
+    """ADVICE r4: repr()-based double literals are unparseable for
+    NaN/±Inf ('nanD'); the CAST forms must parse and evaluate to the
+    same values the old F.lit path produced."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from wd2duckdb_spark.functions.similarity import _sql_arr, _sql_dbl
+
+    vals = [float("nan"), float("inf"), float("-inf"), 1.5, -0.0]
+    row = spark.range(1).select(
+        F.expr(_sql_arr(vals)).alias("a"),
+        F.expr(_sql_dbl(float("nan"))).alias("n"),
+    ).first()
+    assert math.isnan(row["n"])
+    assert math.isnan(row["a"][0])
+    assert row["a"][1] == float("inf")
+    assert row["a"][2] == float("-inf")
+    assert row["a"][3] == 1.5
+    assert row["a"][4] == 0.0
+
+
+def test_memo_keys_are_application_ids(spark):
+    """ADVICE r4: memo caches must key on applicationId (unique per
+    context launch), never id(spark) — CPython recycles addresses, so
+    a new session could alias a dead session's cached entries."""
+    from tests.conftest import SF_DIR
+    from wd2duckdb_spark.catalog import clear_memos, session_key, tbl
+    from wd2duckdb_spark.functions import similarity
+
+    assert session_key(spark) == spark.sparkContext.applicationId
+
+    # any object with the same applicationId resolves to the same key
+    # (newSession() semantics: one context, one fixture view — share)
+    class _Ctx:
+        applicationId = spark.sparkContext.applicationId
+
+    class _Fake:
+        sparkContext = _Ctx()
+
+    assert session_key(_Fake()) == session_key(spark)
+
+    clear_memos()
+    tbl(spark, SF_DIR, "nation")
+    similarity.query_vector(spark, SF_DIR, 0)
+    from wd2duckdb_spark.catalog import _scan_cache
+
+    for cache in (_scan_cache, similarity._qv_cache):
+        assert cache, "memo should be populated"
+        for key in cache:
+            assert key[0] == spark.sparkContext.applicationId, key
+
+    # and the registry-wide invalidation hook empties them all
+    clear_memos()
+    assert not _scan_cache and not similarity._qv_cache
+
+
+def test_semantic_dedup_releases_caches(spark):
+    """VERDICT r4 item 2: q_semantic_dedup must not leave DataFrame
+    caches registered in the session's CacheManager after it returns
+    (its internal persists are released in a finally; the eager
+    checkpoint it returns is RDD-level and ContextCleaner-reclaimed,
+    not a CacheManager entry)."""
+    from tests.conftest import SF_DIR
+    from wd2duckdb_spark.functions.similarity import (
+        q_kmeans_lloyd,
+        q_semantic_dedup,
+    )
+
+    spark.catalog.clearCache()
+    res = q_semantic_dedup(spark, SF_DIR)
+    assert res.count() > 0
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+    summary = q_kmeans_lloyd(spark, SF_DIR)
+    assert summary.count() > 0
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

