@@ -852,17 +852,23 @@ def test_semantic_dedup_pair_join_is_grid_shuffle(spark):
     grid-decomposed shuffle self-join (cid is an 8-value hot key —
     same regime as fuzzy_name_pairs): ShuffledHashJoin on
     (cid, _gi, _gj), and the only broadcasts are the constant-size
-    centroid tables."""
-    from wd2duckdb_spark.functions.similarity import q_semantic_dedup
+    centroid tables. Pinned on the lazy internal builder — the plan
+    the public query's eager checkpoint executes (q_semantic_dedup
+    itself returns the checkpointed scan, round-5 cache hygiene)."""
+    from wd2duckdb_spark.functions.similarity import _semantic_dedup_plan
     from wd2duckdb_spark.plans import explain_str
 
     from wd2duckdb_spark.plans import plan_summary as _ps
 
-    df = q_semantic_dedup(spark, SF_DIR)
-    p = explain_str(df, "simple")
-    assert "ShuffledHashJoin" in p  # the grid pair join
-    assert "_gi" in p and "_gj" in p
-    assert _ps(df)["python_udf"] == 0
+    vecs, asg, df = _semantic_dedup_plan(spark, SF_DIR)
+    try:
+        p = explain_str(df, "simple")
+        assert "ShuffledHashJoin" in p  # the grid pair join
+        assert "_gi" in p and "_gj" in p
+        assert _ps(df)["python_udf"] == 0
+    finally:
+        asg.unpersist()
+        vecs.unpersist()
 
 
 def test_grid_self_join_correctness_and_plan(spark):

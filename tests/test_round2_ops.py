@@ -82,6 +82,15 @@ def test_shard_manifest_is_stable_and_complete(spark):
 
 def test_kmeans_centroid_broadcast_plan(spark):
     """The centroid side must broadcast — a shuffled join of a K-row
-    table against the corpus would be the wrong plan at any scale."""
-    plan = q_kmeans_lloyd(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    table against the corpus would be the wrong plan at any scale.
+    Pinned on the lazy internal builder, the plan q_kmeans_lloyd's
+    eager checkpoint executes (the public query returns only the
+    checkpointed scan, round-5 cache hygiene)."""
+    from wd2duckdb_spark.functions.similarity import _kmeans_summary_plan
+
+    vecs, summary = _kmeans_summary_plan(spark, SF_DIR)
+    try:
+        plan = summary._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    finally:
+        vecs.unpersist()

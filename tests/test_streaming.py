@@ -1003,3 +1003,82 @@ def test_neardup_ingest_index_layout_is_key_sorted(spark, tmp_path):
     assert_sorted_per_file()
     compact_index(spark, index_dir)
     assert_sorted_per_file()
+
+
+def test_archive_index_folds_old_batches(spark, tmp_path):
+    """Round-5: archive_index merges every batch ≤ through_batch into
+    one key-range-sorted batch=-1 partition (disjoint file ranges —
+    the probe layout), keeps newer batches' partitions intact,
+    changes no (doc_id, band, key) content, refuses to archive the
+    newest batch, and dedup still sees archived history."""
+    import glob
+
+    import pytest
+
+    from wd2duckdb_spark.streaming.dedup_ingest import (
+        _batch_dedup,
+        archive_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    index_dir, out_dir = str(tmp_path / "index"), str(tmp_path / "out")
+
+    batches = [
+        [(1, base, "en", "w", len(base))],
+        [(2, "completely different content about distributed query engines", "en", "w", 60)],
+        [(3, "yet another unrelated document mentioning columnar shuffles", "en", "w", 58)],
+    ]
+    for i, rows in enumerate(batches):
+        _batch_dedup(spark.createDataFrame(rows, schema), i, index_dir, out_dir)
+
+    before = {
+        (r.doc_id, r.band, r.key)
+        for r in spark.read.parquet(index_dir).collect()
+    }
+
+    with pytest.raises(ValueError):
+        archive_index(spark, index_dir, through_batch=2)  # newest batch
+
+    archive_index(spark, index_dir, through_batch=1)
+
+    idx = spark.read.parquet(index_dir)
+    assert sorted(
+        r.batch for r in idx.select("batch").distinct().collect()
+    ) == [-1, 2]
+    after = {(r.doc_id, r.band, r.key) for r in idx.collect()}
+    assert after == before
+
+    # archive files: key-sorted inside, disjoint ranges across files
+    arch_files = sorted(glob.glob(f"{index_dir}/batch=-1/part-*"))
+    assert arch_files
+    ranges = []
+    for fpath in arch_files:
+        ks = [r.key for r in spark.read.parquet(fpath).collect()]
+        assert ks == sorted(ks), fpath
+        if ks:
+            ranges.append((ks[0], ks[-1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
+
+    # a near-dup of ARCHIVED doc 1 is still dropped; re-archive is
+    # idempotent (archive folds into itself)
+    _batch_dedup(
+        spark.createDataFrame(
+            [(9, base.replace("dog", "cat"), "en", "w", len(base))], schema
+        ),
+        3,
+        index_dir,
+        out_dir,
+    )
+    kept = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+    assert 9 not in kept and kept == [1, 2, 3]
+    archive_index(spark, index_dir, through_batch=2)
+    assert sorted(
+        r.batch
+        for r in spark.read.parquet(index_dir)
+        .select("batch")
+        .distinct()
+        .collect()
+    ) == [-1, 3]

@@ -128,16 +128,27 @@ def compact_partitioned(
     for opt_k, opt_v in (write_options or {}).items():
         writer = writer.option(opt_k, opt_v)
     writer.partitionBy(partition_col).parquet(tmp)
+    swap_in(spark, path, tmp, backup, op="compact_partitioned")
+    return max(n, nvals)
+
+
+def swap_in(
+    spark: SparkSession, path: str, tmp: str, backup: str, op: str
+) -> None:
+    """Atomic-enough directory swap: ``path`` → ``backup``, ``tmp`` →
+    ``path``, delete ``backup``. A crash at any point leaves either
+    the original or the backup intact; recovery is renaming the
+    ``._precompact`` backup into place. Shared by every offline
+    rewrite (compact_partitioned, dedup_ingest.archive_index)."""
     jvm, fs = _fs(spark, path)
     Path = jvm.org.apache.hadoop.fs.Path
     fs.delete(Path(backup), True)
     if not fs.rename(Path(path), Path(backup)):
-        raise IOError(f"compact_partitioned: cannot move {path} aside")
+        raise IOError(f"{op}: cannot move {path} aside")
     if not fs.rename(Path(tmp), Path(path)):
         fs.rename(Path(backup), Path(path))  # restore the original
-        raise IOError(f"compact_partitioned: swap failed for {path}")
+        raise IOError(f"{op}: swap failed for {path}")
     fs.delete(Path(backup), True)
-    return max(n, nvals)
 
 
 def upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:

@@ -277,6 +277,88 @@ def compact_index(spark, index_dir: str, target_file_bytes: int = 128 << 20):
     )
 
 
+#: Partition value the archive tier folds old batches into. Structured
+#: Streaming batch ids start at 0, so -1 can never collide with a real
+#: batch and the replay filter (``batch != batch_id``) always keeps
+#: archive rows visible to probes.
+ARCHIVE_BATCH = -1
+
+
+def archive_index(
+    spark,
+    index_dir: str,
+    through_batch: int,
+    target_file_bytes: int = 1 << 30,
+) -> None:
+    """Fold every committed ``batch=<id>`` partition with id ≤
+    ``through_batch`` (and any existing archive) into ONE globally
+    key-range-sorted ``batch=-1`` archive partition.
+
+    Why this exists: :func:`compact_index` shrinks file COUNTS but
+    must keep every ``batch=<id>`` directory, so after B micro-batches
+    the probe still opens ≥ B files — probe bytes grow with batch
+    count even though each file prunes internally. Archiving removes
+    that term: the archive is written with ``repartitionByRange`` on
+    ``(batch, key)``, so its files cover DISJOINT key ranges and a
+    probe key touches exactly one archive file's one row group —
+    probe bytes ≈ n_probe_keys × row-group size + the few live batch
+    dirs, independent of history size. This is the steady-state
+    operational loop at 100 TB: stream → periodic archive → stream.
+
+    Safety: refuses to archive the HIGHEST batch id present — after a
+    crash-restart Structured Streaming replays the last (possibly
+    uncommitted) batch, and its replay filter must still be able to
+    exclude that batch's own keys, which requires them to sit in
+    their own ``batch=<id>`` partition, not the archive. Run offline
+    (stream stopped), like :func:`compact_index`; the directory swap
+    is the staged-rename protocol of ``maintenance.swap_in`` (crash
+    leaves original or backup intact). Re-running with the same
+    arguments is idempotent (the archive re-folds into itself).
+    """
+    import math
+
+    from wd2duckdb_spark.maintenance import dir_bytes, swap_in
+
+    df = spark.read.parquet(index_dir)
+    batch_vals = sorted(
+        r.batch for r in df.select("batch").distinct().collect()
+    )
+    if through_batch >= batch_vals[-1]:
+        raise ValueError(
+            f"archive_index: through_batch={through_batch} would archive "
+            f"the most recent batch {batch_vals[-1]}, which a restart may "
+            "replay; pass through_batch < max batch id"
+        )
+    relabeled = df.withColumn(
+        "batch",
+        F.when(
+            F.col("batch") <= through_batch, F.lit(ARCHIVE_BATCH)
+        ).otherwise(F.col("batch")),
+    )
+    n_live = len([b for b in batch_vals if b > through_batch])
+    n = max(
+        1,
+        math.ceil(dir_bytes(spark, index_dir) / target_file_bytes),
+        n_live + 1,
+    )
+    tmp = index_dir.rstrip("/") + "._compact"
+    backup = index_dir.rstrip("/") + "._precompact"
+    (
+        # range on (batch, key): archive rows land in contiguous
+        # key-sorted cells (disjoint file ranges — the probe layout),
+        # live batches keep per-batch key-sorted files; the leading
+        # batch ordering satisfies the partitionBy writer, so no
+        # hidden re-sort scrambles the layout
+        relabeled.repartitionByRange(n, "batch", "key")
+        .sortWithinPartitions("batch", "key")
+        .write.mode("overwrite")
+        .option("parquet.block.size", str(INDEX_ROW_GROUP_BYTES))
+        .partitionBy("batch")
+        .parquet(tmp)
+    )
+    swap_in(spark, index_dir, tmp, backup, op="archive_index")
+
+
 def neardup_ingest_stream(
     docs: DataFrame,
     index_dir: str,
