@@ -154,3 +154,44 @@ def test_star_cc_property_matches_union_find(spark, edges):
         ).collect()
     }
     assert got == expected
+
+
+def test_neardup_keep_best_keeps_longest_with_id_tiebreak(spark, tmp_path, monkeypatch):
+    """Round-5 keep-best rule on a handcrafted corpus: within a
+    near-dup cluster the doc with the MOST whitespace tokens is kept
+    (doc_id breaks ties), singletons always keep; exactly one keeper
+    per cluster. Uses a synthetic sf_dir so cluster shapes are known."""
+    import wd2duckdb_spark.catalog as catalog
+    from wd2duckdb_spark.functions.dedup import (
+        q_dedup_cluster_stats,
+        q_neardup_keep_best,
+    )
+
+    catalog.clear_memos()  # fresh CC memo for the synthetic dir
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        # cluster {1,2,3}: near-dups of base; doc 2 is LONGEST
+        (1, base, "en", "w", len(base)),
+        (2, base + " lambda mu nu xi omicron", "en", "w", 80),
+        (3, base.replace("kappa", "pi"), "en", "w", len(base)),
+        # singleton
+        (4, "totally unrelated content about distributed engines", "en", "w", 50),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, schema).write.parquet(f"{sf_dir}/documents.parquet")
+
+    res = {r.doc_id: r for r in q_neardup_keep_best(spark, sf_dir).collect()}
+    assert len(res) == 4
+    cluster = {res[i].cluster_id for i in (1, 2, 3)}
+    assert len(cluster) == 1, "docs 1-3 must share one cluster"
+    assert res[4].keep and res[4].cluster_id == 4
+    keepers = [i for i in (1, 2, 3) if res[i].keep]
+    assert keepers == [2], keepers  # longest wins, not min-id
+
+    stats = {
+        r.cluster_size: (r.n_clusters, r.n_docs)
+        for r in q_dedup_cluster_stats(spark, sf_dir).collect()
+    }
+    assert stats == {1: (1, 1), 3: (1, 3)}
+    catalog.clear_memos()  # don't leak the synthetic dir's CC memo

@@ -426,21 +426,87 @@ def q_neardup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOTE: unlike the other registered queries this runs eager Spark
     jobs at DataFrame-construction time (iterative CC cannot be
     expressed lazily); results are memoized per (session, sf_dir)."""
+    out = _labeled_clusters(spark, sf_dir).select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
+    return out.orderBy("doc_id")
+
+
+def _labeled_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) for every document: its near-dup component
+    (memoized CC over the MinHash-LSH candidate graph, shared with
+    :func:`q_neardup_keep_list`), singletons labeled by themselves."""
     key = (session_key(spark), sf_dir)
     cc = _cc_cache.get(key)
     if cc is None:
         pairs = q_minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
         _cc_cache[key] = cc = connected_components(pairs)
-    d = tbl(spark, sf_dir, "documents").select("doc_id")
-    out = (
-        d.join(cc, d["doc_id"] == cc["node"], "left")
+    d = tbl(spark, sf_dir, "documents")
+    return d.join(cc, d["doc_id"] == cc["node"], "left").select(
+        d["doc_id"],
+        F.coalesce("cluster_id", d["doc_id"]).alias("cluster_id"),
+        d["text"],
+    )
+
+
+def q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: per near-dup cluster keep
+    the LONGEST document (whitespace token count; doc_id tie-break) —
+    the production keep rule when near-duplicates are partial copies
+    and the most complete version should survive, vs
+    :func:`q_neardup_keep_list`'s min-id rule (stable across
+    re-ingest but quality-blind). One row_number window over the
+    cluster labels — the clustering itself is the memoized CC, so
+    the added cost is one narrow shuffle on cluster_id.
+
+    Determinism: (n_tokens DESC NULLS LAST, doc_id) is a total order
+    within a cluster (doc_id unique); NULLS LAST spelled explicitly
+    because Spark and DuckDB disagree on default null order for ASC.
+    """
+    from pyspark.sql import Window
+
+    from wd2duckdb_spark.functions.text import token_count
+
+    labeled = _labeled_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc_nulls_last("n_tokens"), F.asc("doc_id")
+    )
+    return (
+        labeled.withColumn("_rn", F.row_number().over(w))
         .select(
             "doc_id",
-            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            "cluster_id",
+            "n_tokens",
+            (F.col("_rn") == 1).alias("keep"),
         )
-        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+        .orderBy("doc_id")
     )
-    return out.orderBy("doc_id")
+
+
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup audit: the near-dup cluster-SIZE distribution —
+    (cluster_size, n_clusters, n_docs) — the report a pipeline emits
+    to justify its dedup rate (how much of the corpus sits in dup
+    clusters of each size, singletons included). Two tiny aggregates
+    over the memoized cluster labels; nothing document-sized moves
+    after the groupBy on cluster_id."""
+    sizes = (
+        _labeled_clusters(spark, sf_dir)
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
 
 
 def q_lsh_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -730,6 +796,47 @@ def _minhash_sql_cte() -> str:
     """
 
 
+def _cc_sql_prefix() -> str:
+    """Shared oracle CTE chain ending in ``labeled`` = (doc_id,
+    cluster_id, text): near-dup connected components over the LSH
+    candidate graph, singletons self-labeled — the oracle twin of
+    :func:`_labeled_clusters`, shared by the neardup_keep_list /
+    neardup_keep_best / dedup_cluster_stats oracles so the clustering
+    semantics cannot drift between them. Must follow a
+    ``WITH RECURSIVE``."""
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band,"
+        f" md5(CAST(h{2 * b} AS VARCHAR) || ',' || CAST(h{2 * b + 1} AS VARCHAR))"
+        f" AS key FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+        {_minhash_sql_cte()},
+        bands AS ({bands_union}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT a_id AS u, b_id AS v FROM pairs
+            UNION SELECT b_id, a_id FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT u, u FROM (SELECT u FROM edges)
+            UNION
+            SELECT e.u, re.r FROM edges e JOIN reach re ON re.node = e.v
+        ),
+        cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+        labeled AS (
+            SELECT d.doc_id,
+                   coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+                   d.text
+            FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+        )
+    """
+
+
 
 
 def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -967,35 +1074,41 @@ ORACLES: dict[str, str] = {
     """,
     "neardup_keep_list": f"""
         WITH RECURSIVE
-        {_minhash_sql_cte()},
-        bands AS (
-            {" UNION ALL ".join(
-                f"SELECT doc_id, {b} AS band,"
-                f" md5(CAST(h{2*b} AS VARCHAR) || ',' || CAST(h{2*b+1} AS VARCHAR))"
-                f" AS key FROM sig"
-                for b in range(N_BANDS)
-            )}
-        ),
-        pairs AS (
-            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-        ),
-        edges AS (
-            SELECT a_id AS u, b_id AS v FROM pairs
-            UNION SELECT b_id, a_id FROM pairs
-        ),
-        reach(node, r) AS (
-            SELECT u, u FROM (SELECT u FROM edges)
-            UNION
-            SELECT e.u, re.r FROM edges e JOIN reach re ON re.node = e.v
-        ),
-        cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
-        SELECT d.doc_id,
-               coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
-               d.doc_id = coalesce(cc.cluster_id, d.doc_id) AS keep
-        FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
-        ORDER BY d.doc_id
+        {_cc_sql_prefix()}
+        SELECT doc_id, cluster_id, doc_id = cluster_id AS keep
+        FROM labeled
+        ORDER BY doc_id
+    """,
+    "neardup_keep_best": f"""
+        WITH RECURSIVE
+        {_cc_sql_prefix()},
+        scored AS (
+            SELECT doc_id, cluster_id,
+                   CAST(len(string_split(trim(text), ' ')) AS INT)
+                       AS n_tokens
+            FROM labeled
+        )
+        SELECT doc_id, cluster_id, n_tokens,
+               row_number() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY n_tokens DESC NULLS LAST, doc_id
+               ) = 1 AS keep
+        FROM scored
+        ORDER BY doc_id
+    """,
+    "dedup_cluster_stats": f"""
+        WITH RECURSIVE
+        {_cc_sql_prefix()},
+        sizes AS (
+            SELECT cluster_id, count(*) AS cluster_size
+            FROM labeled GROUP BY cluster_id
+        )
+        SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(cluster_size) AS BIGINT) AS n_docs
+        FROM sizes
+        GROUP BY cluster_size
+        ORDER BY cluster_size
     """,
     "lsh_keep_list": f"""
         WITH {_minhash_sql_cte()},
@@ -1096,6 +1209,8 @@ QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "neardup_keep_list": q_neardup_keep_list,
+    "neardup_keep_best": q_neardup_keep_best,
+    "dedup_cluster_stats": q_dedup_cluster_stats,
     "lsh_keep_list": q_lsh_keep_list,
     "dedup_exact": q_dedup_exact,
     "simhash": q_simhash,
