@@ -809,8 +809,94 @@ ORACLES["redact_pii"] = f"""
     ORDER BY event_type
 """
 
+#: Minimum-token thresholds swept by q_quality_threshold_sweep —
+#: spanning "keep everything" to "long-document-only" on the fixture
+#: length distribution (~55-token mean).
+QUALITY_THRESHOLDS = (0, 10, 20, 50, 100, 200)
+
+
+def q_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-tuning report: for each minimum-token-count threshold,
+    how many documents and tokens survive, and the doc survival rate
+    — the sweep a pipeline runs before committing to a length filter
+    (the token cost of each candidate cutoff in one glance).
+
+    Plan: ONE aggregate pass computes every threshold's conditional
+    sums (12 counters + count(*)), then a `stack` unpivots the single
+    row — no per-threshold scan, no join, nothing document-sized
+    shuffles. All counters are exact integers, so cross-engine
+    hashing cannot flake; the rate uses the floor-1e4 convention and
+    is NULL (both engines) on an empty corpus. NULL-text rows fail
+    every `>=` and count as filtered — same quarantine stance as the
+    rest of the text tier."""
+    d = tbl(spark, sf_dir, "documents")
+    n = token_count(F.col("text"))
+    aggs = [F.count("*").alias("all_docs")]
+    for t in QUALITY_THRESHOLDS:
+        cond = n >= F.lit(t)
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+            ).alias(f"d{t}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(cond, n).otherwise(0)).cast("long"), F.lit(0)
+            ).alias(f"t{t}")
+        )
+    row = d.agg(*aggs)
+    cells = ", ".join(
+        f"{t}, d{t}, t{t}" for t in QUALITY_THRESHOLDS
+    )
+    rate = F.when(F.col("all_docs") == 0, F.lit(None)).otherwise(
+        F.floor(F.col("n_docs") / F.col("all_docs") * 1e4 + F.lit(0.5)) / 1e4
+    )
+    return (
+        row.select(
+            "all_docs",
+            F.expr(
+                f"stack({len(QUALITY_THRESHOLDS)}, {cells})"
+                " AS (threshold, n_docs, total_tokens)"
+            ),
+        )
+        .select(
+            F.col("threshold").cast("int").alias("threshold"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            rate.alias("survival_rate"),
+        )
+        .orderBy("threshold")
+    )
+
+
+ORACLES["quality_threshold_sweep"] = f"""
+    WITH thr(threshold) AS (
+        VALUES {", ".join(f"({t})" for t in QUALITY_THRESHOLDS)}
+    ),
+    d AS (
+        SELECT len(string_split(trim(text), ' ')) AS n_tokens
+        FROM documents
+    ),
+    tot AS (SELECT count(*) AS all_docs FROM documents)
+    SELECT CAST(t.threshold AS INT) AS threshold,
+           CAST(sum(CASE WHEN d.n_tokens >= t.threshold
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN d.n_tokens >= t.threshold
+                         THEN d.n_tokens ELSE 0 END) AS BIGINT)
+               AS total_tokens,
+           CASE WHEN tot.all_docs = 0 THEN NULL
+                ELSE floor(CAST(sum(CASE WHEN d.n_tokens >= t.threshold
+                                         THEN 1 ELSE 0 END) AS DOUBLE)
+                           / tot.all_docs * 1e4 + 0.5) / 1e4
+           END AS survival_rate
+    FROM thr t CROSS JOIN tot LEFT JOIN d ON true
+    GROUP BY t.threshold, tot.all_docs
+    ORDER BY threshold
+"""
+
 QUERIES = {
     "inverted_index": q_inverted_index,
+    "quality_threshold_sweep": q_quality_threshold_sweep,
     "redact_pii": q_redact_pii,
     "bigram_surprisal": q_bigram_surprisal,
     "vocab_entropy": q_vocab_entropy,

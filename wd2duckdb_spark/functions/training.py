@@ -374,8 +374,55 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing (the LLaMA/GPT-style data
+    mix step): per source, sampling share ∝ √(total_tokens) — a
+    α=0.5 temperature that upsamples small high-value sources and
+    downsamples the dominant crawl — next to the natural share and
+    the implied up/down-sampling factor.
+
+    Cross-engine determinism: weights are ``floor(sqrt(tokens))`` —
+    sqrt is correctly rounded IEEE and floor makes the weight an
+    integer, so the shares are ratios of exact integers; a float
+    ``pow(t, α)`` would differ between libm implementations in the
+    last ulp and flake the value hash. Shares use the floor-1e6
+    rounding convention (PLANS.md). One low-cardinality aggregate —
+    nothing document-sized shuffles more than once.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(_ws_tokens()).alias("total_tokens"),
+    )
+    w = F.floor(F.sqrt(F.col("total_tokens").cast("double"))).cast("long")
+    weighted = per_src.select("*", w.alias("w"))
+    totals = weighted.agg(
+        F.sum("total_tokens").alias("all_tokens"),
+        F.sum("w").alias("all_w"),
+    )
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        weighted.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            r6(F.col("total_tokens") / F.col("all_tokens")).alias(
+                "natural_share"
+            ),
+            r6(F.col("w") / F.col("all_w")).alias("mix_share"),
+            r6(
+                (F.col("w") / F.col("all_w"))
+                / (F.col("total_tokens") / F.col("all_tokens"))
+            ).alias("sampling_factor"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "shard_manifest": q_shard_manifest,
+    "source_mix_weights": q_source_mix_weights,
     "weighted_sample": q_weighted_sample,
     "dataset_split": q_dataset_split,
     "importance_resample": q_importance_resample,
@@ -385,6 +432,36 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {
+    "source_mix_weights": """
+        WITH per_src AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+                       AS total_tokens
+            FROM documents GROUP BY source
+        ),
+        weighted AS (
+            SELECT *,
+                   CAST(floor(sqrt(CAST(total_tokens AS DOUBLE))) AS BIGINT)
+                       AS w
+            FROM per_src
+        ),
+        tot AS (
+            SELECT CAST(sum(total_tokens) AS BIGINT) AS all_tokens,
+                   CAST(sum(w) AS BIGINT) AS all_w
+            FROM weighted
+        )
+        SELECT source, n_docs, total_tokens,
+               floor(CAST(total_tokens AS DOUBLE) / all_tokens * 1e6 + 0.5)
+                   / 1e6 AS natural_share,
+               floor(CAST(w AS DOUBLE) / all_w * 1e6 + 0.5) / 1e6
+                   AS mix_share,
+               floor((CAST(w AS DOUBLE) / all_w)
+                     / (CAST(total_tokens AS DOUBLE) / all_tokens)
+                     * 1e6 + 0.5) / 1e6 AS sampling_factor
+        FROM weighted CROSS JOIN tot
+        ORDER BY source
+    """,
     "weighted_sample": f"""
         WITH d AS (
             SELECT doc_id, source,
