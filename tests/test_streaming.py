@@ -753,8 +753,13 @@ def test_neardup_ingest_probe_streams_index_not_broadcast(spark, tmp_path):
     assert "BroadcastHashJoin" in plan
     # the index parquet scan must be the STREAMED side: in the plan
     # tree text it precedes the BroadcastExchange (first child), and
-    # the broadcast subtree therefore cannot contain it
-    assert plan.index(index_dir.split("/")[-1]) < plan.index(
+    # the broadcast subtree therefore cannot contain it. The scan is
+    # identified structurally (the only FileScan, projecting exactly
+    # the index's band/key columns) — NOT by its path, which Spark
+    # truncates at spark.sql.maxMetadataStringLength (100 chars), a
+    # cliff the pytest tmp-path length sits right on.
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.index("FileScan parquet [band#") < plan.index(
         "BroadcastExchange"
     ), plan
     # the probe actually works
@@ -1082,3 +1087,48 @@ def test_archive_index_folds_old_batches(spark, tmp_path):
         .distinct()
         .collect()
     ) == [-1, 3]
+
+
+def test_neardup_ingest_metrics_sidecar(spark, tmp_path):
+    """Round-5 accounting sidecar: every micro-batch writes one
+    (batch_id, n_in, n_dups, n_kept) row under out_dir/_metrics;
+    totals reconcile with the kept corpus; the underscore dir is
+    invisible to plain readers of out_dir; a replayed batch
+    OVERWRITES its row instead of duplicating it."""
+    from wd2duckdb_spark.streaming.dedup_ingest import (
+        _batch_dedup,
+        ingest_metrics,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    index_dir, out_dir = str(tmp_path / "index"), str(tmp_path / "out")
+
+    b0 = spark.createDataFrame(
+        [(1, base, "en", "w", len(base)), (2, "tiny doc", "en", "w", 8)],
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        [
+            (3, base.replace("dog", "cat"), "en", "w", len(base)),  # near-dup
+            (4, "completely different content about distributed query engines", "en", "w", 60),
+        ],
+        schema,
+    )
+    _batch_dedup(b0, 0, index_dir, out_dir)
+    _batch_dedup(b1, 1, index_dir, out_dir)
+
+    m = {r.batch_id: r for r in ingest_metrics(spark, out_dir).collect()}
+    assert m[0].n_in == 2 and m[0].n_dups == 0 and m[0].n_kept == 2
+    assert m[1].n_in == 2 and m[1].n_dups == 1 and m[1].n_kept == 1
+
+    corpus = spark.read.parquet(out_dir)
+    assert corpus.count() == m[0].n_kept + m[1].n_kept
+    # the sidecar does not leak into the data read
+    assert set(corpus.columns) == {
+        "doc_id", "text", "lang", "source", "n_chars", "batch"
+    }
+
+    _batch_dedup(b1, 1, index_dir, out_dir)  # replay
+    rows = ingest_metrics(spark, out_dir).collect()
+    assert [r.batch_id for r in rows] == [0, 1]

@@ -250,11 +250,38 @@ def _batch_dedup(
             .option("parquet.block.size", str(INDEX_ROW_GROUP_BYTES))
             .parquet(f"{index_dir}/batch={batch_id}")
         )
+        # per-batch accounting sidecar (the streaming face of the
+        # reference's progress reporting): drop rate per micro-batch,
+        # queryable as one tiny parquet table. Underscore dir —
+        # invisible to readers of out_dir; overwrite keeps replays
+        # idempotent like the data writes. n_dups is a count of the
+        # already-persisted dup set; n_in counts the (cached-by-
+        # source) micro-batch — bounded work per batch.
+        n_dups = dup_ids.count()
+        n_in = batch_df.count()
+        spark.createDataFrame(
+            [(batch_id, n_in, n_dups, n_in - n_dups)],
+            "batch_id long, n_in long, n_dups long, n_kept long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{out_dir}/_metrics/batch={batch_id}"
+        )
     finally:  # a failed write must not leak cached RDDs across retries
         spark.conf.set(_IN_THRESHOLD_CONF, old_thresh)
         bands.unpersist()
         if dup_ids is not None:
             dup_ids.unpersist()
+
+
+def ingest_metrics(spark, out_dir: str) -> DataFrame:
+    """Per-micro-batch dedup accounting written by the stage
+    (n_in / n_dups / n_kept per batch) — read it to monitor drop
+    rate over time or to reconcile totals against the kept corpus
+    (``sum(n_kept) == count(out_dir)``, asserted in tests)."""
+    return (
+        spark.read.parquet(f"{out_dir}/_metrics")
+        .select("batch_id", "n_in", "n_dups", "n_kept")
+        .orderBy("batch_id")
+    )
 
 
 def compact_index(spark, index_dir: str, target_file_bytes: int = 128 << 20):
