@@ -1132,3 +1132,43 @@ def test_neardup_ingest_metrics_sidecar(spark, tmp_path):
     _batch_dedup(b1, 1, index_dir, out_dir)  # replay
     rows = ingest_metrics(spark, out_dir).collect()
     assert [r.batch_id for r in rows] == [0, 1]
+
+
+def test_neardup_ingest_catchup_tier_end_to_end(spark, tmp_path, monkeypatch):
+    """The shuffled-hash catch-up tier must produce the SAME keep
+    decisions as the broadcast tier when driven through the real
+    _batch_dedup flow (not just the plan pin): lower
+    MAX_BROADCAST_KEYS so a normal batch lands in the catch-up
+    regime, and compare against an identical run at default
+    thresholds."""
+    from wd2duckdb_spark.streaming import dedup_ingest
+    from wd2duckdb_spark.streaming.dedup_ingest import _batch_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    b0 = spark.createDataFrame(
+        [(i, f"{base} filler token{i} number {i * 7}", "en", "w", 80)
+         for i in range(20)],
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        [(100 + i, f"{base} filler token{i} number {i * 7} tail", "en", "w", 85)
+         for i in range(10)]
+        + [(200, "completely unrelated content about catalyst optimizer rules", "en", "w", 58)],
+        schema,
+    )
+
+    def run(sub):
+        index_dir = str(tmp_path / sub / "index")
+        out_dir = str(tmp_path / sub / "out")
+        _batch_dedup(b0, 0, index_dir, out_dir)
+        _batch_dedup(b1, 1, index_dir, out_dir)
+        return sorted(
+            r.doc_id for r in spark.read.parquet(out_dir).collect()
+        )
+
+    default_kept = run("default")
+    monkeypatch.setattr(dedup_ingest, "MAX_BROADCAST_KEYS", 1)
+    catchup_kept = run("catchup")
+    assert catchup_kept == default_kept
+    assert 200 in catchup_kept  # the genuinely-new doc survived
