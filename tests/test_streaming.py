@@ -483,8 +483,10 @@ def test_transform_with_state_lifetime_value(spark, tmp_path):
     over two micro-batches; the LAST update per user equals the batch
     groupBy twin (count, sum, max ts).
 
-    Skips where google.protobuf is absent — the transformWithState
-    Python state-server cannot start without it (this container)."""
+    Runs here via tools/protobuf_shim (conftest routes
+    google.protobuf to the Cloud SDK's vendored runtime); the
+    importorskip only fires where neither a protobuf install nor the
+    SDK exists."""
     import pytest
 
     pytest.importorskip("google.protobuf")

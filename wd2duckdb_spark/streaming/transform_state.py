@@ -22,11 +22,15 @@ state-server whose wire protocol needs `google.protobuf`, and it
 requires the RocksDB state-store provider
 (`spark.sql.streaming.stateStore.providerClass =
 ...state.RocksDBStateStoreProvider`). This container ships pyspark
-without protobuf, so the parity test skips when the import is missing;
-the operator itself is complete and runs wherever `pip install
-pyspark[connect]`-grade deps are present. The production-semantics
-twin `applyInPandasWithState` path (sessionize.py) is fully exercised
-here.
+without protobuf, but the public Google Cloud SDK on the image vendors
+a pure-Python protobuf 6.32 runtime; `tools/protobuf_shim` (enabled
+automatically by tests/conftest.py when no real protobuf is
+installed) routes `google.protobuf` to it, so the execution parity
+test RUNS here (round 5 — previously the one env-gated skip). The
+`pytest.importorskip` guard remains for environments with neither a
+protobuf install nor the SDK. The production-semantics twin
+`applyInPandasWithState` path (sessionize.py) is exercised
+independently of the shim.
 """
 
 from __future__ import annotations
