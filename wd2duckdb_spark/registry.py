@@ -28,7 +28,7 @@ from wd2duckdb_spark.operators import (
     skew,
     temporal,
 )
-from wd2duckdb_spark.streaming import sessionize, transform_state
+from wd2duckdb_spark.streaming import sessionize, transform_state, typed_state
 
 _MODULES = (
     relational,
@@ -46,6 +46,7 @@ _MODULES = (
     sketches,
     skew,
     transform_state,
+    typed_state,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

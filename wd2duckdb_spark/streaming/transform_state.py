@@ -63,6 +63,28 @@ class LifetimeValueProcessor(StatefulProcessor):
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._agg = handle.getValueState("agg", STATE_SCHEMA)
 
+    def handleInitialState(
+        self, key: Any, initialState: Any, timerValues: Any
+    ) -> None:
+        """Bootstrap: seed this key's state from a batch backfill row
+        (same columns as the batch twin) before any stream input —
+        the backfill-then-stream deployment pattern. Called once per
+        key present in the ``initial_state`` DataFrame."""
+        import pandas as pd
+
+        row = (
+            initialState.iloc[0]
+            if hasattr(initialState, "iloc")
+            else initialState
+        )
+        self._agg.update(
+            (
+                int(row["n_events"]),
+                float(row["total_value"]),
+                int(pd.Timestamp(row["last_seen"]).value // 1_000),
+            )
+        )
+
     def handleInputRows(
         self, key: Any, rows: Iterator["pd.DataFrame"], timerValues: Any
     ) -> Iterator["pd.DataFrame"]:
@@ -94,19 +116,32 @@ class LifetimeValueProcessor(StatefulProcessor):
         pass
 
 
-def lifetime_value_stream(events: DataFrame) -> DataFrame:
+def lifetime_value_stream(
+    events: DataFrame, initial_state: DataFrame | None = None
+) -> DataFrame:
     """Streaming per-user lifetime aggregate (update mode).
 
     `events` is a streaming DataFrame with (user_id, ts, value).
     TimeMode "none": the aggregate is pure accumulation — no
     watermark-driven eviction; add `ttlDurationMs` on the state cell
     when keys churn (e.g. anonymous sessions) to bound the store.
+
+    ``initial_state``: an optional BATCH DataFrame in the batch twin's
+    schema (user_id, n_events, total_value, last_seen) that seeds the
+    state store on the first micro-batch (``handleInitialState``) —
+    run :func:`lifetime_value_batch` over the historical corpus once,
+    then stream the live tail; the parity contract becomes
+    history + stream == batch over the union. The seed ships through
+    the state-server once per key and never re-reads the history.
     """
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=LifetimeValueProcessor(),
         outputStructType=OUTPUT_SCHEMA,
         outputMode="Update",
         timeMode="None",
+        initialState=(
+            None if initial_state is None else initial_state.groupBy("user_id")
+        ),
     )
 
 

@@ -1,0 +1,479 @@
+"""Spark 4 typed-state streaming operators: timers, TTL, ListState,
+MapState, and initial-state bootstrap.
+
+transform_state.py established the `transformWithStateInPandas`
+execution path (one ValueState aggregate); this module exercises the
+REST of the Spark 4 stateful surface — the pieces a production
+training-data/event pipeline actually needs and the older
+`applyInPandasWithState` API cannot express:
+
+- :func:`session_timer_stream` — gap sessions closed by EVENT-TIME
+  TIMERS (`handleExpiredTimer`), emitted in append mode only when the
+  watermark seals them. The sessionize.py stream emits provisional
+  ``open`` rows every batch because GroupState has no per-key timer
+  registry; here a session row is emitted exactly once, when it can
+  no longer change — the contract a downstream sink wants.
+- :func:`recent_values_stream` — last-N events per user in a
+  ListState, optionally TTL-bounded (``ttlDurationMs``): the
+  feature-store "recent activity" feature. State is O(N) per key by
+  construction, and TTL expires idle users so the store tracks the
+  active-key working set, not the all-time key universe.
+- :func:`type_topk_stream` — per-user top-k event types via a
+  capacity-bounded MapState running the space-saving sketch
+  (Metwally et al., ICDT 2005): at most ``capacity`` counters per key
+  regardless of type cardinality, the bounded-state answer to
+  "top domains per crawl shard" at 100 TB.
+- :func:`transform_state.lifetime_value_stream` gains an
+  ``initial_state`` bootstrap (``handleInitialState``): seed every
+  key's state from a batch backfill aggregate, then continue
+  streaming — history + stream == full batch, the
+  backfill-then-stream deployment pattern.
+
+Scale: all four shuffle once on ``user_id`` (the state partitioning)
+and hold O(N)/O(capacity)/O(1) state per key in RocksDB; a
+1000-executor cluster splits the key space 1000 ways and every
+micro-batch's work is proportional to the batch, never the history.
+
+Parity contracts (tests/test_streaming.py): each operator has a batch
+twin on the same events — sessions equal the oracle-verified
+``sessionize`` query once the watermark passes; recent-values and
+top-k final updates equal their batch twins (both registered as
+oracle-backed queries ``recent_values`` / ``user_type_topk``);
+the bootstrap run equals the full-history batch aggregate.
+
+Execution needs `google.protobuf` (see transform_state.py docstring;
+tools/protobuf_shim provides it in this container) and the RocksDB
+state-store provider.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any, Iterator
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.stateful_processor import (
+    ExpiredTimerInfo,
+    StatefulProcessor,
+    StatefulProcessorHandle,
+    TimerValues,
+)
+
+from wd2duckdb_spark.catalog import tbl
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+# ---------------------------------------------------------------------------
+# 1. Timer-closed sessionization (ValueState + event-time timers)
+# ---------------------------------------------------------------------------
+
+#: Same gap as sessionize.py so the batch twin is the oracle-verified
+#: `sessionize` query.
+SESSION_GAP_MIN = 30
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp,"
+    " n_events int, total_value double"
+)
+
+#: Open-session aggregate — O(1) per user, same layout as sessionize.py.
+_SESS_STATE_SCHEMA = "start_us long, end_us long, n int, v double"
+
+_GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
+
+
+def _fold_sessions(ts_us: list, values: list, prior: list | None) -> list:
+    """Fold (sorted) event times into gap-sessions, merging with the
+    open session carried in state. Identical merge rule to
+    sessionize._sessionize_fn: adjacent sessions with inter-gap
+    ≤ gap coalesce, so within-watermark out-of-order arrival matches
+    the batch lag+cumsum twin."""
+    minis: list[list] = []
+    for t, val in zip(ts_us, values):
+        if minis and t - minis[-1][1] <= _GAP_US:
+            m = minis[-1]
+            m[1] = max(m[1], t)
+            m[2] += 1
+            m[3] += val
+        else:
+            minis.append([t, t, 1, float(val)])
+    if prior is not None:
+        minis.append(list(prior))
+        minis.sort(key=lambda m: (m[0], m[1]))
+    merged: list[list] = []
+    for m in minis:
+        if merged and m[0] - merged[-1][1] <= _GAP_US:
+            p = merged[-1]
+            p[1] = max(p[1], m[1])
+            p[2] += m[2]
+            p[3] += m[3]
+        else:
+            merged.append(m)
+    return merged
+
+
+class SessionTimerProcessor(StatefulProcessor):
+    """Gap sessions sealed by event-time timers — append-mode emission.
+
+    A session row leaves the operator exactly once: either when a
+    newer session supersedes it inside `handleInputRows`, or when the
+    watermark passes `end + gap` and the registered timer fires in
+    `handleExpiredTimer`. Stale timers (session extended or
+    superseded since registration) are detected by comparing the
+    timer's expiry against the CURRENT state's `end + gap` and
+    ignored — cheaper than delete/re-register round-trips to the
+    state server on every extension."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._sess = handle.getValueState("sess", _SESS_STATE_SCHEMA)
+        self._handle = handle
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator["pd.DataFrame"], timerValues: TimerValues
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (user_id,) = key
+        frames = list(rows)
+        events = (
+            pd.concat(frames).sort_values(["ts", "event_id"])
+            if frames
+            else pd.DataFrame(columns=["ts", "event_id", "value"])
+        )
+        ts_us = (events["ts"].astype("int64") // 1000).tolist()
+        if not ts_us:
+            return
+        prior = self._sess.get() if self._sess.exists() else None
+        merged = _fold_sessions(ts_us, events["value"].tolist(), prior)
+
+        closed = merged[:-1]
+        cur = merged[-1]
+        self._sess.update(tuple(cur))
+        self._handle.registerTimer((cur[1] + _GAP_US) // 1000)
+        if closed:
+            yield _sessions_pdf(pd, user_id, closed)
+
+    def handleExpiredTimer(
+        self, key: Any, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (user_id,) = key
+        if not self._sess.exists():
+            return
+        s = self._sess.get()
+        if (s[1] + _GAP_US) // 1000 > expiredTimerInfo.getExpiryTimeInMs():
+            return  # stale timer: session was extended since
+        self._sess.clear()
+        yield _sessions_pdf(pd, user_id, [list(s)])
+
+    def close(self) -> None:
+        pass
+
+
+def _sessions_pdf(pd, user_id: int, rows: list):
+    return pd.DataFrame(
+        {
+            "user_id": [user_id] * len(rows),
+            "session_start": [pd.Timestamp(r[0], unit="us") for r in rows],
+            "session_end": [pd.Timestamp(r[1], unit="us") for r in rows],
+            "n_events": [r[2] for r in rows],
+            "total_value": [round(r[3], 2) for r in rows],
+        }
+    )
+
+
+def session_timer_stream(
+    events: DataFrame, watermark: str = f"{SESSION_GAP_MIN} minutes"
+) -> DataFrame:
+    """Streaming gap-sessionization with emit-once append semantics.
+
+    `events` is a streaming DataFrame with (ts, event_id, user_id,
+    value); the watermark bounds both late admission and how long a
+    sealed-but-unemitted session waits for its timer."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionTimerProcessor(),
+            outputStructType=SESSION_OUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Last-N recent values per user (ListState, optional TTL)
+# ---------------------------------------------------------------------------
+
+#: Feature width: how many most-recent events feed the feature vector.
+RECENT_N = 5
+
+RECENT_OUT_SCHEMA = (
+    "user_id long, n_recent int, recent_values array<double>,"
+    " last_ts timestamp"
+)
+
+_RECENT_STATE_SCHEMA = "ts_us long, event_id long, value double"
+
+
+class RecentValuesProcessor(StatefulProcessor):
+    """Keep the last ``n`` events per user in a ListState; emit the
+    (time-ascending) value vector each update. With ``ttl_ms`` set,
+    an idle user's state expires wholesale — the store holds the
+    active working set only."""
+
+    def __init__(self, n: int = RECENT_N, ttl_ms: int | None = None) -> None:
+        self._n = n
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._recent = handle.getListState(
+            "recent", _RECENT_STATE_SCHEMA, self._ttl_ms
+        )
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator["pd.DataFrame"], timerValues: TimerValues
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (user_id,) = key
+        entries = list(self._recent.get()) if self._recent.exists() else []
+        for pdf in rows:
+            ts_us = pdf["ts"].astype("int64") // 1000
+            entries.extend(
+                zip(ts_us.tolist(), pdf["event_id"].tolist(),
+                    (float(v) for v in pdf["value"]))
+            )
+        # newest n by event time; ties broken by event_id like the
+        # batch twin's ORDER BY ts, event_id
+        entries.sort(key=lambda e: (e[0], e[1]))
+        entries = entries[-self._n:]
+        self._recent.put(entries)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_recent": [len(entries)],
+                "recent_values": [[round(e[2], 2) for e in entries]],
+                "last_ts": [pd.Timestamp(entries[-1][0], unit="us")],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def recent_values_stream(
+    events: DataFrame, n: int = RECENT_N, ttl_ms: int | None = None
+) -> DataFrame:
+    """Streaming last-``n`` feature vector per user (update mode).
+
+    State TTL is wall-clock, so Spark requires ProcessingTime mode
+    whenever ``ttl_ms`` is set (TTL in timeMode=None is rejected)."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RecentValuesProcessor(n, ttl_ms),
+        outputStructType=RECENT_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None" if ttl_ms is None else "ProcessingTime",
+    )
+
+
+def recent_values(events: DataFrame, n: int = RECENT_N) -> DataFrame:
+    """Batch twin: the stream's final update per user — last ``n``
+    events by (ts, event_id), values time-ascending."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("int").alias("n_recent"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "value"))
+                ),
+                lambda s: F.round(s["value"], 2),
+            ).alias("recent_values"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
+def q_recent_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return recent_values(tbl(spark, sf_dir, "events")).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# 3. Per-user top-k event types (MapState, space-saving capacity bound)
+# ---------------------------------------------------------------------------
+
+TOPK_K = 3
+#: Counter capacity per key. ≥ the true type cardinality ⇒ exact counts
+#: (the parity regime); below it the sketch over-estimates by at most
+#: the evicted minimum (space-saving guarantee).
+TOPK_CAPACITY = 8
+
+TOPK_OUT_SCHEMA = (
+    "user_id long, top_types array<string>, top_counts array<long>,"
+    " total_events long"
+)
+
+
+class TypeTopKProcessor(StatefulProcessor):
+    """Space-saving heavy hitters per user in a MapState: at most
+    ``capacity`` (event_type → count) entries per key. On overflow the
+    minimum-count entry is evicted and the newcomer inherits
+    ``min + 1`` — counts never under-estimate, and the state bound is
+    independent of the true type cardinality."""
+
+    def __init__(self, k: int = TOPK_K, capacity: int = TOPK_CAPACITY) -> None:
+        self._k = k
+        self._cap = capacity
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._counts = handle.getMapState(
+            "counts", "event_type string", "cnt long"
+        )
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator["pd.DataFrame"], timerValues: TimerValues
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (user_id,) = key
+        counts: dict[str, int] = {
+            k_[0]: v[0] for k_, v in self._counts.iterator()
+        }
+        for pdf in rows:
+            for etype, inc in pdf["event_type"].value_counts().items():
+                if etype in counts:
+                    counts[etype] += int(inc)
+                elif len(counts) < self._cap:
+                    counts[etype] = int(inc)
+                else:  # space-saving eviction
+                    victim = min(counts, key=lambda t: (counts[t], t))
+                    floor = counts.pop(victim)
+                    counts[etype] = floor + int(inc)
+                    self._counts.removeKey((victim,))
+        for etype, c in counts.items():
+            self._counts.updateValue((etype,), (c,))
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[: self._k]
+        # space-saving conserves mass: counter sum == events observed,
+        # so total_events is exact even past capacity — and it gives
+        # the parity test a monotone "which update is final" marker.
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "top_types": [[t for t, _ in top]],
+                "top_counts": [[c for _, c in top]],
+                "total_events": [sum(counts.values())],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def type_topk_stream(
+    events: DataFrame, k: int = TOPK_K, capacity: int = TOPK_CAPACITY
+) -> DataFrame:
+    """Streaming per-user top-``k`` event types (update mode)."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TypeTopKProcessor(k, capacity),
+        outputStructType=TOPK_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def user_type_topk(events: DataFrame, k: int = TOPK_K) -> DataFrame:
+    """Batch twin: exact per-user top-``k`` event types by count,
+    ties broken alphabetically — what the stream's final update equals
+    while ``capacity`` ≥ the type cardinality."""
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("event_type")
+    )
+    ranked = counts.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    totals = events.groupBy("user_id").agg(
+        F.count("*").alias("total_events")
+    )
+    tops = ranked.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("rn", "event_type", "cnt"))
+            ),
+            lambda s: s["event_type"],
+        ).alias("top_types"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("rn", "event_type", "cnt"))
+            ),
+            lambda s: s["cnt"],
+        ).alias("top_counts"),
+    )
+    return tops.join(totals, "user_id")
+
+
+def q_user_type_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_type_topk(tbl(spark, sf_dir, "events")).orderBy("user_id")
+
+
+ORACLES: dict[str, str] = {
+    "recent_values": f"""
+        WITH ranked AS (
+            SELECT user_id, ts, event_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        SELECT user_id,
+               CAST(count(*) AS INT) AS n_recent,
+               list(round(value, 2) ORDER BY ts, event_id)
+                   AS recent_values,
+               max(ts) AS last_ts
+        FROM ranked
+        WHERE rn <= {RECENT_N}
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    "user_type_topk": f"""
+        WITH counts AS (
+            SELECT user_id, event_type, count(*) AS cnt
+            FROM events
+            GROUP BY user_id, event_type
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY cnt DESC, event_type)
+                          AS rn
+            FROM counts
+        ),
+        totals AS (
+            SELECT user_id, count(*) AS total_events
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT ranked.user_id,
+               list(event_type ORDER BY rn) AS top_types,
+               list(cnt ORDER BY rn) AS top_counts,
+               any_value(total_events) AS total_events
+        FROM ranked JOIN totals USING (user_id)
+        WHERE rn <= {TOPK_K}
+        GROUP BY ranked.user_id
+        ORDER BY ranked.user_id
+    """,
+}
+
+QUERIES = {
+    "recent_values": q_recent_values,
+    "user_type_topk": q_user_type_topk,
+}
