@@ -393,20 +393,30 @@ def type_topk_stream(
 def user_type_topk(events: DataFrame, k: int = TOPK_K) -> DataFrame:
     """Batch twin: exact per-user top-``k`` event types by count,
     ties broken alphabetically — what the stream's final update equals
-    while ``capacity`` ≥ the type cardinality."""
+    while ``capacity`` ≥ the type cardinality.
+
+    One scan: totals come from a whole-partition window sum over the
+    per-(user, type) counts rather than a second pass over events, and
+    both window functions share one ``partitionBy(user_id)`` exchange
+    that the final groupBy then reuses — no join, no re-scan. Top-k
+    itself stays a window ``row_number`` (spill-friendly per-partition
+    sort) rather than a per-user ``collect_list`` so a user with a
+    huge type cardinality never materializes one giant array row."""
     counts = events.groupBy("user_id", "event_type").agg(
         F.count("*").alias("cnt")
     )
     w = Window.partitionBy("user_id").orderBy(
         F.col("cnt").desc(), F.col("event_type")
     )
-    ranked = counts.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= k
+    ranked = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "total_events",
+            F.sum("cnt").over(Window.partitionBy("user_id")),
+        )
+        .filter(F.col("rn") <= k)
     )
-    totals = events.groupBy("user_id").agg(
-        F.count("*").alias("total_events")
-    )
-    tops = ranked.groupBy("user_id").agg(
+    return ranked.groupBy("user_id").agg(
         F.transform(
             F.array_sort(
                 F.collect_list(F.struct("rn", "event_type", "cnt"))
@@ -419,8 +429,8 @@ def user_type_topk(events: DataFrame, k: int = TOPK_K) -> DataFrame:
             ),
             lambda s: s["cnt"],
         ).alias("top_counts"),
+        F.first("total_events").alias("total_events"),
     )
-    return tops.join(totals, "user_id")
 
 
 def q_user_type_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
