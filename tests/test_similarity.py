@@ -241,3 +241,36 @@ def test_semantic_dedup_releases_caches(spark):
     summary = q_kmeans_lloyd(spark, SF_DIR)
     assert summary.count() > 0
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_cluster_once_memo_shared_and_clearable(spark):
+    """Round 5: kmeans_lloyd and semantic_dedup share ONE Lloyd
+    assignment per (application, sf_dir) — the cluster-once memo —
+    keyed by applicationId (not id(spark)), populated lazily, and
+    emptied by the registry-wide clear_memos() hook so in-place
+    fixture rewrites can invalidate it like every other memo."""
+    from tests.conftest import SF_DIR
+    from wd2duckdb_spark import catalog
+    from wd2duckdb_spark.functions import similarity
+    from wd2duckdb_spark.functions.similarity import (
+        q_kmeans_lloyd,
+        q_semantic_dedup,
+    )
+
+    catalog.clear_memos()
+    assert not similarity._asg_memo
+    q_kmeans_lloyd(spark, SF_DIR).count()
+    key = (spark.sparkContext.applicationId, SF_DIR)
+    assert set(similarity._asg_memo) == {key}
+    seeded = similarity._asg_memo[key]
+
+    # the second consumer rides the SAME materialized assignment
+    q_semantic_dedup(spark, SF_DIR).count()
+    assert similarity._asg_memo[key] is seeded
+
+    # registry-wide invalidation empties it; next call repopulates
+    catalog.clear_memos()
+    assert not similarity._asg_memo
+    q_semantic_dedup(spark, SF_DIR).count()
+    assert set(similarity._asg_memo) == {key}
+    assert similarity._asg_memo[key] is not seeded
