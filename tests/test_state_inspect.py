@@ -21,6 +21,18 @@ def _rocksdb(spark):
     )
 
 
+def _hdfs_provider(spark):
+    """Pin the default HDFS-backed provider: the session-scoped
+    providerClass conf LEAKS from any earlier RocksDB test, and the
+    change-feed reader needs either HDFS delta files or RocksDB WITH
+    changelog checkpointing — pin so this module is order-independent."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider",
+    )
+
+
 def _run_stream(out, name, ck, mode="update"):
     q = (
         out.writeStream.format("memory")
@@ -40,6 +52,7 @@ def agg_checkpoint(spark, tmp_path):
     (user_id → count/sum), plus the batch truth."""
     from wd2duckdb_spark.catalog import tbl
 
+    _hdfs_provider(spark)
     e = (
         tbl(spark, SF_DIR, "events")
         .filter(F.col("user_id") < 16)
@@ -108,6 +121,7 @@ def test_batch_id_time_travel(spark, tmp_path):
     batchId=0 must show only the first file's keys."""
     from wd2duckdb_spark.streaming.state_inspect import read_state
 
+    _hdfs_provider(spark)
     df0 = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
     df1 = spark.createDataFrame([(3, 3.0)], "k long, v double")
     in_dir = tmp_path / "tt_in"
@@ -197,3 +211,112 @@ def test_transform_with_state_variable_readback(spark, tmp_path):
         for r in lifetime_value_batch(e).collect()
     }
     assert got == want
+
+
+def test_registered_timers_readback_open_sessions(spark, tmp_path):
+    """session_timer_stream registers one event-time timer per OPEN
+    session; the checkpoint's timer registry must list exactly the
+    users whose sessions the watermark has not yet sealed, at expiry
+    session_end + gap."""
+    pytest.importorskip("google.protobuf")
+    _rocksdb(spark)
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.streaming.state_inspect import read_timers
+    from wd2duckdb_spark.streaming.typed_state import (
+        _GAP_US,
+        session_timer_stream,
+    )
+
+    e = (
+        tbl(spark, SF_DIR, "events")
+        .filter(F.col("user_id") < 8)
+        .select("ts", "event_id", "user_id", "value")
+    )
+    in_dir = tmp_path / "tm_in"
+    in_dir.mkdir()
+    e.coalesce(1).write.parquet(str(in_dir / "b0.parquet"))
+    s = spark.readStream.schema(e.schema).parquet(str(in_dir / "*"))
+    ck = tmp_path / "tm_ck"
+    _run_stream(session_timer_stream(s), "si_timers", ck, mode="append")
+
+    # availableNow runs a final no-data batch whose watermark is
+    # global_max_ts - 30min: every session whose timer (last_end +
+    # gap) fell at or before it has ALREADY sealed and dropped its
+    # timer. Pending timers must be exactly the users whose last
+    # session is still open under that watermark.
+    last_end_us = {
+        r.user_id: int(r.last_end.timestamp() * 1_000_000)
+        for r in e.groupBy("user_id").agg(F.max("ts").alias("last_end")).collect()
+    }
+    wm_us = max(last_end_us.values()) - 30 * 60 * 1_000_000
+    open_users = {
+        u for u, end in last_end_us.items() if end + _GAP_US > wm_us
+    }
+    timers = read_timers(spark, str(ck)).collect()
+    assert open_users  # the max-ts user is always open
+    assert {t.key_user_id for t in timers} == open_users
+    for t in timers:
+        want_ms = (last_end_us[t.key_user_id] + _GAP_US) // 1000
+        assert t.expiration_timestamp_ms == want_ms
+
+
+def test_state_change_feed_is_the_cdc_of_the_store(spark, tmp_path):
+    """Change feed over two micro-batches of a streaming aggregate:
+    batch 0 emits an update per first-file key, batch 1 only for keys
+    the second file touches; replaying updates in batch order must
+    reconstruct the final store exactly."""
+    from wd2duckdb_spark.streaming.state_inspect import (
+        read_state,
+        state_changes,
+    )
+
+    _hdfs_provider(spark)
+    df0 = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (2, 3.0)], "k long, v double"
+    )
+    df1 = spark.createDataFrame([(2, 4.0), (3, 5.0)], "k long, v double")
+    in_dir = tmp_path / "cf_in"
+    in_dir.mkdir()
+    df0.coalesce(1).write.parquet(str(in_dir / "b0.parquet"))
+    s = (
+        spark.readStream.schema(df0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+    )
+    agg = s.groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("t"))
+    ck = tmp_path / "cf_ck"
+
+    def _run_once():
+        q = (
+            agg.writeStream.foreachBatch(lambda df, bid: (df.count(), None)[1])
+            .outputMode("update")
+            .option("checkpointLocation", str(ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+
+    _run_once()
+    df1.coalesce(1).write.parquet(str(in_dir / "b1.parquet"))
+    _run_once()
+
+    feed = state_changes(spark, str(ck), 0).collect()
+    assert {r.change_type for r in feed} == {"update"}
+    by_batch = {}
+    for r in feed:
+        by_batch.setdefault(r.batch_id, set()).add(r.key_k)
+    assert by_batch == {0: {1, 2}, 1: {2, 3}}
+
+    # replay updates in batch order == final store (aggregate buffer
+    # columns keep engine-internal names — read value_* positionally)
+    def _vals(r):
+        return tuple(v for c, v in r.asDict().items() if c.startswith("value_"))
+
+    replayed = {}
+    for r in sorted(feed, key=lambda r: r.batch_id):
+        replayed[r.key_k] = _vals(r)
+    final = {
+        r.key_k: _vals(r) for r in read_state(spark, str(ck)).collect()
+    }
+    assert replayed == final

@@ -84,8 +84,67 @@ def read_state(
     if join_side is not None:
         reader = reader.option("joinSide", join_side)
     df = reader.load(checkpoint)
-    if not flatten:
-        return df
+    return _flatten(df) if flatten else df
+
+
+def read_timers(
+    spark: SparkSession,
+    checkpoint: str,
+    *,
+    operator_id: int | None = None,
+    batch_id: int | None = None,
+    flatten: bool = True,
+) -> DataFrame:
+    """Read a transformWithState checkpoint's REGISTERED TIMERS (one
+    row per pending per-key timer: grouping key + expiry timestamp).
+    The ops question this answers for timer-driven operators like
+    typed_state.session_timer_stream: *which sessions are still open,
+    and when will they seal?* — the checkpoint knows, no replay."""
+    reader = spark.read.format("statestore").option(
+        "readRegisteredTimers", "true"
+    )
+    if operator_id is not None:
+        reader = reader.option("operatorId", operator_id)
+    if batch_id is not None:
+        reader = reader.option("batchId", batch_id)
+    df = reader.load(checkpoint)
+    return _flatten(df) if flatten else df
+
+
+def state_changes(
+    spark: SparkSession,
+    checkpoint: str,
+    start_batch: int,
+    end_batch: int | None = None,
+    *,
+    operator_id: int | None = None,
+    store_name: str | None = None,
+    flatten: bool = True,
+) -> DataFrame:
+    """The state CHANGE FEED between two micro-batches: one row per
+    (batch_id, change_type ∈ {update, delete}, key, value) — CDC over
+    the store itself. Where :func:`read_state` answers "what does the
+    store hold NOW (or as of batch N)", this answers "what did batch
+    N..M DO to it" — the audit trail for debugging a wrong streaming
+    result after the fact, and the incremental feed for mirroring
+    state into an external system without replaying input."""
+    reader = (
+        spark.read.format("statestore")
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", start_batch)
+    )
+    if end_batch is not None:
+        reader = reader.option("changeEndBatchId", end_batch)
+    if operator_id is not None:
+        reader = reader.option("operatorId", operator_id)
+    if store_name is not None:
+        reader = reader.option("storeName", store_name)
+    df = reader.load(checkpoint)
+    return _flatten(df) if flatten else df
+
+
+def _flatten(df: DataFrame) -> DataFrame:
+    """Explode (key, value) structs into key_* / value_* columns."""
     cols: list = []
     for field in df.schema:
         if field.name in ("key", "value") and field.dataType.typeName() == "struct":
