@@ -320,3 +320,55 @@ def test_state_change_feed_is_the_cdc_of_the_store(spark, tmp_path):
         r.key_k: _vals(r) for r in read_state(spark, str(ck)).collect()
     }
     assert replayed == final
+
+
+def test_join_side_state_holds_buffered_rows(spark, tmp_path):
+    """Stream-stream join checkpoints keep one store per side;
+    joinSide='left'/'right' must expose each side's buffered rows —
+    the user-visible answer to "why is my join state growing" —
+    and together they account for every input row still inside the
+    watermark horizon."""
+    from wd2duckdb_spark.streaming.joins import attribute_purchases
+    from wd2duckdb_spark.streaming.state_inspect import read_state
+
+    _hdfs_provider(spark)
+    base = [
+        (1, 100, "2024-01-01 10:00:00", 1.0),
+        (1, 101, "2024-01-01 10:10:00", 2.0),
+        (2, 102, "2024-01-01 10:05:00", 3.0),
+    ]
+    purch = [
+        (1, 200, "2024-01-01 10:15:00", 9.0),
+        (2, 201, "2024-01-01 10:06:00", 8.0),
+    ]
+    schema = "user_id long, event_id long, ts string, value double"
+
+    def _stream(rows, sub):
+        df = spark.createDataFrame(rows, schema).select(
+            "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"),
+            "value",
+        )
+        d = tmp_path / sub
+        d.mkdir()
+        df.coalesce(1).write.parquet(str(d / "b0.parquet"))
+        return spark.readStream.schema(df.schema).parquet(str(d / "*"))
+
+    out = attribute_purchases(
+        _stream(base, "clicks"), _stream(purch, "purch")
+    )
+    ck = tmp_path / "ss_ck"
+    _run_stream(out, "si_join", ck, mode="append")
+
+    left = read_state(spark, str(ck), join_side="left").collect()
+    right = read_state(spark, str(ck), join_side="right").collect()
+    # every input row within the 1-hour watermark horizon stays
+    # buffered in its side's store (nothing here is old enough to
+    # expire in a single availableNow run)
+    # join stores key by the equi-key tuple (generic field names);
+    # the buffered row's own columns live in value_*
+    assert {(r.value_c_user, r.value_click_id) for r in left} == {
+        (1, 100), (1, 101), (2, 102)
+    }
+    assert {(r.value_p_user, r.value_purchase_id) for r in right} == {
+        (1, 200), (2, 201)
+    }
