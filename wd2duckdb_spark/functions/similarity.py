@@ -1097,7 +1097,15 @@ def _lloyd_assignment_materialized(
     runs the Lloyd chain once (corpus projection persisted only for
     the duration), localCheckpoints the narrow assignment, releases
     the projection, and reuses the checkpointed frame for every later
-    consumer in the session."""
+    consumer in the session.
+
+    localCheckpoint blocks are executor-local, not fault-tolerant: on
+    a long-lived cluster where executor loss is expected, swap in
+    ``df.checkpoint()`` against a reliable checkpoint dir (same memo,
+    durable blocks). localCheckpoint truncates lineage, so a lost
+    block FAILS the consumer rather than recomputing — the recovery
+    is ``clear_memos()`` + re-materialize, acceptable single-node,
+    wrong posture for a 1000-executor deployment."""
     key = (session_key(spark), sf_dir)
     if key not in _asg_memo:
         vecs, asg = _lloyd_assignment(spark, sf_dir)
