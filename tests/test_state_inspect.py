@@ -256,7 +256,9 @@ def test_registered_timers_readback_open_sessions(spark, tmp_path):
     assert open_users  # the max-ts user is always open
     assert {t.key_user_id for t in timers} == open_users
     for t in timers:
-        want_ms = (last_end_us[t.key_user_id] + _GAP_US) // 1000
+        # ceil-to-ms + 1 registration: the timer may never fire
+        # before the true microsecond seal point (typed_state._seal)
+        want_ms = (last_end_us[t.key_user_id] + _GAP_US) // 1000 + 1
         assert t.expiration_timestamp_ms == want_ms
 
 

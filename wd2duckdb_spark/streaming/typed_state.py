@@ -65,27 +65,28 @@ if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
 
 # ---------------------------------------------------------------------------
-# 1. Timer-closed sessionization (ValueState + event-time timers)
+# 1. Timer-closed sessionization (ListState + event-time timers)
 # ---------------------------------------------------------------------------
 
-#: Same gap as sessionize.py so the batch twin is the oracle-verified
-#: `sessionize` query.
-SESSION_GAP_MIN = 30
+#: Imported, not re-declared: the batch twin is the oracle-verified
+#: `sessionize` query, so the gap MUST be the same constant — a local
+#: copy could drift.
+from wd2duckdb_spark.streaming.sessionize import SESSION_GAP_MIN
 
 SESSION_OUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp,"
     " n_events int, total_value double"
 )
 
-#: Open-session aggregate — O(1) per user, same layout as sessionize.py.
+#: One pending (unsealed) session — the ListState row layout.
 _SESS_STATE_SCHEMA = "start_us long, end_us long, n int, v double"
 
 _GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
 
 
-def _fold_sessions(ts_us: list, values: list, prior: list | None) -> list:
+def _fold_sessions(ts_us: list, values: list, prior: list) -> list:
     """Fold (sorted) event times into gap-sessions, merging with the
-    open session carried in state. Identical merge rule to
+    pending sessions carried in state. Identical merge rule to
     sessionize._sessionize_fn: adjacent sessions with inter-gap
     ≤ gap coalesce, so within-watermark out-of-order arrival matches
     the batch lag+cumsum twin."""
@@ -98,8 +99,8 @@ def _fold_sessions(ts_us: list, values: list, prior: list | None) -> list:
             m[3] += val
         else:
             minis.append([t, t, 1, float(val)])
-    if prior is not None:
-        minis.append(list(prior))
+    if prior:
+        minis.extend(list(p) for p in prior)
         minis.sort(key=lambda m: (m[0], m[1]))
     merged: list[list] = []
     for m in minis:
@@ -114,20 +115,47 @@ def _fold_sessions(ts_us: list, values: list, prior: list | None) -> list:
 
 
 class SessionTimerProcessor(StatefulProcessor):
-    """Gap sessions sealed by event-time timers — append-mode emission.
+    """Gap sessions sealed STRICTLY by the watermark — append-mode,
+    emit-once.
 
-    A session row leaves the operator exactly once: either when a
-    newer session supersedes it inside `handleInputRows`, or when the
-    watermark passes `end + gap` and the registered timer fires in
-    `handleExpiredTimer`. Stale timers (session extended or
-    superseded since registration) are detected by comparing the
-    timer's expiry against the CURRENT state's `end + gap` and
-    ignored — cheaper than delete/re-register round-trips to the
-    state server on every extension."""
+    All unsealed sessions ride a ListState; a session row leaves the
+    operator only once the watermark has passed its ``end + gap``, at
+    which point no admissible future event can extend or bridge it —
+    even a within-watermark out-of-order arrival that lands BETWEEN
+    two existing sessions merges them in state rather than
+    contradicting an already-emitted row (the failure mode of the
+    emit-superseded-immediately design this replaces). Sealing
+    happens wherever the watermark is next observed: on the key's own
+    next input batch, or via the event-time timer registered at
+    ``earliest pending seal + 1 ms`` (ceil-to-ms so the timer can
+    never fire before the true microsecond seal point). Timers are
+    not deleted on re-registration; a superseded timer just fires,
+    finds nothing sealable, and re-arms — idempotent by construction,
+    at most one live timer per key per batch that touched it."""
 
     def init(self, handle: StatefulProcessorHandle) -> None:
-        self._sess = handle.getValueState("sess", _SESS_STATE_SCHEMA)
+        self._pending = handle.getListState("pending", _SESS_STATE_SCHEMA)
         self._handle = handle
+
+    def _seal(
+        self, pd, user_id: int, merged: list, wm_ms: int
+    ) -> Iterator["pd.DataFrame"]:
+        """Split merged sessions on the watermark: emit the sealed
+        ones, keep the rest pending, arm a timer for the earliest
+        pending seal. An event at ts == watermark is still admissible
+        and extends a session whose end + gap == ts, so sealing
+        requires STRICT `seal < watermark`."""
+        wm_us = wm_ms * 1000
+        sealed = [m for m in merged if m[1] + _GAP_US < wm_us]
+        pending = [m for m in merged if m[1] + _GAP_US >= wm_us]
+        if pending:
+            self._pending.put([tuple(m) for m in pending])
+            earliest_seal_us = min(m[1] for m in pending) + _GAP_US
+            self._handle.registerTimer(earliest_seal_us // 1000 + 1)
+        else:
+            self._pending.clear()
+        if sealed:
+            yield _sessions_pdf(pd, user_id, sealed)
 
     def handleInputRows(
         self, key: Any, rows: Iterator["pd.DataFrame"], timerValues: TimerValues
@@ -144,15 +172,11 @@ class SessionTimerProcessor(StatefulProcessor):
         ts_us = (events["ts"].astype("int64") // 1000).tolist()
         if not ts_us:
             return
-        prior = self._sess.get() if self._sess.exists() else None
+        prior = list(self._pending.get()) if self._pending.exists() else []
         merged = _fold_sessions(ts_us, events["value"].tolist(), prior)
-
-        closed = merged[:-1]
-        cur = merged[-1]
-        self._sess.update(tuple(cur))
-        self._handle.registerTimer((cur[1] + _GAP_US) // 1000)
-        if closed:
-            yield _sessions_pdf(pd, user_id, closed)
+        yield from self._seal(
+            pd, user_id, merged, timerValues.getCurrentWatermarkInMs()
+        )
 
     def handleExpiredTimer(
         self, key: Any, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
@@ -160,16 +184,25 @@ class SessionTimerProcessor(StatefulProcessor):
         import pandas as pd
 
         (user_id,) = key
-        if not self._sess.exists():
+        if not self._pending.exists():
             return
-        s = self._sess.get()
-        if (s[1] + _GAP_US) // 1000 > expiredTimerInfo.getExpiryTimeInMs():
-            return  # stale timer: session was extended since
-        self._sess.clear()
-        yield _sessions_pdf(pd, user_id, [list(s)])
+        pending = [list(p) for p in self._pending.get()]
+        if not pending:
+            return
+        yield from self._seal(
+            pd, user_id, pending, timerValues.getCurrentWatermarkInMs()
+        )
 
     def close(self) -> None:
         pass
+
+
+def _round2(x: float) -> float:
+    """HALF-UP 2-dp rounding, matching the batch twin's F.round —
+    Python's round() is banker's (half-even) and diverges on ties."""
+    import math
+
+    return math.floor(x * 100 + 0.5) / 100
 
 
 def _sessions_pdf(pd, user_id: int, rows: list):
@@ -179,7 +212,7 @@ def _sessions_pdf(pd, user_id: int, rows: list):
             "session_start": [pd.Timestamp(r[0], unit="us") for r in rows],
             "session_end": [pd.Timestamp(r[1], unit="us") for r in rows],
             "n_events": [r[2] for r in rows],
-            "total_value": [round(r[3], 2) for r in rows],
+            "total_value": [_round2(r[3]) for r in rows],
         }
     )
 
@@ -256,7 +289,7 @@ class RecentValuesProcessor(StatefulProcessor):
             {
                 "user_id": [user_id],
                 "n_recent": [len(entries)],
-                "recent_values": [[round(e[2], 2) for e in entries]],
+                "recent_values": [[_round2(e[2]) for e in entries]],
                 "last_ts": [pd.Timestamp(entries[-1][0], unit="us")],
             }
         )
@@ -328,7 +361,11 @@ class TypeTopKProcessor(StatefulProcessor):
     ``capacity`` (event_type → count) entries per key. On overflow the
     minimum-count entry is evicted and the newcomer inherits
     ``min + 1`` — counts never under-estimate, and the state bound is
-    independent of the true type cardinality."""
+    independent of the true type cardinality.
+
+    NULL event_type rows are excluded (``value_counts`` drops them);
+    the batch twin and oracle filter identically so the contract is
+    symmetric on corpora that have them."""
 
     def __init__(self, k: int = TOPK_K, capacity: int = TOPK_CAPACITY) -> None:
         self._k = k
@@ -393,7 +430,11 @@ def type_topk_stream(
 def user_type_topk(events: DataFrame, k: int = TOPK_K) -> DataFrame:
     """Batch twin: exact per-user top-``k`` event types by count,
     ties broken alphabetically — what the stream's final update equals
-    while ``capacity`` ≥ the type cardinality.
+    while ``capacity`` ≥ the type cardinality. NULL event_type rows
+    are excluded up front, mirroring the stream processor (pandas
+    value_counts drops them) and the oracle's WHERE — without the
+    filter, total_events would count rows the type counters never
+    see, and Spark/DuckDB disagree on NULL's sort position in ties.
 
     One scan: totals come from a whole-partition window sum over the
     per-(user, type) counts rather than a second pass over events, and
@@ -402,8 +443,10 @@ def user_type_topk(events: DataFrame, k: int = TOPK_K) -> DataFrame:
     itself stays a window ``row_number`` (spill-friendly per-partition
     sort) rather than a per-user ``collect_list`` so a user with a
     huge type cardinality never materializes one giant array row."""
-    counts = events.groupBy("user_id", "event_type").agg(
-        F.count("*").alias("cnt")
+    counts = (
+        events.filter(F.col("event_type").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("cnt"))
     )
     w = Window.partitionBy("user_id").orderBy(
         F.col("cnt").desc(), F.col("event_type")
@@ -459,6 +502,7 @@ ORACLES: dict[str, str] = {
         WITH counts AS (
             SELECT user_id, event_type, count(*) AS cnt
             FROM events
+            WHERE event_type IS NOT NULL
             GROUP BY user_id, event_type
         ),
         ranked AS (
@@ -468,8 +512,10 @@ ORACLES: dict[str, str] = {
             FROM counts
         ),
         totals AS (
-            SELECT user_id, count(*) AS total_events
-            FROM events
+            -- derived from counts, not a second events scan, so the
+            -- NULL-event_type exclusion applies identically
+            SELECT user_id, CAST(sum(cnt) AS BIGINT) AS total_events
+            FROM counts
             GROUP BY user_id
         )
         SELECT ranked.user_id,
