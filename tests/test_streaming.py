@@ -1090,6 +1090,14 @@ def test_archive_index_folds_old_batches(spark, tmp_path):
         .collect()
     ) == [-1, 3]
 
+    # compact_index must REFUSE an archived index: hash-salted
+    # compaction would scatter the archive's disjoint key ranges
+    # across overlapping files, silently undoing the probe layout
+    from wd2duckdb_spark.streaming.dedup_ingest import compact_index
+
+    with pytest.raises(ValueError, match="archive"):
+        compact_index(spark, index_dir)
+
 
 def test_neardup_ingest_metrics_sidecar(spark, tmp_path):
     """Round-5 accounting sidecar: every micro-batch writes one

@@ -5,12 +5,24 @@ grid-vs-salted exchange volume) need byte counters, not just seconds
 — wall-clock on a noisy shared host has 3-20× variance, but
 bytes-read / shuffle-bytes-written are deterministic properties of
 the plan (VERDICT r4 item 4). The status REST endpoint exposes the
-per-stage aggregates of every completed stage; diffing two snapshots
-around a workload gives its exact byte footprint.
+per-stage aggregates of every completed stage; summing the stages
+whose stageId is ABOVE a snapshot's high-water mark gives a
+workload's exact byte footprint.
+
+High-water-mark design (not totals-diffing) for two reasons found in
+review: (a) the status store evicts old stages past
+``spark.ui.retainedStages`` (default 1000), so a totals diff goes
+negative/garbage late in a long bench; summing only NEW stage ids is
+immune because evicted stages are all OLD. (b) completed-stage
+records land in the store asynchronously — "two equal reads" cannot
+distinguish "updated and stable" from "not updated yet"; waiting for
+at least one stage id above the mark is an unambiguous signal the
+workload's records arrived.
 
 Requires ``spark.ui.enabled=true`` on the session (the engine default
-is false; benches opt in via ``extra_conf``). Local use only — it
-polls ``localhost:<spark.ui.port>``.
+is false; benches opt in via ``extra_conf``). The endpoint comes from
+``sc.uiWebUrl`` — the port Spark actually bound, not an assumed 4040
+(a second local app shifts to 4041+ via spark.port.maxRetries).
 """
 
 from __future__ import annotations
@@ -40,37 +52,43 @@ class StageMetrics:
 
     def __init__(self, spark):
         self._spark = spark
-        port = spark.conf.get("spark.ui.port", "4040")
+        ui = spark.sparkContext.uiWebUrl  # actual scheme://host:port
         app = spark.sparkContext.applicationId
-        self._url = (
-            f"http://localhost:{port}/api/v1/applications/{app}/stages"
-            "?status=complete"
-        )
-        self._base = {f: 0 for f in FIELDS}
+        self._url = f"{ui}/api/v1/applications/{app}/stages?status=complete"
+        self._hwm = -1
 
-    def _read(self) -> dict[str, int]:
-        # completed-stage records land in the status store a beat
-        # after the job returns; settle-poll until two reads agree
-        prev = None
-        for _ in range(20):
-            try:
-                with urllib.request.urlopen(self._url, timeout=10) as r:
-                    stages = json.load(r)
-            except (urllib.error.URLError, OSError):
-                time.sleep(0.25)
-                continue
-            cur = {
-                f: sum(s.get(f, 0) for s in stages) for f in FIELDS
-            }
-            if cur == prev:
-                return cur
-            prev = cur
-            time.sleep(0.25)
-        return prev or {f: 0 for f in FIELDS}
+    def _stages(self) -> list[dict] | None:
+        try:
+            with urllib.request.urlopen(self._url, timeout=10) as r:
+                return json.load(r)
+        except (urllib.error.URLError, OSError):
+            return None
 
     def snapshot(self) -> None:
-        self._base = self._read()
+        """Record the current high-water stage id; delta() sums only
+        stages completed after this point."""
+        stages = self._stages() or []
+        self._hwm = max((s.get("stageId", -1) for s in stages), default=-1)
 
     def delta(self) -> dict[str, int]:
-        cur = self._read()
-        return {f: cur[f] - self._base[f] for f in FIELDS}
+        """Byte counters of every stage completed since snapshot().
+
+        Waits (up to ~10 s) for at least one post-snapshot stage to
+        land in the async status store, then settle-polls until the
+        post-snapshot sums stop changing — a workload that ran any
+        job always completes ≥ 1 stage, so 'no new stages' means 'not
+        published yet', never 'done'."""
+        prev = None
+        for _ in range(40):
+            stages = self._stages()
+            if stages is not None:
+                new = [s for s in stages if s.get("stageId", -1) > self._hwm]
+                if new:
+                    cur = {
+                        f: sum(s.get(f, 0) for s in new) for f in FIELDS
+                    }
+                    if cur == prev:
+                        return cur
+                    prev = cur
+            time.sleep(0.25)
+        return prev or {f: 0 for f in FIELDS}

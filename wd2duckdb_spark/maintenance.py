@@ -103,7 +103,7 @@ def compact_partitioned(
     ``sort_within`` re-sorts rows inside each output file and
     ``write_options`` forwards parquet writer options — together they
     let a caller preserve a physical-layout contract through the
-    rewrite (the dedup-at-ingest index needs key-sorted ~4 MB row
+    rewrite (the dedup-at-ingest index needs key-sorted ~256 KB row
     groups for its probe pruning; see streaming/dedup_ingest.py).
     """
     df = spark.read.parquet(path)

@@ -46,8 +46,8 @@ the micro-batch's band-key count (:func:`_history_dups`):
   rate-limited steady state): the batch's distinct keys are pushed
   into the index SCAN as chunked ``key IN (...)`` filters, so with
   the key-sorted, small-row-group layout :func:`_batch_dedup` writes
-  (min/max footer stats per ~4 MB row group), probe BYTES READ stay
-  ~flat as the index grows — only row groups whose key range
+  (min/max footer stats per ~256 KB row group — INDEX_ROW_GROUP_BYTES),
+  probe BYTES READ stay ~flat as the index grows — only row groups whose key range
   intersects the batch are decoded. The surviving rows then hit the
   usual ``seen ⋈ broadcast(bands)`` (batch side is the build). The
   IN list is chunked at ``PROBE_CHUNK`` values per scan branch
@@ -201,6 +201,12 @@ def _batch_dedup(
     fs = jvm.org.apache.hadoop.fs.Path(index_dir).getFileSystem(hconf)
     index_exists = _has_committed_data(fs, jvm, index_dir)
 
+    # the micro-batch feeds THREE consumers (band keys, the kept
+    # left-anti write, the sidecar count) and a foreachBatch frame
+    # re-reads its source per action — cache it for the batch's
+    # duration so the source is scanned once (review: the sidecar
+    # count was a third full source scan per batch)
+    batch_df = batch_df.persist()
     # key-sorted within partitions: each ~INDEX_ROW_GROUP_BYTES row
     # group of the index write below covers a narrow key range, which
     # is what makes the next batches' IN-pushdown probes prune on
@@ -255,8 +261,8 @@ def _batch_dedup(
         # queryable as one tiny parquet table. Underscore dir —
         # invisible to readers of out_dir; overwrite keeps replays
         # idempotent like the data writes. n_dups is a count of the
-        # already-persisted dup set; n_in counts the (cached-by-
-        # source) micro-batch — bounded work per batch.
+        # already-persisted dup set; n_in counts the batch-persisted
+        # frame (cached above) — bounded work per batch.
         n_dups = dup_ids.count()
         n_in = batch_df.count()
         spark.createDataFrame(
@@ -267,6 +273,7 @@ def _batch_dedup(
         )
     finally:  # a failed write must not leak cached RDDs across retries
         spark.conf.set(_IN_THRESHOLD_CONF, old_thresh)
+        batch_df.unpersist()
         bands.unpersist()
         if dup_ids is not None:
             dup_ids.unpersist()
@@ -291,9 +298,31 @@ def compact_index(spark, index_dir: str, target_file_bytes: int = 128 << 20):
     physical layout (IN-pushdown row-group pruning). Thin wrapper
     over :func:`maintenance.compact_partitioned`; run it only while
     the stream is stopped (the swap is not coordinated with a
-    concurrent ``foreachBatch``)."""
+    concurrent ``foreachBatch``).
+
+    Refuses an index that already holds an archive partition:
+    ``compact_partitioned`` hash-salts rows across files, which would
+    scatter the archive's DISJOINT key ranges into overlapping files —
+    silently undoing exactly the probe-pruning layout
+    :func:`archive_index` exists to build. Re-run ``archive_index``
+    instead; it re-folds (and re-range-partitions) the archive
+    idempotently."""
     from wd2duckdb_spark.maintenance import compact_partitioned
 
+    batches = {
+        r.batch
+        for r in spark.read.parquet(index_dir)
+        .select("batch")
+        .distinct()
+        .collect()
+    }
+    if ARCHIVE_BATCH in batches:
+        raise ValueError(
+            f"compact_index: {index_dir} contains a batch={ARCHIVE_BATCH} "
+            "archive partition; hash-salted compaction would destroy its "
+            "disjoint key-range layout — use archive_index (idempotent "
+            "re-fold) instead"
+        )
     return compact_partitioned(
         spark,
         index_dir,
@@ -350,6 +379,12 @@ def archive_index(
     batch_vals = sorted(
         r.batch for r in df.select("batch").distinct().collect()
     )
+    if not batch_vals:
+        raise ValueError(
+            f"archive_index: {index_dir} holds no rows (every micro-batch "
+            "so far was empty, or the index was truncated) — nothing to "
+            "archive"
+        )
     if through_batch >= batch_vals[-1]:
         raise ValueError(
             f"archive_index: through_batch={through_batch} would archive "
