@@ -144,3 +144,48 @@ def test_training_plans_stay_joinless_or_broadcast(spark):
     # data-sized shuffle (plus AQE reads); no second hashpartitioning
     # on (shard, window_id)
     assert p3.count("hashpartitioning(shard") <= 1
+
+
+def test_quality_lr_learns_a_separable_signal(spark, tmp_path):
+    """The GD dynamics, not just the arithmetic: on a corpus where
+    'en' docs are long and digit-free while non-en docs are short and
+    digit-heavy (separable in the x1/x2 features), the trained filter
+    must score the two classes on opposite sides of 0.5. (The driver
+    fixtures can't show this — their text is generated independently
+    of lang, so base-rate convergence is the correct fit there.)"""
+    import shutil
+
+    from wd2duckdb_spark.functions.training import q_quality_lr_score
+
+    long_en = ("solid prose with many words and no numerals at all " * 8).strip()
+    short_num = "4711 0815 99 42 123456 7 88 901"
+    rows = []
+    for i in range(60):
+        if i % 2 == 0:
+            rows.append((i, long_en, "en", f"src{i % 3}", len(long_en)))
+        else:
+            rows.append((i, short_num, "zh", f"src{i % 3}", len(short_num)))
+    d = tmp_path / "lr"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+
+    # per-class scores: rerun scoring grouped by lang instead of
+    # source by relabeling source := lang (the operator's grouping key)
+    relabeled = tmp_path / "lr2"
+    relabeled.mkdir()
+    spark.read.parquet(str(d / "documents.parquet")).withColumn(
+        "source", F.col("lang")
+    ).coalesce(1).write.parquet(str(relabeled / "documents.parquet"))
+
+    out = {
+        r.source: (r.mean_score, r.n_flagged, r.n_docs)
+        for r in q_quality_lr_score(spark, str(relabeled)).collect()
+    }
+    en_score, en_flagged, en_n = out["en"]
+    zh_score, zh_flagged, zh_n = out["zh"]
+    assert en_score > 0.5 > zh_score, out
+    assert en_flagged == 0 and zh_flagged == zh_n, out
+    shutil.rmtree(d)
+    shutil.rmtree(relabeled)

@@ -420,7 +420,205 @@ def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Trainable quality filter: weak-label logistic regression
+# ---------------------------------------------------------------------------
+
+#: Full-batch gradient-descent iterations. Each is ONE aggregate pass
+#: over the corpus; like KMEANS_ITERS, fixed and small so the oracle
+#: can unroll them as chained CTEs.
+LR_ITERS = 4
+#: Learning rate — exact in binary so driver-side Python updates and
+#: the oracle's SQL updates use the identical constant.
+LR_ETA = 1.0
+
+
+def _lr_features(d: DataFrame) -> DataFrame:
+    """(x1, x2, x3, y, source) feature rows for the quality LR.
+
+    Features are cheap, fully JVM-native, and cross-engine exact:
+    length ratios and ln — no tokenization (split semantics differ
+    between engines on degenerate whitespace). Each is floored to
+    6 dp so both engines carry identical doubles into training.
+    NULL text rows are excluded symmetrically (the oracle's WHERE)."""
+    L = F.length("text")
+    digits = L - F.length(F.regexp_replace("text", "[0-9]", ""))
+    spaces = L - F.length(F.regexp_replace("text", " ", ""))
+    f6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return d.filter(F.col("text").isNotNull()).select(
+        "source",
+        f6(F.log(F.lit(1.0) + L) / 10).alias("x1"),
+        f6(digits / (L + F.lit(1))).alias("x2"),
+        f6(spaces / (L + F.lit(1))).alias("x3"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+
+
+def _lr_sigma(z: Column) -> Column:
+    """floor6(σ(floor4(z))): the raw margin is first snapped to a
+    1e-4 grid so ``exp`` sees identical inputs in both engines, and
+    the probability is floored to 6 dp so a ≤1-ulp difference between
+    JVM Math.exp and DuckDB's libm cannot survive into the weights."""
+    z4 = F.floor(z * 1e4 + F.lit(0.5)) / 1e4
+    return F.floor(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z4))) * 1e6 + F.lit(0.5)
+    ) / 1e6
+
+
+def q_quality_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable quality filter: weak-label logistic regression over
+    the corpus's own cheap features — the fastText-style "model-based
+    quality classifier" stage of a training-data pipeline, expressed
+    as pure DataFrame aggregates (no MLlib, no UDFs).
+
+    Weak label: ``lang == 'en'`` (train a filter for the pipeline's
+    target language from the lang-id column it already has). Features:
+    scaled ln-length, digit ratio, whitespace ratio. Training is
+    LR_ITERS full-batch GD steps; each step is ONE corpus aggregate
+    producing the 4-component gradient (a constant-size driver
+    collect — the parameter-server pattern, same bounded-collect
+    discipline as the PCA partials), followed by a driver-side weight
+    update. Output: per-source doc counts, mean predicted
+    P(target-language), and how many docs the filter would flag
+    (score < 0.5) — the quality-mix report a curriculum builder
+    consumes.
+
+    Scale: each GD step is a map-side-combinable aggregate over
+    (3+1) doubles per row — one scan, one 4-value shuffle per
+    iteration, weights are 4 floats on the driver. At 100 TB you
+    swap full-batch for a deterministic hash-sample mini-batch
+    (hash_sample) without changing the dataflow.
+
+    Cross-engine determinism (kmeans's floor-normalization contract):
+    features floor6; margin snapped to 1e-4 before exp; σ floor6;
+    per-component gradient = floor6(avg(...)); weight update
+    floor6(w + η·g) — computed in Python here and in SQL CTEs in the
+    oracle, over bit-identical inputs at every step. Empty corpus:
+    gradients coalesce to 0, weights stay 0, zero output rows.
+
+    On the driver's synthetic fixtures the text is generated
+    independently of ``lang``, so NO feature separates the label and
+    the correct fit is the base rate (~0.44 'en') — the oracle gate
+    verifies the exact GD trajectory toward it, and every doc lands
+    under the 0.5 flag line. tests/test_training.py trains the same
+    operator on a constructed SEPARABLE corpus and asserts it
+    actually separates — the learning dynamics, not just the
+    arithmetic.
+    """
+    import math
+
+    feats = _lr_features(tbl(spark, sf_dir, "documents"))
+    pf6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+
+    w = [0.0, 0.0, 0.0, 0.0]
+    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
+    for _ in range(LR_ITERS):
+        z = (
+            F.lit(w[0])
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2")
+            + F.lit(w[3]) * F.col("x3")
+        )
+        r = F.col("y") - _lr_sigma(z)
+        g = feats.agg(
+            *[
+                F.coalesce(
+                    F.floor(F.avg(r * x) * 1e6 + F.lit(0.5)) / 1e6,
+                    F.lit(0.0),
+                ).alias(f"g{j}")
+                for j, x in enumerate(xs)
+            ]
+        ).first()
+        w = [pf6(w[j] + LR_ETA * g[j]) for j in range(4)]
+
+    z = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+    )
+    z4 = F.floor(z * 1e4 + F.lit(0.5)) / 1e4
+    score = F.floor(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z4))) * 1e4 + F.lit(0.5)
+    ) / 1e4
+    return (
+        feats.withColumn("score", score)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.floor(F.avg("score") * 1e4 + F.lit(0.5)) / 1e4).alias(
+                "mean_score"
+            ),
+            F.sum(F.when(F.col("score") < 0.5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+def _lr_oracle() -> str:
+    """Unrolled-CTE twin of :func:`q_quality_lr_score` — the same
+    feature floors, margin snap, σ floor, gradient floors, and weight
+    updates, with the weights carried through CTEs instead of the
+    driver (the kmeans oracle convention, so training semantics
+    cannot drift between engines)."""
+    zexpr = "(a + b * x1 + c * x2 + d * x3)"
+    z4 = f"floor({zexpr} * 1e4 + 0.5) / 1e4"
+    sig6 = f"floor((1.0 / (1.0 + exp(-({z4})))) * 1e6 + 0.5) / 1e6"
+    steps = []
+    for i in range(1, LR_ITERS + 1):
+        steps.append(
+            f"""r{i} AS (
+            SELECT x1, x2, x3, y - {sig6} AS r
+            FROM feats CROSS JOIN w{i - 1}
+        ), g{i} AS (
+            SELECT coalesce(floor(avg(r) * 1e6 + 0.5) / 1e6, 0.0) AS g0,
+                   coalesce(floor(avg(r * x1) * 1e6 + 0.5) / 1e6, 0.0) AS g1,
+                   coalesce(floor(avg(r * x2) * 1e6 + 0.5) / 1e6, 0.0) AS g2,
+                   coalesce(floor(avg(r * x3) * 1e6 + 0.5) / 1e6, 0.0) AS g3
+            FROM r{i}
+        ), w{i} AS (
+            SELECT floor((a + {LR_ETA} * g0) * 1e6 + 0.5) / 1e6 AS a,
+                   floor((b + {LR_ETA} * g1) * 1e6 + 0.5) / 1e6 AS b,
+                   floor((c + {LR_ETA} * g2) * 1e6 + 0.5) / 1e6 AS c,
+                   floor((d + {LR_ETA} * g3) * 1e6 + 0.5) / 1e6 AS d
+            FROM w{i - 1} CROSS JOIN g{i}
+        )"""
+        )
+    chained = ",\n        ".join(steps)
+    score4 = f"floor((1.0 / (1.0 + exp(-({z4})))) * 1e4 + 0.5) / 1e4"
+    return f"""
+        WITH feats AS (
+            SELECT source,
+                   floor(ln(1.0 + len(text)) / 10 * 1e6 + 0.5) / 1e6 AS x1,
+                   floor((len(text) - len(regexp_replace(text, '[0-9]', '', 'g')))
+                         / CAST(len(text) + 1 AS DOUBLE) * 1e6 + 0.5) / 1e6 AS x2,
+                   floor((len(text) - len(regexp_replace(text, ' ', '', 'g')))
+                         / CAST(len(text) + 1 AS DOUBLE) * 1e6 + 0.5) / 1e6 AS x3,
+                   CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+            FROM documents
+            WHERE text IS NOT NULL
+        ),
+        w0 AS (SELECT CAST(0 AS DOUBLE) AS a, CAST(0 AS DOUBLE) AS b,
+                      CAST(0 AS DOUBLE) AS c, CAST(0 AS DOUBLE) AS d),
+        {chained},
+        scored AS (
+            SELECT source, {score4} AS score
+            FROM feats CROSS JOIN w{LR_ITERS}
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               floor(avg(score) * 1e4 + 0.5) / 1e4 AS mean_score,
+               CAST(count_if(score < 0.5) AS BIGINT) AS n_flagged
+        FROM scored
+        GROUP BY source
+        ORDER BY source
+    """
+
+
 QUERIES = {
+    "quality_lr_score": q_quality_lr_score,
     "shard_manifest": q_shard_manifest,
     "source_mix_weights": q_source_mix_weights,
     "weighted_sample": q_weighted_sample,
@@ -432,6 +630,7 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {
+    "quality_lr_score": _lr_oracle(),
     "source_mix_weights": """
         WITH per_src AS (
             SELECT source,
