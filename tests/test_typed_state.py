@@ -399,3 +399,56 @@ def test_session_timer_out_of_order_bridge_merges_not_contradicts(
     ]
     assert len(want) == 1 and want[0][3] == 3  # fixture sanity: ONE merged
     assert got == want
+
+
+def test_fold_sessions_batch_split_invariance():
+    """Property (pure Python, no Spark): folding events through
+    _fold_sessions incrementally — any batch partitioning, any
+    within-batch arrival order, carrying ALL pending sessions between
+    calls — yields exactly the same sessions as one batch-mode fold
+    over the sorted whole. This is the state-side invariant behind
+    the stream==sessionize parity contract: micro-batch boundaries
+    must never change session shapes while nothing is sealed."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from wd2duckdb_spark.streaming.typed_state import _GAP_US, _fold_sessions
+
+    gap = _GAP_US
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=20).map(
+                lambda k: k * (gap // 2)  # cluster around gap boundaries
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        st.data(),
+    )
+    def run(ts, data):
+        ts_sorted = sorted(ts)
+        want = _fold_sessions(ts_sorted, [1.0] * len(ts_sorted), [])
+
+        # random batch split of a random permutation
+        perm = data.draw(st.permutations(ts))
+        n_batches = data.draw(st.integers(1, len(perm)))
+        cuts = sorted(
+            data.draw(
+                st.lists(
+                    st.integers(0, len(perm)),
+                    min_size=n_batches - 1,
+                    max_size=n_batches - 1,
+                )
+            )
+        )
+        pending: list = []
+        for lo, hi in zip([0] + cuts, cuts + [len(perm)]):
+            batch = sorted(perm[lo:hi])  # handleInputRows sorts its batch
+            if not batch:
+                continue
+            pending = _fold_sessions(batch, [1.0] * len(batch), pending)
+        assert [tuple(m) for m in pending] == [tuple(m) for m in want]
+
+    run()
