@@ -65,21 +65,42 @@ class StageMetrics:
             return None
 
     def snapshot(self) -> None:
-        """Record the current high-water stage id; delta() sums only
-        stages completed after this point."""
-        stages = self._stages() or []
-        self._hwm = max((s.get("stageId", -1) for s in stages), default=-1)
+        """Record the high-water stage id — AFTER the async store has
+        settled. A stage that finished just before snapshot() may not
+        have landed yet; recording the mark too early would credit
+        its bytes to the measured workload, so poll until the max
+        stage id is stable across two reads before recording it."""
+        hwm, stable = -1, 0
+        for _ in range(40):
+            stages = self._stages()
+            if stages is not None:
+                cur = max(
+                    (s.get("stageId", -1) for s in stages), default=-1
+                )
+                if cur == hwm:
+                    stable += 1
+                    if stable >= 2:
+                        break
+                else:
+                    hwm, stable = cur, 0
+            time.sleep(0.25)
+        self._hwm = hwm
 
     def delta(self) -> dict[str, int]:
         """Byte counters of every stage completed since snapshot().
 
-        Waits (up to ~10 s) for at least one post-snapshot stage to
-        land in the async status store, then settle-polls until the
-        post-snapshot sums stop changing — a workload that ran any
-        job always completes ≥ 1 stage, so 'no new stages' means 'not
-        published yet', never 'done'."""
-        prev = None
-        for _ in range(40):
+        Waits (up to ~15 s) for at least one post-snapshot stage to
+        land in the async status store — a workload that ran any job
+        always completes ≥ 1 stage, so 'no new stages' means 'not
+        published yet', never 'done' — then requires the
+        post-snapshot sums to hold stable across THREE consecutive
+        polls (a 0.75 s quiet period): one stage arriving does not
+        mean all of a multi-job workload's stages arrived, and a
+        longer quiet bar shrinks (without fully closing — the store
+        gives no flushed-everything signal) the window for a
+        straggler stage record to be missed."""
+        prev, stable = None, 0
+        for _ in range(60):
             stages = self._stages()
             if stages is not None:
                 new = [s for s in stages if s.get("stageId", -1) > self._hwm]
@@ -88,7 +109,10 @@ class StageMetrics:
                         f: sum(s.get(f, 0) for s in new) for f in FIELDS
                     }
                     if cur == prev:
-                        return cur
-                    prev = cur
+                        stable += 1
+                        if stable >= 2:  # 3 equal reads total
+                            return cur
+                    else:
+                        prev, stable = cur, 0
             time.sleep(0.25)
         return prev or {f: 0 for f in FIELDS}

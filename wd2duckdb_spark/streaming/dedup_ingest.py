@@ -201,23 +201,26 @@ def _batch_dedup(
     fs = jvm.org.apache.hadoop.fs.Path(index_dir).getFileSystem(hconf)
     index_exists = _has_committed_data(fs, jvm, index_dir)
 
-    # the micro-batch feeds THREE consumers (band keys, the kept
-    # left-anti write, the sidecar count) and a foreachBatch frame
-    # re-reads its source per action — cache it for the batch's
-    # duration so the source is scanned once (review: the sidecar
-    # count was a third full source scan per batch)
-    batch_df = batch_df.persist()
-    # key-sorted within partitions: each ~INDEX_ROW_GROUP_BYTES row
-    # group of the index write below covers a narrow key range, which
-    # is what makes the next batches' IN-pushdown probes prune on
-    # min/max footer stats (no extra exchange — the sort rides the
-    # partitioning band_keys already has)
-    bands = band_keys(batch_df).sortWithinPartitions("key").persist()
-    n_keys = bands.count()  # materializes the cache; sizes the probe tier
-    dup_ids = None
+    bands = dup_ids = None
     old_thresh = spark.conf.get(_IN_THRESHOLD_CONF)
     spark.conf.set(_IN_THRESHOLD_CONF, str(PROBE_CHUNK + 1))
+    # persists happen INSIDE the try: bands.count() is a real Spark
+    # job, and a transient failure there must still unwind both
+    # caches in the finally or every foreachBatch retry leaks a copy
     try:
+        # the micro-batch feeds THREE consumers (band keys, the kept
+        # left-anti write, the sidecar count) and a foreachBatch frame
+        # re-reads its source per action — cache it for the batch's
+        # duration so the source is scanned once (review: the sidecar
+        # count was a third full source scan per batch)
+        batch_df = batch_df.persist()
+        # key-sorted within partitions: each ~INDEX_ROW_GROUP_BYTES row
+        # group of the index write below covers a narrow key range,
+        # which is what makes the next batches' IN-pushdown probes
+        # prune on min/max footer stats (no extra exchange — the sort
+        # rides the partitioning band_keys already has)
+        bands = band_keys(batch_df).sortWithinPartitions("key").persist()
+        n_keys = bands.count()  # materializes the cache; sizes the probe
         if index_exists:  # read errors PROPAGATE (batch retried)
             seen = (
                 spark.read.parquet(index_dir)
@@ -273,8 +276,9 @@ def _batch_dedup(
         )
     finally:  # a failed write must not leak cached RDDs across retries
         spark.conf.set(_IN_THRESHOLD_CONF, old_thresh)
-        batch_df.unpersist()
-        bands.unpersist()
+        batch_df.unpersist()  # no-op if the persist never ran
+        if bands is not None:
+            bands.unpersist()
         if dup_ids is not None:
             dup_ids.unpersist()
 

@@ -103,11 +103,15 @@ class LifetimeValueProcessor(StatefulProcessor):
                 batch_max_us if last_us is None else max(last_us, batch_max_us)
             )
         self._agg.update((n, v, last_us))
+        # HALF-UP away from zero like the batch twin's F.round —
+        # Python round() is banker's and diverges on .xx5 tie sums
+        from wd2duckdb_spark.streaming.typed_state import _round2
+
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
                 "n_events": [n],
-                "total_value": [round(v, 2)],
+                "total_value": [_round2(v)],
                 "last_seen": [pd.Timestamp(last_us, unit="us")],
             }
         )

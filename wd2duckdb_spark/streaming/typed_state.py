@@ -198,11 +198,14 @@ class SessionTimerProcessor(StatefulProcessor):
 
 
 def _round2(x: float) -> float:
-    """HALF-UP 2-dp rounding, matching the batch twin's F.round —
-    Python's round() is banker's (half-even) and diverges on ties."""
+    """HALF-UP-away-from-zero 2-dp rounding, matching the batch
+    twin's F.round (BigDecimal HALF_UP) and DuckDB's round — Python's
+    round() is banker's (half-even) and diverges on ties, and a bare
+    floor(x*100+0.5) rounds negative ties toward +inf instead of
+    away from zero."""
     import math
 
-    return math.floor(x * 100 + 0.5) / 100
+    return math.copysign(math.floor(abs(x) * 100 + 0.5) / 100, x)
 
 
 def _sessions_pdf(pd, user_id: int, rows: list):
@@ -396,6 +399,12 @@ class TypeTopKProcessor(StatefulProcessor):
                     floor = counts.pop(victim)
                     counts[etype] = floor + int(inc)
                     self._counts.removeKey((victim,))
+        if not counts:
+            # every event in this batch had NULL event_type (dropped
+            # by value_counts) and no prior state: the batch twin and
+            # oracle filter such users out entirely, so emitting a
+            # (user, [], [], 0) row here would break parity
+            return
         for etype, c in counts.items():
             self._counts.updateValue((etype,), (c,))
         top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[: self._k]
