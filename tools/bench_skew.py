@@ -144,8 +144,13 @@ def main() -> None:
                 df.agg(pair_work).collect()
                 best = min(best, time.perf_counter() - t0)
                 if shuffle_mb is None:
-                    shuffle_mb = round(
-                        stage_metrics.delta()["shuffleWriteBytes"] / 1e6, 2
+                    d = stage_metrics.delta()
+                    # delta() is None when no stable reading existed —
+                    # record the sample as invalid, not 0.0 (ADVICE r5)
+                    shuffle_mb = (
+                        "invalid"
+                        if d is None
+                        else round(d["shuffleWriteBytes"] / 1e6, 2)
                     )
             return round(best, 3), shuffle_mb
 

@@ -56,6 +56,7 @@ class StageMetrics:
         app = spark.sparkContext.applicationId
         self._url = f"{ui}/api/v1/applications/{app}/stages?status=complete"
         self._hwm = -1
+        self._snapshot_ok = False  # did snapshot() reach a stable mark?
 
     def _stages(self) -> list[dict] | None:
         try:
@@ -70,7 +71,7 @@ class StageMetrics:
         have landed yet; recording the mark too early would credit
         its bytes to the measured workload, so poll until the max
         stage id is stable across two reads before recording it."""
-        hwm, stable = -1, 0
+        hwm, stable, ok = -1, 0, False
         for _ in range(40):
             stages = self._stages()
             if stages is not None:
@@ -80,25 +81,44 @@ class StageMetrics:
                 if cur == hwm:
                     stable += 1
                     if stable >= 2:
+                        ok = True
                         break
                 else:
                     hwm, stable = cur, 0
             time.sleep(0.25)
         self._hwm = hwm
+        # hwm == -1 with a RESPONSIVE endpoint (fresh app, zero completed
+        # stages) is a valid mark; an unresponsive endpoint is not —
+        # delta() must then report the sample as invalid, not attribute
+        # all of history to the workload (ADVICE r5 item 4)
+        self._snapshot_ok = ok
 
-    def delta(self) -> dict[str, int]:
-        """Byte counters of every stage completed since snapshot().
+    def delta(self) -> dict[str, int] | None:
+        """Byte counters of every stage completed since snapshot(),
+        or ``None`` when no trustworthy reading exists — the caller
+        must record the sample as INVALID, never as a number (ADVICE
+        r5 item 4: the old zero/`prev` fallbacks silently wrote 0.0 MB
+        or all-of-history totals into "deterministic" scale benches).
 
-        Waits (up to ~15 s) for at least one post-snapshot stage to
-        land in the async status store — a workload that ran any job
-        always completes ≥ 1 stage, so 'no new stages' means 'not
-        published yet', never 'done' — then requires the
+        ``None`` cases: snapshot() never obtained a stable high-water
+        mark (an unresponsive endpoint leaves hwm == -1, which would
+        attribute every historical stage to the workload), or the
+        status endpoint never served a stable post-snapshot sum
+        inside the poll window. A stable hwm of -1 on a FRESH app
+        (zero completed stages, responsive endpoint) stays valid.
+
+        Otherwise: waits (up to ~15 s) for at least one post-snapshot
+        stage to land in the async status store — a workload that ran
+        any job always completes ≥ 1 stage, so 'no new stages' means
+        'not published yet', never 'done' — then requires the
         post-snapshot sums to hold stable across THREE consecutive
         polls (a 0.75 s quiet period): one stage arriving does not
         mean all of a multi-job workload's stages arrived, and a
         longer quiet bar shrinks (without fully closing — the store
         gives no flushed-everything signal) the window for a
         straggler stage record to be missed."""
+        if not self._snapshot_ok:  # snapshot timed out / never called
+            return None
         prev, stable = None, 0
         for _ in range(60):
             stages = self._stages()
@@ -115,4 +135,4 @@ class StageMetrics:
                     else:
                         prev, stable = cur, 0
             time.sleep(0.25)
-        return prev or {f: 0 for f in FIELDS}
+        return None  # never reached a stable reading — sample invalid

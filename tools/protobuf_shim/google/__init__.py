@@ -40,4 +40,26 @@ if _os.path.isdir(_os.path.join(_VENDORED, "protobuf")):
     __path__.append(_VENDORED)
     from google.protobuf import runtime_version as _rv
 
-    _rv.ValidateProtobufRuntimeVersion = lambda *a, **k: None
+    _orig_validate = _rv.ValidateProtobufRuntimeVersion
+
+    def _validate_allow_small_minor_skew(
+        gen_domain, gen_major, gen_minor, gen_patch, gen_suffix, location
+    ):
+        """Suppress ONLY the verified-compatible skew: same major,
+        gencode minor at most one ahead of the runtime (the 6.33-gencode
+        / 6.32-runtime gap this shim exists for). Any other mismatch —
+        a major-version jump after a pyspark or Cloud-SDK upgrade —
+        re-runs the real validator so it fails with the clear version
+        error instead of an opaque wire/builder error later (ADVICE r5
+        item 3)."""
+        if (
+            gen_domain == _rv.DOMAIN
+            and gen_major == _rv.MAJOR
+            and 0 <= gen_minor - _rv.MINOR <= 1
+        ):
+            return
+        _orig_validate(
+            gen_domain, gen_major, gen_minor, gen_patch, gen_suffix, location
+        )
+
+    _rv.ValidateProtobufRuntimeVersion = _validate_allow_small_minor_skew

@@ -198,14 +198,24 @@ class SessionTimerProcessor(StatefulProcessor):
 
 
 def _round2(x: float) -> float:
-    """HALF-UP-away-from-zero 2-dp rounding, matching the batch
-    twin's F.round (BigDecimal HALF_UP) and DuckDB's round — Python's
-    round() is banker's (half-even) and diverges on ties, and a bare
-    floor(x*100+0.5) rounds negative ties toward +inf instead of
-    away from zero."""
+    """2-dp rounding EXACTLY matching the batch twin's F.round: Spark's
+    Round converts the double via ``BigDecimal.valueOf`` (the SHORTEST
+    round-trip decimal repr — same contract as Python's ``repr``) and
+    rounds that decimal HALF_UP. Neither Python's ``round()`` (banker's
+    half-even) nor ``floor(abs(x)*100+0.5)`` (rounds the BINARY value,
+    so e.g. 1.005 — binary 1.00499...— lands on 1.00 while Spark's
+    shortest-repr path gives 1.01) agrees on ties; going through
+    ``Decimal(repr(x))`` reproduces the BigDecimal.valueOf semantics
+    bit-for-bit (ADVICE r5 item 1; verified on 1.005/0.285/negatives in
+    tests/test_typed_state.py)."""
     import math
+    from decimal import ROUND_HALF_UP, Decimal
 
-    return math.copysign(math.floor(abs(x) * 100 + 0.5) / 100, x)
+    if not math.isfinite(x):  # Spark's Round passes NaN/±inf through
+        return x
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+    )
 
 
 def _sessions_pdf(pd, user_id: int, rows: list):
