@@ -903,3 +903,25 @@ def test_grid_self_join_correctness_and_plan(spark):
     assert "ShuffledHashJoin" in final and "Broadcast" not in final
     assert final.count("Generate explode") == 2  # both sides √cells×
     assert "_gi" in final and "_gj" in final
+
+
+def test_bm25_topk_plan_is_two_scans_zero_shuffles(spark):
+    """Round 6: BM25 must keep its explode-free shape — per-term tf as
+    vectorized size(filter(...)) columns, corpus stats folded into ONE
+    1-row broadcast aggregate, top-k via TakeOrderedAndProject. Zero
+    hash exchanges, zero Generate, zero Python — the whole query is
+    two scans and per-partition heaps."""
+    from wd2duckdb_spark.functions.text import q_bm25_topk
+    from wd2duckdb_spark.plans import explain_str, plan_summary
+
+    df = q_bm25_topk(spark, SF_DIR)
+    s = plan_summary(df)
+    assert s["python_udf"] == 0
+    assert s["generate"] == 0  # explode-free tf
+    assert s["take_ordered"] == 1  # no global sort
+    assert s["sort_merge_join"] == 0 and s["shuffled_hash_join"] == 0
+    p = explain_str(df, "simple")
+    # the only exchange is the 1-row stats broadcast (+ its single
+    # partial/final agg pair) — no hashpartitioning anywhere
+    assert "Exchange hashpartitioning" not in p, p
+    assert s["nested_loop_join"] == 1  # 1-row stats cross join only

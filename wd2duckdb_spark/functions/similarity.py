@@ -1464,7 +1464,35 @@ ORACLES["hard_negative_mining"] = f"""
 """
 
 
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF scale path against the exact brute-force
+    top-10 — the standard ANN quality eval a pipeline runs before
+    trusting an approximate index (recall/latency is THE tradeoff
+    knob: nprobe up → recall up, scan fraction up). One row:
+    (k, n_hits, recall).
+
+    Composes the two existing oracle-exact queries and intersects
+    their id sets — both inputs are 10-row frames, so the join is a
+    trivial broadcast; all corpus-scale work happens inside the two
+    composed plans (each already audited: write-time cell pruning for
+    IVF, one scan + TakeOrdered for brute force). Determinism is
+    inherited: integer id-set intersection of two already-exact
+    results."""
+    bf = q_ann_bruteforce_topk(spark, sf_dir).select("vec_id")
+    ivf = q_ivf_ann_topk(spark, sf_dir).select("vec_id")
+    return (
+        bf.join(ivf, "vec_id")
+        .agg(F.count("*").alias("n_hits"))
+        .select(
+            F.lit(10).alias("k"),
+            "n_hits",
+            (F.col("n_hits") / F.lit(10.0)).alias("recall"),
+        )
+    )
+
+
 QUERIES = {
+    "ann_recall_eval": q_ann_recall_eval,
     "pq_adc_topk": q_pq_adc_topk,
     "hard_negative_mining": q_hard_negative_mining,
     "embedding_pq_codes": q_embedding_pq_codes,
@@ -1480,3 +1508,14 @@ QUERIES = {
 
 ORACLES["kmeans_lloyd"] = _kmeans_oracle()
 ORACLES["semantic_dedup"] = _semantic_dedup_oracle()
+# recall@10 composes the two component oracles verbatim as
+# subqueries, so the eval's ground truth can never drift from the
+# queries it evaluates
+ORACLES["ann_recall_eval"] = f"""
+    SELECT 10 AS k,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           count(*) / 10.0 AS recall
+    FROM (SELECT vec_id FROM ({ORACLES["ann_bruteforce_topk"]})) bf
+    JOIN (SELECT vec_id FROM ({ORACLES["ivf_ann_topk"]})) ivf
+    USING (vec_id)
+"""

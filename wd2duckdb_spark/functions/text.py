@@ -324,6 +324,108 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+#: Fixed BM25 query-term set (alphabetical — the per-doc score is
+#: folded in this order so float addition order is engine-identical).
+#: Drawn from the synthetic generator's core vocabulary so every
+#: fixture SF matches; a production caller parameterizes this list.
+BM25_TERMS = ("merge", "scan", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the corpus for a fixed query-term set —
+    the canonical lexical-search scorer (Robertson/Sparck Jones; the
+    Lucene ``(N - df + 0.5)/(df + 0.5) + 1`` idf form so it is always
+    positive), returning the top-``BM25_TOPK`` docs. This is the
+    text-side sibling of the ANN tier: a training-data pipeline uses
+    it for targeted corpus retrieval (find docs about X), relevance
+    labeling, and search-quality evals.
+
+    Plan shape (the 100 TB posture): EXPLODE-FREE — per-term tf is a
+    vectorized ``size(filter(tokens, = term))`` column, so the whole
+    query is exactly TWO corpus scans and ZERO wide shuffles: scan 1
+    folds (N, avgdl, df per term) into ONE map-side-combinable 1-row
+    aggregate; scan 2 scores matched docs against that broadcast row
+    and feeds ``orderBy().limit()`` → TakeOrderedAndProject
+    (per-partition heaps, no full sort, no groupBy). The naive
+    explode→groupBy(word) formulation was measured at 3 scans + 4
+    hash exchanges, and its word-keyed stages shuffle all matched
+    rows onto K partitions — a built-in skew at corpus scale.
+
+    Cross-engine determinism (the repo's floor-normalization
+    contract): avgdl and idf are floor6-snapped after the division/
+    ``ln`` (libm-vs-JVM last-ulp guard), each term's contribution is
+    floor6-snapped, and the per-doc sum folds the K contributions in
+    FIXED alphabetical term order — never a float sum in shuffle
+    arrival order. Final score floor4. NULL text is excluded
+    symmetrically.
+    """
+    d = tbl(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split(F.lower(F.trim("text")), " ")
+    f6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+
+    def _tf(term: str) -> Column:
+        # NOTE: F.filter dispatches on lambda ARITY (two params means
+        # (element, index)) — close over the term via a def, never a
+        # default-arg lambda
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    tfs = d.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(BM25_TERMS)],
+    )
+    stats = tfs.agg(
+        F.count("*").alias("n_docs"),
+        f6(F.avg("dl")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    matched = tfs.filter(
+        " OR ".join(f"tf_{i} > 0" for i in range(len(BM25_TERMS)))
+    ).crossJoin(F.broadcast(stats))
+
+    total = F.lit(0.0)
+    n_terms = F.lit(0)
+    for i in range(len(BM25_TERMS)):  # fixed alphabetical fold order
+        tf = F.col(f"tf_{i}")
+        idf = f6(
+            F.log(
+                (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+                / (F.col(f"df_{i}") + F.lit(0.5))
+                + F.lit(1.0)
+            )
+        )
+        c = f6(
+            idf
+            * (tf * F.lit(BM25_K1 + 1.0))
+            / (
+                tf
+                + F.lit(BM25_K1)
+                * (
+                    F.lit(1.0)
+                    - F.lit(BM25_B)
+                    + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+                )
+            )
+        )
+        total = total + F.when(tf > 0, c).otherwise(F.lit(0.0))
+        n_terms = n_terms + (tf > 0).cast("int")
+    return (
+        matched.select(
+            "doc_id",
+            n_terms.alias("n_terms"),
+            (F.floor(total * 1e4 + F.lit(0.5)) / 1e4).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
 def q_vocab_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source vocabulary statistics: Shannon entropy of the word
     frequency distribution, vocabulary size, and type-token ratio —
@@ -894,7 +996,59 @@ ORACLES["quality_threshold_sweep"] = f"""
     ORDER BY threshold
 """
 
+ORACLES["bm25_topk"] = """
+    WITH tfs AS (
+        SELECT doc_id,
+               len(ws) AS dl,
+               len(list_filter(ws, x -> x = 'merge')) AS tf0,
+               len(list_filter(ws, x -> x = 'scan')) AS tf1,
+               len(list_filter(ws, x -> x = 'window')) AS tf2
+        FROM (
+            SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+            FROM documents WHERE text IS NOT NULL
+        )
+    ), stats AS (
+        SELECT count(*) AS n_docs,
+               floor(avg(dl) * 1e6 + 0.5) / 1e6 AS avgdl,
+               sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+               sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+               sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        FROM tfs
+    ), scored AS (
+        SELECT doc_id,
+               (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END
+                + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
+                + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS n_terms,
+               (CASE WHEN tf0 > 0 THEN
+                    floor(floor(ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0)
+                                * 1e6 + 0.5) / 1e6
+                          * (tf0 * 2.2)
+                          / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                          * 1e6 + 0.5) / 1e6 ELSE 0.0 END
+                + CASE WHEN tf1 > 0 THEN
+                    floor(floor(ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0)
+                                * 1e6 + 0.5) / 1e6
+                          * (tf1 * 2.2)
+                          / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                          * 1e6 + 0.5) / 1e6 ELSE 0.0 END
+                + CASE WHEN tf2 > 0 THEN
+                    floor(floor(ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0)
+                                * 1e6 + 0.5) / 1e6
+                          * (tf2 * 2.2)
+                          / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                          * 1e6 + 0.5) / 1e6 ELSE 0.0 END) AS raw
+        FROM tfs CROSS JOIN stats
+        WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+    )
+    SELECT doc_id, CAST(n_terms AS INT) AS n_terms,
+           floor((0.0 + raw) * 1e4 + 0.5) / 1e4 AS score
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+"""
+
 QUERIES = {
+    "bm25_topk": q_bm25_topk,
     "inverted_index": q_inverted_index,
     "quality_threshold_sweep": q_quality_threshold_sweep,
     "redact_pii": q_redact_pii,
