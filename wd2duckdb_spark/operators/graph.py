@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wd2duckdb_spark.catalog import tbl
+from wd2duckdb_spark.catalog import eager_checkpoint, tbl
 
 
 def q_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,7 +182,7 @@ def q_pagerank_topk(
             and (i + 1) % checkpoint_interval == 0
             and i + 1 < PR_ITERS
         ):
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = eager_checkpoint(ranks)
     return (
         ranks.select(
             F.col("id").alias("node_id"), F.round("rank", 6).alias("rank")
@@ -479,7 +479,7 @@ def q_shortest_path_bounded(
             and (i + 1) % checkpoint_interval == 0
             and i + 1 < SP_ITERS
         ):
-            dist = dist.localCheckpoint(eager=True)
+            dist = eager_checkpoint(dist)
     return dist.select(
         F.col("node").alias("node_id"),
         (F.floor(F.col("dist") * 1e6 + F.lit(0.5)) / 1e6).alias("dist"),
