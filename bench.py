@@ -63,6 +63,8 @@ HEADLINE = (
     # round-3 addition: the SemDeDup composition (cluster + salted
     # in-cluster cosine prune)
     "semantic_dedup",
+    # round-6 addition: lexical retrieval (explode-free BM25 top-k)
+    "bm25_topk",
 )
 
 
