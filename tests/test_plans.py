@@ -925,3 +925,24 @@ def test_bm25_topk_plan_is_two_scans_zero_shuffles(spark):
     # partial/final agg pair) — no hashpartitioning anywhere
     assert "Exchange hashpartitioning" not in p, p
     assert s["nested_loop_join"] == 1  # 1-row stats cross join only
+
+
+def test_source_overlap_matrix_plan_one_pass_sets(spark):
+    """Round 6: the contamination matrix must keep its one-pass shape —
+    grams aggregate straight into per-shingle collect_set (map-side
+    combine caps hot shingles at S sources per task); pair expansion is
+    an in-row array transform, never a shingle-keyed self-join. No wide
+    joins, no Python; the heavy exchange is shared via ReuseExchange."""
+    import re
+
+    from wd2duckdb_spark.functions.dedup import q_source_overlap_matrix
+    from wd2duckdb_spark.plans import plan_summary
+
+    df = q_source_overlap_matrix(spark, SF_DIR)
+    s = plan_summary(df)
+    assert s["python_udf"] == 0
+    assert s["sort_merge_join"] == 0 and s["shuffled_hash_join"] == 0
+    assert s["generate"] >= 2  # shingle explode + pair expansion
+    df.collect()  # AQE-final plan carries the exchange reuse
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall("ReusedExchange", plan)) >= 1, plan

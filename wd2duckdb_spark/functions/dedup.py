@@ -643,6 +643,104 @@ def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source contamination matrix: for every source
+    pair (a < b), the number of distinct word-3-gram shingles they
+    share and the Jaccard similarity of their shingle sets — the
+    audit a pipeline runs before treating sources as independent
+    splits (train/eval leakage across crawls, mirrored sites, syndicated
+    content). The pairwise generalization of ``ngram_decontaminate``'s
+    one-benchmark check; pairs sharing nothing are absent.
+
+    Scale shape — ONE corpus-wide shuffle, no shingle-keyed join: the
+    exploded grams aggregate straight into per-shingle
+    ``collect_set(source)`` (map-side partial sets are capped at S
+    elements, so a stopword-grade shingle appearing in millions of
+    docs ships ≤ S values per map task — the combiner kills the skew a
+    self-join on ``shingle`` would eat); pair counts and per-source
+    set sizes are then derived from the tiny (|vocab| × ≤S) sets
+    frame, with pair expansion bounded by S·(S-1)/2 per shingle (S =
+    #sources: crawls/datasets, a small constant). The naive
+    formulation — DISTINCT then self-join on shingle — evaluates the
+    corpus subtree three times and was rewritten away. At thousands
+    of sources, swap the exact intersection for per-source MinHash
+    sketches (operators/sketches.py) — same matrix, sketch merge
+    instead of set expansion.
+
+    Determinism: integer counts; jaccard = floor4 of a bigint/bigint
+    double division — bit-identical cross-engine. NULL sources never
+    pair (collect_set drops NULLs; the oracle's strict ``<`` likewise)
+    and NULL/short texts shingle to nothing, symmetrically.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    # inline the shingle transform into the explode (the _shingled_docs
+    # Generate-pushdown discipline: projected separately, Catalyst
+    # re-expands it below the exchange and evaluates it twice)
+    toks = (
+        d.repartition(
+            d.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
+        .select(
+            "source",
+            F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks"),
+        )
+        .filter(F.size("toks") >= 3)
+    )
+    sets = (
+        toks.select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2),"
+                    " i -> concat_ws(' ', element_at(toks, i),"
+                    " element_at(toks, i + 1), element_at(toks, i + 2)))"
+                )
+            ).alias("shingle"),
+        )
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+    )
+    sizes = (
+        sets.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
+    pairs = (
+        sets.filter(F.size("srcs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (x, i) ->"
+                    " transform(slice(srcs, i + 2, size(srcs)),"
+                    " y -> named_struct('src_a', x, 'src_b', y))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    na = F.broadcast(
+        sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    )
+    nb = F.broadcast(
+        sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    )
+    jac = F.col("n_shared") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    )
+    return (
+        pairs.join(na, "src_a")
+        .join(nb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            (F.floor(jac * 1e4 + F.lit(0.5)) / 1e4).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
 #: Exact embedding near-dup: block-partitioned GEMM parameters.  The
 #: corpus is hashed into EMB_BLOCKS groups; every unordered block pair
 #: becomes one task computing a (|bi| x |bj|) cosine Gram matrix in
@@ -1163,6 +1261,34 @@ ORACLES: dict[str, str] = {
         FROM agg
         ORDER BY doc_id
     """,
+    "source_overlap_matrix": """
+        WITH g AS (
+            SELECT DISTINCT source,
+                   unnest(list_transform(
+                       range(1, len(string_split(lower(trim(text)), ' ')) - 1),
+                       i -> string_split(lower(trim(text)), ' ')[i] || ' ' ||
+                            string_split(lower(trim(text)), ' ')[i + 1] || ' ' ||
+                            string_split(lower(trim(text)), ' ')[i + 2]
+                   )) AS shingle
+            FROM documents
+            WHERE len(string_split(lower(trim(text)), ' ')) >= 3
+        ), sizes AS (
+            SELECT source, count(*) AS n FROM g GROUP BY source
+        ), pairs AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   count(*) AS n_shared
+            FROM g a JOIN g b
+              ON a.shingle = b.shingle AND a.source < b.source
+            GROUP BY a.source, b.source
+        )
+        SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+               floor(CAST(n_shared AS DOUBLE)
+                     / (sa.n + sb.n - n_shared) * 1e4 + 0.5) / 1e4 AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.source = pairs.src_a
+        JOIN sizes sb ON sb.source = pairs.src_b
+        ORDER BY src_a, src_b
+    """,
     "ngram_jaccard": f"""
         WITH s AS (
             SELECT doc_id, {word_shingles_expr(3)} AS sh
@@ -1215,6 +1341,7 @@ QUERIES = {
     "lsh_keep_list": q_lsh_keep_list,
     "dedup_exact": q_dedup_exact,
     "simhash": q_simhash,
+    "source_overlap_matrix": q_source_overlap_matrix,
     "ngram_jaccard": q_ngram_jaccard,
     "ngram_decontaminate": q_ngram_decontaminate,
     "embedding_neardup": q_embedding_neardup,
