@@ -643,6 +643,137 @@ def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_stage_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup attrition funnel: how many documents survive
+    the EXACT stage (content-hash keep-min), then the NEAR-DUP stage
+    (LSH bucket keep-min over the exact survivors) — the stage-by-stage
+    accounting report a pipeline owner reads to see where each source's
+    volume goes and whether a source is dominated by boilerplate
+    (large exact drop) or templated near-copies (large near-dup drop).
+    Stages compose in pipeline order: near-dup runs on EXACT SURVIVORS
+    only, exactly as dedup executes in production (no point fuzzily
+    comparing byte-identical copies).
+
+    Plan: the exact stage is one window over the md5 content key (one
+    uniform-key shuffle); the near-dup stage reuses :func:`band_keys`
+    over the survivors (the batch/stream-shared signature pipeline)
+    plus the bucket-min window; the flags then aggregate per source.
+    Every shuffle is corpus-linear on a high-cardinality key; the dup
+    id set joins back on doc_id.
+
+    Counts are integers — oracle-exact by construction. NULL text rows
+    share one content group (md5(NULL) groups together in both
+    engines) and emit no band keys, symmetrically.
+    """
+    from pyspark.sql import Window
+
+    d = tbl(spark, sf_dir, "documents")
+    ckey = F.md5(F.lower(F.trim("text")))
+    flags = d.withColumn(
+        "_mn", F.min("doc_id").over(Window.partitionBy(ckey))
+    ).withColumn("keep_exact", F.col("doc_id") == F.col("_mn"))
+    survivors = flags.filter("keep_exact").select(
+        "doc_id", "text", "source"
+    )
+    w = Window.partitionBy("band", "key")
+    near_dups = (
+        band_keys(survivors)
+        .withColumn("_bmn", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") > F.col("_bmn"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_neardup", F.lit(True))
+    )
+    return (
+        flags.join(near_dups, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep_exact").cast("int"))
+            .cast("bigint")
+            .alias("n_exact_kept"),
+            F.sum(
+                (
+                    F.col("keep_exact") & F.col("is_neardup").isNull()
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_neardup_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+def _source_shingles(d: DataFrame) -> DataFrame:
+    """documents → (source, shingle) exploded word-3-grams — the
+    source-keyed sibling of :func:`_shingled_docs` (same tokenize →
+    inline-explode discipline; NOT per-doc-distinct, which both
+    consumers tolerate: collect_set and min are duplicate-invariant)."""
+    toks = (
+        d.repartition(
+            d.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
+        .select(
+            "source",
+            F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks"),
+        )
+        .filter(F.size("toks") >= 3)
+    )
+    return toks.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 2),"
+                " i -> concat_ws(' ', element_at(toks, i),"
+                " element_at(toks, i + 1), element_at(toks, i + 2)))"
+            )
+        ).alias("shingle"),
+    )
+
+
+def q_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-sketch estimate of the cross-source contamination
+    matrix — the documented scale path of
+    :func:`q_source_overlap_matrix` made real: each source is reduced
+    to ONE k=8 MinHash signature over its shingle set, and every pair's
+    Jaccard is estimated as the fraction of agreeing components. Where
+    the exact matrix ships sets (bounded by S per shingle but still a
+    corpus-sized aggregate), the sketch ships S×k longs TOTAL — at
+    thousands of sources the matrix becomes a driver-trivial
+    sketch-to-sketch compare, and signatures are mergeable (min) so
+    they maintain incrementally as new shards land.
+
+    Estimate granularity is 1/k (coarse by design — k=8 matches the
+    doc-level MinHash tier); the EXACT matrix is the ground-truth twin.
+    Unlike the exact matrix, every co-shingled source pair appears,
+    including 0-agreement pairs (the sketch can't distinguish "no
+    overlap" from "overlap below 1/k").
+
+    Determinism: the signature is the same md5-derived minhash family
+    as the doc tier (one md5 → four 32-bit lanes), so the oracle
+    reproduces it bit-for-bit; the estimate is n_match/8.0 — an exact
+    binary fraction, no rounding needed. Sources whose every doc has
+    <3 tokens have no shingle set and are absent, symmetrically.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    sig = _source_shingles(d).groupBy("source").agg(*_minhash_cols())
+    a, b = sig.alias("a"), sig.alias("b")
+    n_match = sum(
+        (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int")
+        for i in range(N_MINHASH)
+    )
+    return (
+        a.join(b, F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            n_match.alias("n_match"),
+            (n_match / F.lit(float(N_MINHASH))).alias("est_jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
 def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise cross-source contamination matrix: for every source
     pair (a < b), the number of distinct word-3-gram shingles they
@@ -673,30 +804,8 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     and NULL/short texts shingle to nothing, symmetrically.
     """
     d = tbl(spark, sf_dir, "documents")
-    # inline the shingle transform into the explode (the _shingled_docs
-    # Generate-pushdown discipline: projected separately, Catalyst
-    # re-expands it below the exchange and evaluates it twice)
-    toks = (
-        d.repartition(
-            d.sparkSession.sparkContext.defaultParallelism, "doc_id"
-        )
-        .select(
-            "source",
-            F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks"),
-        )
-        .filter(F.size("toks") >= 3)
-    )
     sets = (
-        toks.select(
-            "source",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(toks) - 2),"
-                    " i -> concat_ws(' ', element_at(toks, i),"
-                    " element_at(toks, i + 1), element_at(toks, i + 2)))"
-                )
-            ).alias("shingle"),
-        )
+        _source_shingles(d)
         .groupBy("shingle")
         .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
     )
@@ -875,6 +984,24 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") > thr)
         .select("a_id", "b_id", "cosine")
         .orderBy("a_id", "b_id")
+    )
+
+
+def _minhash_hashes_sql() -> str:
+    """The h0..h7 minhash aggregate list of :func:`_minhash_sql_cte`,
+    exposed separately so source-keyed oracles can GROUP BY source."""
+    return ", ".join(
+        f"min(('0x' || substr(md5('{i // 4}|' || shingle), {1 + 8 * (i % 4)}, 8))"
+        f"::BIGINT) AS h{i}"
+        for i in range(N_MINHASH)
+    )
+
+
+def _sig_matches_sql() -> str:
+    """Component-agreement count between two aliased signatures."""
+    return " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END"
+        for i in range(N_MINHASH)
     )
 
 
@@ -1261,6 +1388,55 @@ ORACLES: dict[str, str] = {
         FROM agg
         ORDER BY doc_id
     """,
+    "dedup_stage_attrition": f"""
+        WITH ek AS (
+            SELECT doc_id, source, text,
+                   min(doc_id) OVER (
+                       PARTITION BY md5(lower(trim(text)))) AS mn
+            FROM documents
+        ), surv AS (
+            SELECT doc_id, source, text FROM ek WHERE doc_id = mn
+        ), shingled AS (
+            SELECT doc_id, unnest({word_shingles_expr(3)}) AS shingle
+            FROM surv
+            WHERE len(string_split(lower(trim(text)), ' ')) >= 3
+        ), sig AS (
+            SELECT doc_id, {_minhash_hashes_sql()} FROM shingled
+            GROUP BY doc_id
+        ), bands AS (
+            {" UNION ALL ".join(f"SELECT doc_id, {b} AS band," f" md5(CAST(h{2*b} AS VARCHAR) || ',' || CAST(h{2*b+1} AS VARCHAR))" f" AS key FROM sig" for b in range(N_BANDS))}
+        ), dups AS (
+            SELECT DISTINCT b.doc_id
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key
+             AND a.doc_id < b.doc_id
+        )
+        SELECT ek.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN ek.doc_id = ek.mn THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_exact_kept,
+               CAST(sum(CASE WHEN ek.doc_id = ek.mn
+                             AND dups.doc_id IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_neardup_kept
+        FROM ek LEFT JOIN dups ON ek.doc_id = dups.doc_id
+        GROUP BY ek.source
+        ORDER BY ek.source
+    """,
+    "source_overlap_sketch": f"""
+        WITH shingled AS (
+            SELECT source, unnest({word_shingles_expr(3)}) AS shingle
+            FROM documents
+            WHERE len(string_split(lower(trim(text)), ' ')) >= 3
+        ), sig AS (
+            SELECT source, {_minhash_hashes_sql()} FROM shingled
+            GROUP BY source
+        )
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(({_sig_matches_sql()}) AS INT) AS n_match,
+               ({_sig_matches_sql()}) / 8.0 AS est_jaccard
+        FROM sig a JOIN sig b ON a.source < b.source
+        ORDER BY src_a, src_b
+    """,
     "source_overlap_matrix": """
         WITH g AS (
             SELECT DISTINCT source,
@@ -1341,6 +1517,8 @@ QUERIES = {
     "lsh_keep_list": q_lsh_keep_list,
     "dedup_exact": q_dedup_exact,
     "simhash": q_simhash,
+    "dedup_stage_attrition": q_dedup_stage_attrition,
+    "source_overlap_sketch": q_source_overlap_sketch,
     "source_overlap_matrix": q_source_overlap_matrix,
     "ngram_jaccard": q_ngram_jaccard,
     "ngram_decontaminate": q_ngram_decontaminate,
