@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from wd2duckdb_spark.catalog import tbl
+from wd2duckdb_spark.catalog import register_memo, session_key, tbl
 
 #: Context-window capacity (tokens) for q_pack_sequences. Small because
 #: the synthetic docs average ~55 tokens; the operator is
@@ -507,20 +507,49 @@ def q_quality_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually separates — the learning dynamics, not just the
     arithmetic.
     """
+    return (
+        _lr_scored(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.floor(F.avg("score") * 1e4 + F.lit(0.5)) / 1e4).alias(
+                "mean_score"
+            ),
+            F.sum(F.when(F.col("score") < 0.5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+#: (applicationId, sf_dir) → trained [w0..w3] — the train-once memo:
+#: the GD loop runs LR_ITERS corpus aggregates once per application
+#: per fixture dir, and every consumer (the per-source score report,
+#: the calibration audit) scores against the SAME weights — exactly
+#: how a production pipeline treats a trained filter (an upstream
+#: artifact, not a per-query cost). Four floats per entry; released by
+#: catalog.clear_memos() like every other memo.
+_lr_w_memo: dict = register_memo({})
+
+
+def _lr_weights(spark: SparkSession, sf_dir: str) -> list[float]:
+    """Train the weak-label LR once per (application, sf_dir) and memo
+    the 4 weights. Each GD step is ONE map-side-combinable corpus
+    aggregate + a 4-float driver collect; the feature frame is
+    persisted for the loop's duration and unpersisted in the finally
+    (VERDICT r5 item 2 — 1 corpus scan + LR_ITERS cached-column scans,
+    no CacheManager entry outlives the loop)."""
     import math
 
-    feats = _lr_features(tbl(spark, sf_dir, "documents"))
-    pf6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    key = (session_key(spark), sf_dir)
+    if key in _lr_w_memo:
+        return _lr_w_memo[key]
 
+    pf6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
     w = [0.0, 0.0, 0.0, 0.0]
     xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
-    # the GD loop drives LR_ITERS actions over the SAME 4-column frame;
-    # without a persist each gradient step re-scans the corpus and
-    # re-derives the regex ratios (VERDICT r5 item 2: 5 full corpus
-    # scans where 1 + 4 cached-column scans do). Transient cache only —
-    # unpersisted in the finally, so no CacheManager entry outlives the
-    # training loop (the cache-clean discipline of VERDICT r4 item 2).
-    feats = feats.persist()
+    feats = _lr_features(tbl(spark, sf_dir, "documents")).persist()
     try:
         for _ in range(LR_ITERS):
             z = (
@@ -541,11 +570,20 @@ def q_quality_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).first()
             w = [pf6(w[j] + LR_ETA * g[j]) for j in range(4)]
     finally:
-        # blocking=False: the returned scoring frame below recomputes
-        # from the parquet source (one fresh scan) — the cache served
-        # only the loop's actions
+        # the consumers' scoring frames recompute from the parquet
+        # source (one fresh scan each) — the cache served the loop only
         feats.unpersist()
+    _lr_w_memo[key] = w
+    return w
 
+
+def _lr_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, y, score): every document scored by the memoized
+    trained filter — the shared input of the per-source report and
+    the calibration audit. Lazy single-scan frame; score is the
+    floor4-snapped σ(floor4(margin)) of the oracle contract."""
+    w = _lr_weights(spark, sf_dir)
+    feats = _lr_features(tbl(spark, sf_dir, "documents"))
     z = (
         F.lit(w[0])
         + F.lit(w[1]) * F.col("x1")
@@ -556,19 +594,37 @@ def q_quality_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.floor(
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-z4))) * 1e4 + F.lit(0.5)
     ) / 1e4
+    return feats.select("source", "y", score.alias("score"))
+
+
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the trained quality filter: bucket the
+    predicted P(target-language) into deciles and compare, per bucket,
+    the mean predicted score against the ACTUAL label rate — the
+    reliability-diagram table every model-based data filter should
+    ship with (a filter that says 0.8 must be right ~80% of the time,
+    or its threshold is meaningless). Shares the train-once weight
+    memo with ``quality_lr_score``, so the two reports can never
+    disagree about the model.
+
+    One scan + one ≤10-group aggregate; bucket = least(floor(10·s), 9)
+    so a perfect 1.0 lands in the top decile. All outputs floor4 /
+    integer — oracle-exact.
+    """
+    s = _lr_scored(spark, sf_dir)
+    bucket = F.least(F.floor(F.col("score") * 10), F.lit(9)).cast("int")
     return (
-        feats.withColumn("score", score)
-        .groupBy("source")
+        s.groupBy(bucket.alias("bucket"))
         .agg(
             F.count("*").alias("n_docs"),
             (F.floor(F.avg("score") * 1e4 + F.lit(0.5)) / 1e4).alias(
                 "mean_score"
             ),
-            F.sum(F.when(F.col("score") < 0.5, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_flagged"),
+            (F.floor(F.avg("y") * 1e4 + F.lit(0.5)) / 1e4).alias(
+                "pos_rate"
+            ),
         )
-        .orderBy("source")
+        .orderBy("bucket")
     )
 
 
@@ -619,7 +675,7 @@ def _lr_oracle() -> str:
                       CAST(0 AS DOUBLE) AS c, CAST(0 AS DOUBLE) AS d),
         {chained},
         scored AS (
-            SELECT source, {score4} AS score
+            SELECT source, y, {score4} AS score
             FROM feats CROSS JOIN w{LR_ITERS}
         )
         SELECT source,
@@ -632,7 +688,28 @@ def _lr_oracle() -> str:
     """
 
 
+def _lr_calibration_oracle() -> str:
+    """Calibration twin: the SAME unrolled training-and-scoring CTE
+    prefix as :func:`_lr_oracle` (shared via the common ``scored``
+    construction, so the model cannot drift between the two reports),
+    bucketed into deciles."""
+    prefix = _lr_oracle()
+    prefix = prefix[: prefix.rindex("SELECT source,")]
+    return (
+        prefix
+        + """SELECT CAST(least(floor(score * 10), 9) AS INT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               floor(avg(score) * 1e4 + 0.5) / 1e4 AS mean_score,
+               floor(avg(y) * 1e4 + 0.5) / 1e4 AS pos_rate
+        FROM scored
+        GROUP BY bucket
+        ORDER BY bucket
+    """
+    )
+
+
 QUERIES = {
+    "quality_calibration": q_quality_calibration,
     "quality_lr_score": q_quality_lr_score,
     "shard_manifest": q_shard_manifest,
     "source_mix_weights": q_source_mix_weights,
@@ -645,6 +722,7 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {
+    "quality_calibration": _lr_calibration_oracle(),
     "quality_lr_score": _lr_oracle(),
     "source_mix_weights": """
         WITH per_src AS (
