@@ -1296,3 +1296,73 @@ def test_neardup_ingest_midband_probe_still_prunes(spark, tmp_path, monkeypatch)
     got = sorted(r.doc_id for r in probe.collect())
     unpruned = sorted(r.doc_id for r in _history_dups(bands, seen).collect())
     assert got == unpruned == [100]
+
+
+def test_source_signature_stream_matches_batch_twin(spark, tmp_path):
+    """Round 6: per-source MinHash signatures maintained incrementally
+    by the stream (per-batch partials, component-wise min on read)
+    must equal the batch tier's signatures over the full corpus —
+    min is a lossless merge for MinHash — and the overlap estimates
+    derived from them must equal q_source_overlap_sketch. Also pins
+    replay idempotence: re-writing a batch partition leaves the merge
+    unchanged (min is idempotent)."""
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.functions.dedup import (
+        _minhash_cols,
+        _source_shingles,
+        q_source_overlap_sketch,
+    )
+    from wd2duckdb_spark.streaming.signatures import (
+        _batch_signatures,
+        source_signature_stream,
+        source_signatures,
+        overlap_from_signatures,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = tbl(spark, SF_DIR, "documents")
+    src, sig_dir, ckpt = (
+        str(tmp_path / d) for d in ("src", "sig", "ckpt")
+    )
+    # two shards so the stream merges across micro-batches
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = source_signature_stream(stream, sig_dir, ckpt)
+    q.awaitTermination(120)
+
+    merged = {
+        tuple(r) for r in source_signatures(spark, sig_dir).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in _source_shingles(docs)
+        .groupBy("source")
+        .agg(*_minhash_cols())
+        .collect()
+    }
+    assert merged == batch and merged
+
+    got = [
+        tuple(r)
+        for r in overlap_from_signatures(
+            source_signatures(spark, sig_dir)
+        ).collect()
+    ]
+    want = [
+        tuple(r) for r in q_source_overlap_sketch(spark, SF_DIR).collect()
+    ]
+    assert got == want
+
+    # double-count safety: an EXTRA partial over already-counted docs
+    # (the worst replay/duplicate-delivery case) cannot corrupt the
+    # merge — min over a superset of partials re-confirms the mins
+    _batch_signatures(spark.read.parquet(src), 99, sig_dir)
+    again = {
+        tuple(r) for r in source_signatures(spark, sig_dir).collect()
+    }
+    assert again == batch

@@ -757,6 +757,14 @@ def q_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = tbl(spark, sf_dir, "documents")
     sig = _source_shingles(d).groupBy("source").agg(*_minhash_cols())
+    return overlap_from_signatures(sig)
+
+
+def overlap_from_signatures(sig: DataFrame) -> DataFrame:
+    """Pairwise contamination estimates from a (source, h0..h7)
+    signature table — shared by the batch query above and the
+    streaming-maintained signatures (streaming/signatures.py), so
+    the estimate semantics cannot drift between tiers."""
     a, b = sig.alias("a"), sig.alias("b")
     n_match = sum(
         (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int")
