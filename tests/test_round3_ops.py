@@ -195,3 +195,30 @@ def test_neardup_keep_best_keeps_longest_with_id_tiebreak(spark, tmp_path, monke
     }
     assert stats == {1: (1, 1), 3: (1, 3)}
     catalog.clear_memos()  # don't leak the synthetic dir's CC memo
+
+
+def test_dedup_stage_attrition_consistent_with_component_queries(spark):
+    """Round 6: the attrition funnel must reconcile with the queries
+    it composes — an independent cross-check on top of its oracle:
+    sum(n_exact_kept) == number of distinct content keys (the row
+    count of dedup_exact), monotonicity n_neardup ≤ n_exact ≤ n_docs
+    per source, and sum(n_docs) == corpus size."""
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_DIR
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.functions.dedup import (
+        q_dedup_exact,
+        q_dedup_stage_attrition,
+    )
+
+    rows = q_dedup_stage_attrition(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_neardup_kept <= r.n_exact_kept <= r.n_docs
+    assert sum(r.n_docs for r in rows) == tbl(
+        spark, SF_DIR, "documents"
+    ).count()
+    assert sum(r.n_exact_kept for r in rows) == q_dedup_exact(
+        spark, SF_DIR
+    ).count()

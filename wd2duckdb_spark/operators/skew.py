@@ -207,6 +207,48 @@ def q_skew_salted_agg(spark, sf_dir: str) -> DataFrame:
     return salted_agg_heavy_hitters(tbl(spark, sf_dir, "events"))
 
 
+def q_hot_keys_report(spark, sf_dir: str) -> DataFrame:
+    """Hot-key skew diagnostic: the top-10 heaviest join/agg keys of
+    the events stream with their row share and their multiple of the
+    MEAN key load — the measurement that decides whether a key needs
+    the salting/grid mitigations in this module before they are paid
+    for (a key at ~1× mean doesn't; a 100× hub does). This is the
+    "measure first" half of skew handling; ``salted_join`` /
+    ``grid_self_join`` / ``salted_agg`` are the treatments.
+
+    Plan: one groupBy(key) count (the exact shuffle whose skew is
+    being measured — at 100 TB swap in the count-min/heavy-hitters
+    sketch for a read-only probe), a 1-row broadcast of
+    (total, n_keys), and a TakeOrderedAndProject top-10. All counts
+    integer; share and skew floor4 of integer ratios — oracle-exact.
+    """
+    from wd2duckdb_spark.catalog import tbl
+
+    e = tbl(spark, sf_dir, "events")
+    counts = e.groupBy(F.col("user_id").alias("key")).agg(
+        F.count("*").alias("n_rows")
+    )
+    stats = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count("*").alias("_nkeys"),
+    )
+    f4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            "n_rows",
+            f4(F.col("n_rows") / F.col("_total")).alias("share"),
+            # n_rows / (total/n_keys) = multiple of the mean key load
+            f4(
+                F.col("n_rows") * F.col("_nkeys") / F.col("_total")
+            ).alias("x_mean"),
+        )
+        .orderBy(F.desc("n_rows"), "key")
+        .limit(10)
+    )
+
+
 ORACLES: dict[str, str] = {
     "skew_salted_agg": """
         SELECT event_type,
@@ -216,8 +258,25 @@ ORACLES: dict[str, str] = {
         GROUP BY event_type
         ORDER BY n_events DESC, event_type
     """,
+    "hot_keys_report": """
+        WITH counts AS (
+            SELECT user_id AS key, count(*) AS n_rows
+            FROM events GROUP BY user_id
+        ), stats AS (
+            SELECT sum(n_rows) AS total, count(*) AS nkeys FROM counts
+        )
+        SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+               floor(CAST(n_rows AS DOUBLE) / total * 1e4 + 0.5) / 1e4
+                   AS share,
+               floor(CAST(n_rows AS DOUBLE) * nkeys / total * 1e4 + 0.5)
+                   / 1e4 AS x_mean
+        FROM counts CROSS JOIN stats
+        ORDER BY n_rows DESC, key
+        LIMIT 10
+    """,
 }
 
 QUERIES = {
     "skew_salted_agg": q_skew_salted_agg,
+    "hot_keys_report": q_hot_keys_report,
 }
