@@ -1,0 +1,178 @@
+"""Round-7 polish: ADVICE r6 fixes + VERDICT r6 ranked items.
+
+Covers:
+- eager_checkpoint re-points the process-global checkpoint dir only on
+  an actual change (ADVICE r6 item 1);
+- the Lloyd cluster-once memo keys on the RESOLVED checkpoint mode so
+  a conf flip re-materializes instead of serving stale local blocks
+  (ADVICE r6 item 2);
+- hot_keys_report NULL-key tie-break matches DuckDB (ADVICE r6 item 3);
+- checkpoint files are reclaimed (or bounded) across clear_memos +
+  re-materialize cycles now that get_spark enables
+  spark.cleaner.referenceTracking.cleanCheckpoints (VERDICT r6 nit 3).
+"""
+
+from __future__ import annotations
+
+import gc
+import os
+import time
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _rdd_ckpt_dirs(root: str) -> set[str]:
+    """rdd-N checkpoint directories anywhere under root."""
+    out = set()
+    for dp, dns, _ in os.walk(root):
+        for d in dns:
+            if d.startswith("rdd-"):
+                out.add(os.path.join(dp, d))
+    return out
+
+
+def test_eager_checkpoint_sets_dir_once_per_resolved_dir(spark, tmp_path):
+    """ADVICE r6 item 1: setCheckpointDir appends a random UUID subdir
+    per call, and the dir is process-global SparkContext state — so
+    eager_checkpoint must re-point only when the resolved dir actually
+    changes. Two calls with the same reliable_dir must land in the
+    SAME context checkpoint dir (UUID subdir stable); a different
+    reliable_dir must re-point."""
+    from wd2duckdb_spark import catalog
+
+    d1 = str(tmp_path / "ckpt_a")
+    d2 = str(tmp_path / "ckpt_b")
+    df = spark.range(10)
+
+    catalog.eager_checkpoint(df, reliable_dir=d1)
+    jctx = spark.sparkContext._jsc.sc()
+    first = jctx.getCheckpointDir().get()
+    catalog.eager_checkpoint(spark.range(20), reliable_dir=d1)
+    assert jctx.getCheckpointDir().get() == first, (
+        "same reliable_dir must not re-point the global checkpoint dir"
+    )
+
+    catalog.eager_checkpoint(spark.range(5), reliable_dir=d2)
+    second = jctx.getCheckpointDir().get()
+    assert second != first
+    assert d2.lstrip("/") in second
+
+    # and back: the memo tracks the LAST dir, not a grow-only set
+    catalog.eager_checkpoint(spark.range(3), reliable_dir=d1)
+    assert d1.lstrip("/") in jctx.getCheckpointDir().get()
+
+
+def test_lloyd_memo_keys_on_checkpoint_mode(spark, tmp_path):
+    """ADVICE r6 item 2: a memo entry materialized under
+    localCheckpoint must NOT be served after the session selects a
+    durable checkpoint dir — the resolved dir is part of the key, so
+    the conf flip re-materializes into the reliable dir."""
+    from wd2duckdb_spark import catalog
+    from wd2duckdb_spark.functions import similarity
+    from wd2duckdb_spark.functions.similarity import (
+        RELIABLE_CKPT_CONF,
+        _lloyd_assignment_materialized,
+    )
+
+    catalog.clear_memos()
+    app = spark.sparkContext.applicationId
+    local_frame = _lloyd_assignment_materialized(spark, SF_DIR)
+    assert (app, SF_DIR, None) in similarity._asg_memo
+
+    ckpt_dir = str(tmp_path / "reliable")
+    spark.conf.set(RELIABLE_CKPT_CONF, ckpt_dir)
+    try:
+        durable_frame = _lloyd_assignment_materialized(spark, SF_DIR)
+        # distinct memo entry, NOT the stale local-blocks frame
+        assert durable_frame is not local_frame
+        assert (app, SF_DIR, ckpt_dir) in similarity._asg_memo
+        assert _rdd_ckpt_dirs(ckpt_dir), (
+            "durable entry must have written reliable checkpoint data"
+        )
+        # identical content either way (deterministic Lloyd)
+        a = sorted(tuple(r) for r in local_frame.collect())
+        b = sorted(tuple(r) for r in durable_frame.collect())
+        assert a == b
+        # repeated call under the same conf rides the memo
+        assert _lloyd_assignment_materialized(spark, SF_DIR) is durable_frame
+    finally:
+        spark.conf.unset(RELIABLE_CKPT_CONF)
+        catalog.clear_memos()
+
+
+def test_hot_keys_report_null_key_tiebreak(spark, tmp_path):
+    """ADVICE r6 item 3: Spark sorts NULLs first on ascending, DuckDB
+    defaults to NULLS LAST — a NULL key group tying at the top-10
+    boundary diverged before the asc_nulls_last fix. Build an events
+    table where the NULL group ties with real keys at the boundary and
+    pin Spark row-for-row to the DuckDB oracle."""
+    from wd2duckdb_spark import catalog
+    from wd2duckdb_spark.operators.skew import ORACLES, q_hot_keys_report
+
+    sf_dir = str(tmp_path / "null_sf")
+    os.makedirs(sf_dir)
+    # 12 user_id groups, ALL with 3 rows each (every boundary is a
+    # tie), one of them NULL — forces the tie-break to decide membership
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for uid in [None, *(f"u{i:02d}" for i in range(11))]:
+        rows.extend([(uid, "click", t0)] * 3)
+    spark.createDataFrame(
+        rows, "user_id string, event_type string, ts timestamp"
+    ).coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+    got = [tuple(r) for r in q_hot_keys_report(spark, sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    want = con.execute(ORACLES["hot_keys_report"]).fetchall()
+    con.close()
+    catalog.clear_memos()  # drop the synthetic sf_dir scan from the cache
+    assert got == want
+    # NULL must NOT have displaced a named key at the boundary
+    assert None not in {k for k, *_ in got}
+
+
+def test_reliable_checkpoints_reclaimed_or_bounded(spark, tmp_path):
+    """VERDICT r6 nit 3: with cleanCheckpoints on (set by get_spark at
+    context construction — asserted here), checkpoint data of
+    GC-unreachable frames is reclaimed by the ContextCleaner. GC
+    timing is nondeterministic, so the hard assertion is BOUNDED
+    accumulation: after N clear_memos + re-materialize cycles and a
+    GC nudge, live rdd-* dirs must be < N (i.e., at least one old
+    snapshot was reclaimed, accumulation is not monotone)."""
+    from wd2duckdb_spark import catalog
+
+    assert (
+        spark.conf.get("spark.cleaner.referenceTracking.cleanCheckpoints")
+        == "true"
+    )
+
+    ckpt_dir = str(tmp_path / "gc_ckpt")
+    cycles = 4
+    for i in range(cycles):
+        df = catalog.eager_checkpoint(
+            spark.range(100 + i), reliable_dir=ckpt_dir
+        )
+        df.count()
+        del df  # drop the only Python reference → py4j detach → JVM GC
+    # nudge: CPython refcount released the Datasets already; ask the
+    # JVM to collect so the ContextCleaner's weak-ref queue drains
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        if len(_rdd_ckpt_dirs(ckpt_dir)) < cycles:
+            break
+        time.sleep(1)
+    remaining = _rdd_ckpt_dirs(ckpt_dir)
+    assert len(remaining) < cycles, (
+        f"no checkpoint snapshot was reclaimed across {cycles} cycles: "
+        f"{sorted(remaining)}"
+    )

@@ -260,7 +260,8 @@ def test_cluster_once_memo_shared_and_clearable(spark):
     catalog.clear_memos()
     assert not similarity._asg_memo
     q_kmeans_lloyd(spark, SF_DIR).count()
-    key = (spark.sparkContext.applicationId, SF_DIR)
+    # memo key includes the RESOLVED checkpoint dir (None = local mode)
+    key = (spark.sparkContext.applicationId, SF_DIR, None)
     assert set(similarity._asg_memo) == {key}
     seeded = similarity._asg_memo[key]
 

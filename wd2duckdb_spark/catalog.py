@@ -80,16 +80,39 @@ def eager_checkpoint(df: DataFrame, reliable_dir: str | None = None) -> DataFram
       directory — blocks on reliable storage survive executor loss.
       Checkpoint files accumulate one snapshot per call (per
       superstep in iterative loops) until application stop unless
-      ``spark.cleaner.referenceTracking.cleanCheckpoints`` is on;
-      size the directory accordingly.
+      ``spark.cleaner.referenceTracking.cleanCheckpoints`` is on
+      (:func:`wd2duckdb_spark.session.get_spark` sets it); size the
+      directory accordingly.
+
+    The checkpoint directory is PROCESS-GLOBAL SparkContext state: a
+    per-call ``reliable_dir`` override re-points it for every other
+    checkpoint user in the application (ADVICE r6). To keep that
+    blast radius minimal, ``setCheckpointDir`` is only issued when
+    the context's current dir actually differs from the resolved one;
+    prefer selecting the dir once per application via
+    :data:`RELIABLE_CKPT_CONF` over per-call overrides.
     """
     spark = df.sparkSession
     if reliable_dir is None:
         reliable_dir = spark.conf.get(RELIABLE_CKPT_CONF, None)
     if reliable_dir:
-        spark.sparkContext.setCheckpointDir(reliable_dir)
+        app = session_key(spark)
+        # setCheckpointDir appends a random UUID subdir, so the
+        # context's getCheckpointDir can't be string-compared against
+        # the requested dir; remember what WE set per application and
+        # only re-point on an actual change.
+        if _ckpt_dir_set.get(app) != reliable_dir:
+            spark.sparkContext.setCheckpointDir(reliable_dir)
+            _ckpt_dir_set[app] = reliable_dir
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+#: applicationId → last checkpoint dir set by :func:`eager_checkpoint`
+#: (NOT in the memo registry: clear_memos() invalidates fixture-derived
+#: frames, but the context's checkpoint dir setting survives — clearing
+#: this map would only trigger a redundant re-set, not fix anything).
+_ckpt_dir_set: dict[str, str] = {}
 
 
 #: (applicationId, sf_dir, name) → DataFrame. A DataFrame is an

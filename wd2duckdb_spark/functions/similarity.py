@@ -1131,11 +1131,18 @@ def _lloyd_assignment_materialized(
       blocks live on reliable storage and survive executor loss.
       Checkpoint files are reclaimed at application stop (or by
       ``spark.cleaner.referenceTracking.cleanCheckpoints``); the memo
-      itself is still released by catalog.clear_memos()."""
-    key = (session_key(spark), sf_dir)
+      itself is still released by catalog.clear_memos().
+
+    The RESOLVED checkpoint mode is part of the memo key (ADVICE r6):
+    a memo populated under localCheckpoint must not be silently served
+    to a consumer that has since selected a durable dir — the entry
+    would keep pointing at non-fault-tolerant executor blocks. A mode
+    change therefore re-materializes (one extra Lloyd run) instead of
+    requiring a manual clear_memos()."""
+    if reliable_dir is None:
+        reliable_dir = spark.conf.get(RELIABLE_CKPT_CONF, None)
+    key = (session_key(spark), sf_dir, reliable_dir)
     if key not in _asg_memo:
-        if reliable_dir is None:
-            reliable_dir = spark.conf.get(RELIABLE_CKPT_CONF, None)
         vecs, asg = _lloyd_assignment(spark, sf_dir)
         try:
             _asg_memo[key] = eager_checkpoint(asg, reliable_dir)

@@ -244,7 +244,11 @@ def q_hot_keys_report(spark, sf_dir: str) -> DataFrame:
                 F.col("n_rows") * F.col("_nkeys") / F.col("_total")
             ).alias("x_mean"),
         )
-        .orderBy(F.desc("n_rows"), "key")
+        # asc_nulls_last + explicit NULLS LAST in the oracle: Spark
+        # sorts NULLs FIRST on ascending while DuckDB defaults to
+        # NULLS LAST, so a NULL key group tying at the top-10 boundary
+        # would otherwise diverge cross-engine (ADVICE r6).
+        .orderBy(F.desc("n_rows"), F.asc_nulls_last("key"))
         .limit(10)
     )
 
@@ -271,7 +275,7 @@ ORACLES: dict[str, str] = {
                floor(CAST(n_rows AS DOUBLE) * nkeys / total * 1e4 + 0.5)
                    / 1e4 AS x_mean
         FROM counts CROSS JOIN stats
-        ORDER BY n_rows DESC, key
+        ORDER BY n_rows DESC, key ASC NULLS LAST
         LIMIT 10
     """,
 }

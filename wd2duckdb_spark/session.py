@@ -64,6 +64,15 @@ def get_spark(
         # lets sources/pydatasource.py reject lines source-side.
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Reclaim reliable df.checkpoint() files once their RDD is
+        # garbage-collected instead of only at application stop: a
+        # long-lived session that clear_memos()-es and re-materializes
+        # iterative stages (CC/PageRank/Lloyd supersteps) would
+        # otherwise accumulate one checkpoint snapshot per call for
+        # its whole lifetime (VERDICT r6 nit 3). Context-construction
+        # conf — ContextCleaner reads it once at startup, so it CANNOT
+        # be enabled later via spark.conf.set; it must be here.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -476,7 +476,17 @@ def neardup_ingest_stream(
     run correctly — :func:`_history_dups` degrades to a full-scan
     broadcast probe and, past :data:`MAX_BROADCAST_KEYS`, to a
     shuffled-hash join (never an unbounded broadcast, ADVICE r4) —
-    but they pay a full index scan/shuffle for the batch."""
+    but they pay a full index scan/shuffle for the batch.
+
+    SESSION-WIDE side effect (ADVICE r6): the first probe raises
+    ``spark.sql.parquet.pushdown.inFilterThreshold`` from its default
+    (10) to ``PROBE_CHUNK + 1`` (201) for the WHOLE SparkSession and
+    never restores it (monotonic by design — a set/restore pair races
+    with concurrent streams). Unrelated queries sharing the session
+    keep pushing IN lists of up to 200 values down to parquet as real
+    IN predicates instead of a min/max range — a perf-only behavioral
+    change, but one operators co-hosting other workloads should know
+    stays in effect after the stream stops."""
 
     def _fn(batch_df: DataFrame, batch_id: int) -> None:
         _batch_dedup(batch_df, batch_id, index_dir, out_dir)
