@@ -1366,3 +1366,70 @@ def test_source_signature_stream_matches_batch_twin(spark, tmp_path):
         tuple(r) for r in source_signatures(spark, sig_dir).collect()
     }
     assert again == batch
+
+
+def test_archive_signatures_folds_partials_losslessly(spark, tmp_path):
+    """Round 7 (VERDICT r6 item 1): archive_signatures folds partials
+    ≤ through_batch (plus any existing archive) into ONE batch=-1
+    partition. Merged signatures must be bit-identical before/after,
+    re-archiving must be idempotent, the newest batch must be refused
+    (replay protection), and the batch-twin equality must still hold
+    through the archived store."""
+    import os
+
+    import pytest as _pytest
+
+    from tests.conftest import SF_DIR
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.functions.dedup import _minhash_cols, _source_shingles
+    from wd2duckdb_spark.streaming.signatures import (
+        _batch_signatures,
+        archive_signatures,
+        source_signatures,
+    )
+
+    docs = tbl(spark, SF_DIR, "documents")
+    sig_dir = str(tmp_path / "sig")
+    # 4 partials over disjoint shards + one EMPTY partial (the stream
+    # writes those too; it holds no rows so it is invisible to the
+    # row-level batch scan and its dir is dropped by the swap rewrite)
+    for b in range(4):
+        _batch_signatures(docs.filter(F.col("doc_id") % 4 == b), b, sig_dir)
+    _batch_signatures(docs.limit(0), 4, sig_dir)
+
+    before = {tuple(r) for r in source_signatures(spark, sig_dir).collect()}
+    batch_twin = {
+        tuple(r)
+        for r in _source_shingles(docs).groupBy("source").agg(*_minhash_cols()).collect()
+    }
+    assert before == batch_twin and before
+
+    # refuse the newest ROW-VISIBLE batch (id 3): a restart may replay
+    # it (the empty batch=4 dir holds no rows, so 3 is the guard)
+    with _pytest.raises(ValueError, match="most recent batch"):
+        archive_signatures(spark, sig_dir, through_batch=3)
+
+    archive_signatures(spark, sig_dir, through_batch=2)
+    parts = {d for d in os.listdir(sig_dir) if d.startswith("batch=")}
+    assert parts == {"batch=-1", "batch=3"}, parts
+    after = {tuple(r) for r in source_signatures(spark, sig_dir).collect()}
+    assert after == before  # min-merge is lossless through the fold
+
+    # idempotent re-fold: archive + remaining old partials collapse again
+    archive_signatures(spark, sig_dir, through_batch=2)
+    assert {
+        tuple(r) for r in source_signatures(spark, sig_dir).collect()
+    } == before
+    # archive partition is pre-merged: exactly one row per source
+    arch = spark.read.parquet(sig_dir).filter(F.col("batch") == -1)
+    assert arch.groupBy("source").count().filter("count > 1").count() == 0
+
+    # a NEW batch after archiving keeps merging on top of the archive
+    _batch_signatures(docs.limit(0), 5, sig_dir)  # empty partial
+    _batch_signatures(docs, 6, sig_dir)  # superset partial (replay-ish)
+    assert {
+        tuple(r) for r in source_signatures(spark, sig_dir).collect()
+    } == before
+    # swap hygiene: no staging/backup dirs left behind
+    assert not os.path.exists(sig_dir + "._compact")
+    assert not os.path.exists(sig_dir + "._prearchive")

@@ -36,6 +36,7 @@ from wd2duckdb_spark.functions.dedup import (
 __all__ = [
     "source_signature_stream",
     "source_signatures",
+    "archive_signatures",
     "overlap_from_signatures",
 ]
 
@@ -93,6 +94,75 @@ def source_signatures(spark, sig_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(N_MINHASH)])
     )
+
+
+def archive_signatures(spark, sig_dir: str, through_batch: int) -> None:
+    """Fold every ``batch=<id>`` partial with id ≤ ``through_batch``
+    (and any existing archive) into ONE min-merged ``batch=-1``
+    archive partition — the signature-store twin of
+    :func:`~wd2duckdb_spark.streaming.dedup_ingest.archive_index`
+    (VERDICT r6 item 1).
+
+    Why: each micro-batch writes one partial file, and
+    :func:`source_signatures` lists and min-merges ALL of them forever
+    — file count (and merge width) grow with batch count, the same
+    shape ``archive_index`` exists to fix for the dedup index. The
+    rows are S×8 longs so the growth is driver-trivial for years, but
+    the steady-state loop should still be stream → periodic archive →
+    stream, keeping the store at (1 archive + few live partials).
+
+    Safety comes from the sketch algebra, not from coordination:
+    min-merge is associative, commutative, and IDEMPOTENT, so folding
+    partials that a replayed batch later rewrites could not corrupt
+    the merged signature even in principle — a double-counted partial
+    min-merges to the same result. The archive therefore pre-merges to
+    ONE row per source (the fold is itself a ``min``), re-archiving is
+    idempotent (the archive folds into itself), and the only
+    protection needed is directory tidiness: like ``archive_index``,
+    the HIGHEST live batch id is refused so a crash-restart replay
+    (which rewrites its own ``batch=<id>`` partition) never races the
+    swap. Run offline (stream stopped); the directory swap is the
+    staged-rename protocol of ``maintenance.swap_in`` (a crash leaves
+    the original or the backup intact).
+    """
+    from wd2duckdb_spark.maintenance import swap_in
+    from wd2duckdb_spark.streaming.dedup_ingest import ARCHIVE_BATCH
+
+    df = spark.read.parquet(sig_dir)
+    batch_vals = sorted(
+        r.batch for r in df.select("batch").distinct().collect()
+    )
+    live_vals = [b for b in batch_vals if b != ARCHIVE_BATCH]
+    if not live_vals:
+        raise ValueError(
+            f"archive_signatures: {sig_dir} holds no live batch partials "
+            "(nothing to fold, or the store was truncated)"
+        )
+    if through_batch >= live_vals[-1]:
+        raise ValueError(
+            f"archive_signatures: through_batch={through_batch} would "
+            f"archive the most recent batch {live_vals[-1]}, which a "
+            "restart may replay over the swap; pass "
+            "through_batch < max batch id"
+        )
+    old = F.col("batch") <= through_batch  # includes batch=-1
+    folded = (
+        df.filter(old)
+        .groupBy("source")
+        .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(N_MINHASH)])
+        .withColumn("batch", F.lit(ARCHIVE_BATCH))
+    )
+    live = df.filter(~old)
+    tmp = sig_dir.rstrip("/") + "._compact"
+    backup = sig_dir.rstrip("/") + "._prearchive"
+    (
+        folded.unionByName(live)
+        .coalesce(1)  # ≤ S archive rows + a few live partials
+        .write.mode("overwrite")
+        .partitionBy("batch")
+        .parquet(tmp)
+    )
+    swap_in(spark, sig_dir, tmp, backup, op="archive_signatures")
 
 
 # overlap_from_signatures is re-exported from functions.dedup: the
