@@ -207,27 +207,10 @@ def q_skew_salted_agg(spark, sf_dir: str) -> DataFrame:
     return salted_agg_heavy_hitters(tbl(spark, sf_dir, "events"))
 
 
-def q_hot_keys_report(spark, sf_dir: str) -> DataFrame:
-    """Hot-key skew diagnostic: the top-10 heaviest join/agg keys of
-    the events stream with their row share and their multiple of the
-    MEAN key load — the measurement that decides whether a key needs
-    the salting/grid mitigations in this module before they are paid
-    for (a key at ~1× mean doesn't; a 100× hub does). This is the
-    "measure first" half of skew handling; ``salted_join`` /
-    ``grid_self_join`` / ``salted_agg`` are the treatments.
-
-    Plan: one groupBy(key) count (the exact shuffle whose skew is
-    being measured — at 100 TB swap in the count-min/heavy-hitters
-    sketch for a read-only probe), a 1-row broadcast of
-    (total, n_keys), and a TakeOrderedAndProject top-10. All counts
-    integer; share and skew floor4 of integer ratios — oracle-exact.
-    """
-    from wd2duckdb_spark.catalog import tbl
-
-    e = tbl(spark, sf_dir, "events")
-    counts = e.groupBy(F.col("user_id").alias("key")).agg(
-        F.count("*").alias("n_rows")
-    )
+def _hot_keys_tail(counts: DataFrame, k: int = 10) -> DataFrame:
+    """Shared report tail over a (key, n_rows) frame: 1-row broadcast
+    of (total, n_keys), share and multiple-of-mean as floor4 of
+    integer ratios, TakeOrderedAndProject top-``k``."""
     stats = counts.agg(
         F.sum("n_rows").alias("_total"),
         F.count("*").alias("_nkeys"),
@@ -246,11 +229,118 @@ def q_hot_keys_report(spark, sf_dir: str) -> DataFrame:
         )
         # asc_nulls_last + explicit NULLS LAST in the oracle: Spark
         # sorts NULLs FIRST on ascending while DuckDB defaults to
-        # NULLS LAST, so a NULL key group tying at the top-10 boundary
+        # NULLS LAST, so a NULL key group tying at the top-k boundary
         # would otherwise diverge cross-engine (ADVICE r6).
         .orderBy(F.desc("n_rows"), F.asc_nulls_last("key"))
-        .limit(10)
+        .limit(k)
     )
+
+
+def q_hot_keys_report(spark, sf_dir: str) -> DataFrame:
+    """Hot-key skew diagnostic: the top-10 heaviest join/agg keys of
+    the events stream with their row share and their multiple of the
+    MEAN key load — the measurement that decides whether a key needs
+    the salting/grid mitigations in this module before they are paid
+    for (a key at ~1× mean doesn't; a 100× hub does). This is the
+    "measure first" half of skew handling; ``salted_join`` /
+    ``grid_self_join`` / ``salted_agg`` are the treatments.
+
+    Plan: one groupBy(key) count (the exact shuffle whose skew is
+    being measured — :func:`hot_keys_sketch` is the read-only probe
+    that doesn't pay it), a 1-row broadcast of (total, n_keys), and a
+    TakeOrderedAndProject top-10. All counts integer; share and skew
+    floor4 of integer ratios — oracle-exact.
+    """
+    from wd2duckdb_spark.catalog import tbl
+
+    e = tbl(spark, sf_dir, "events")
+    counts = e.groupBy(F.col("user_id").alias("key")).agg(
+        F.count("*").alias("n_rows")
+    )
+    return _hot_keys_tail(counts)
+
+
+#: Per-partition counter budget of the heavy-hitters summary. 64k
+#: counters × (key + int64) is a ~few-MB dict per task — trivial — and
+#: keeps the summary EXACT until a single input partition carries more
+#: than 64k distinct keys; past that it degrades gracefully to a
+#: Misra-Gries lower bound with undercount ≤ partition_rows/(counters+1).
+HOT_KEY_COUNTERS = 65_536
+
+
+def hot_keys_sketch(
+    df: DataFrame, key_col: str, k: int = 10, counters: int = HOT_KEY_COUNTERS
+) -> DataFrame:
+    """Read-only variant of the hot-key diagnostic (VERDICT r6 item 2):
+    the exact report's ``groupBy(key)`` is ITSELF the skewed shuffle
+    being diagnosed — on the 100 TB corpus the probe would hit the
+    exact hot-partition problem it exists to measure. This variant
+    never shuffles a corpus row: a ``mapInPandas`` pass folds each
+    input partition into a bounded Misra-Gries heavy-hitters summary
+    (≤ ``counters`` rows per partition, vectorized pandas
+    ``value_counts`` merges — no per-row Python), and only the tiny
+    summaries (≤ partitions × counters rows, independent of N and of
+    key skew) go through the final merge/top-k, so the one exchange in
+    the plan moves sketch rows, never data rows.
+
+    Exactness contract: Misra-Gries degenerates to an exact
+    per-partition hash count while a partition's distinct-key count
+    stays ≤ ``counters`` — true at every fixture SF (≤1.5k keys vs 64k
+    counters), so the registered query is oracle-EXACT against the
+    same SQL as ``hot_keys_report``. Past the budget the summary trims
+    to the heaviest ``counters`` keys and every output becomes a lower
+    bound with undercount ≤ Σ_p rows_p/(counters+1) ≤ N/(counters+1) —
+    any key above that share (0.0015% at the default budget) is
+    guaranteed to surface, which is exactly the regime where a skew
+    diagnostic matters. The error-bound degradation is pinned in
+    tests with a deliberately tiny budget.
+    """
+    import numpy as np
+    import pandas as pd
+
+    key_type = df.schema[key_col].dataType.simpleString()
+
+    def _partials(it):
+        agg = None
+        null_cnt = 0
+        for pdf in it:
+            col = pdf[key_col]
+            null_cnt += int(col.isna().sum())
+            bc = col.value_counts()  # vectorized; drops NaN
+            agg = bc if agg is None else agg.add(bc, fill_value=0)
+            if len(agg) > counters:
+                # trim to the heaviest `counters` keys: subtract the
+                # (len-counters)-th smallest count from EVERY counter
+                # (null included) and drop non-positives — the batched
+                # Misra-Gries decrement; each trim removes ≥
+                # (counters+1)·t mass, so Σt ≤ rows_p/(counters+1)
+                vals = agg.to_numpy()
+                cut = len(vals) - counters - 1
+                t = int(np.partition(vals, cut)[cut])
+                agg = agg - t
+                agg = agg[agg > 0]
+                null_cnt = max(0, null_cnt - t)
+        if agg is None:
+            return
+        keys = list(agg.index)
+        cnts = [int(c) for c in agg.to_numpy()]
+        if null_cnt > 0:
+            keys.append(None)
+            cnts.append(null_cnt)
+        if keys:
+            yield pd.DataFrame({"key": keys, "n_rows": cnts})
+
+    partials = df.select(key_col).mapInPandas(
+        _partials, schema=f"key {key_type}, n_rows long"
+    )
+    counts = partials.groupBy("key").agg(F.sum("n_rows").alias("n_rows"))
+    return _hot_keys_tail(counts, k)
+
+
+def q_hot_keys_sketch(spark, sf_dir: str) -> DataFrame:
+    from wd2duckdb_spark.catalog import tbl
+
+    return hot_keys_sketch(tbl(spark, sf_dir, "events"), "user_id")
 
 
 ORACLES: dict[str, str] = {
@@ -280,7 +370,14 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+# the sketch is oracle-EXACT at fixture scale (per-partition key
+# cardinality ≪ counter budget ⇒ Misra-Gries is an exact count), so it
+# shares the exact report's oracle verbatim — the two diagnostics
+# cannot disagree where both are exact
+ORACLES["hot_keys_sketch"] = ORACLES["hot_keys_report"]
+
 QUERIES = {
     "skew_salted_agg": q_skew_salted_agg,
     "hot_keys_report": q_hot_keys_report,
+    "hot_keys_sketch": q_hot_keys_sketch,
 }
