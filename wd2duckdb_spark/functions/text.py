@@ -327,11 +327,112 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Fixed BM25 query-term set (alphabetical — the per-doc score is
 #: folded in this order so float addition order is engine-identical).
 #: Drawn from the synthetic generator's core vocabulary so every
-#: fixture SF matches; a production caller parameterizes this list.
+#: fixture SF matches; :func:`bm25_scored` is the parameterized scorer
+#: a production caller feeds its own term list (VERDICT r6 item 4).
 BM25_TERMS = ("merge", "scan", "window")
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOPK = 10
+
+#: Fixed retrieval-eval query set (each sorted alphabetically — the
+#: fold-order contract of bm25_scored). Two common-term queries and
+#: one with a rare term ('dup', df ≈ 5% of docs) so the eval exercises
+#: both idf regimes; every query has all-terms-present (relevant) docs
+#: at all three fixture SFs.
+BM25_EVAL_QUERIES = (("dup", "scan"), ("hash", "join"), ("merge", "sort"))
+
+
+def _bm25_tf(toks: Column, term: str) -> Column:
+    # NOTE: F.filter dispatches on lambda ARITY (two params means
+    # (element, index)) — close over the term via a def, never a
+    # default-arg lambda
+    return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+
+def _f6(c: Column) -> Column:
+    return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+
+def _bm25_contrib(term: str) -> Column:
+    """One term's floor6-snapped BM25 contribution, as an expression
+    over the shared ``tf_<term>`` / ``df_<term>`` / ``dl`` / ``avgdl``
+    / ``n_docs`` columns — the single Spark-side source of the BM25
+    arithmetic (the SQL twin is :func:`_bm25_sql_contrib`)."""
+    tf = F.col(f"tf_{term}")
+    idf = _f6(
+        F.log(
+            (F.col("n_docs") - F.col(f"df_{term}") + F.lit(0.5))
+            / (F.col(f"df_{term}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+    )
+    return _f6(
+        idf
+        * (tf * F.lit(BM25_K1 + 1.0))
+        / (
+            tf
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1.0)
+                - F.lit(BM25_B)
+                + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+            )
+        )
+    )
+
+
+def _bm25_base(docs: DataFrame, all_terms: tuple[str, ...]) -> DataFrame:
+    """Shared two-scan BM25 base: per-doc ``tf_<term>`` columns plus
+    the ONE broadcast stats row (n_docs, avgdl, df per term) — exactly
+    two corpus scans and zero wide shuffles regardless of how many
+    queries consume it."""
+    d = docs.filter(F.col("text").isNotNull())
+    toks = F.split(F.lower(F.trim("text")), " ")
+    tfs = d.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[_bm25_tf(toks, t).alias(f"tf_{t}") for t in all_terms],
+    )
+    stats = tfs.agg(
+        F.count("*").alias("n_docs"),
+        _f6(F.avg("dl")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in all_terms
+        ],
+    )
+    return tfs.crossJoin(F.broadcast(stats))
+
+
+def _bm25_query_cols(terms: tuple[str, ...]) -> tuple[Column, Column]:
+    """(n_terms, floor4 score) for one query over the shared base —
+    contributions folded in the tuple's (sorted) order."""
+    total = F.lit(0.0)
+    n_terms = F.lit(0)
+    for t in terms:
+        tf = F.col(f"tf_{t}")
+        total = total + F.when(tf > 0, _bm25_contrib(t)).otherwise(F.lit(0.0))
+        n_terms = n_terms + (tf > 0).cast("int")
+    score = F.floor(total * 1e4 + F.lit(0.5)) / 1e4
+    return n_terms, score
+
+
+def bm25_scored(docs: DataFrame, terms) -> DataFrame:
+    """Parameterized BM25 scorer (VERDICT r6 item 4): score every doc
+    of ``docs`` matching ≥1 of ``terms`` against the query, returning
+    ``(doc_id, n_terms, score)`` unranked — callers add their own
+    top-k / threshold. Lucene idf form (always positive); score is
+    floor4 of floor6-snapped per-term contributions folded in sorted
+    term order, so results are engine-deterministic (see q_bm25_topk
+    for the full contract). Terms are deduplicated and sorted."""
+    terms = tuple(sorted(set(terms)))
+    if not terms:
+        raise ValueError("bm25_scored: empty query-term list")
+    base = _bm25_base(docs, terms)
+    n_terms, score = _bm25_query_cols(terms)
+    return base.filter(
+        " OR ".join(f"tf_{t} > 0" for t in terms)
+    ).select("doc_id", n_terms.alias("n_terms"), score.alias("score"))
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -341,7 +442,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     positive), returning the top-``BM25_TOPK`` docs. This is the
     text-side sibling of the ANN tier: a training-data pipeline uses
     it for targeted corpus retrieval (find docs about X), relevance
-    labeling, and search-quality evals.
+    labeling, and search-quality evals (:func:`q_bm25_eval`).
 
     Plan shape (the 100 TB posture): EXPLODE-FREE — per-term tf is a
     vectorized ``size(filter(tokens, = term))`` column, so the whole
@@ -362,67 +463,87 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrival order. Final score floor4. NULL text is excluded
     symmetrically.
     """
-    d = tbl(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    toks = F.split(F.lower(F.trim("text")), " ")
-    f6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
-
-    def _tf(term: str) -> Column:
-        # NOTE: F.filter dispatches on lambda ARITY (two params means
-        # (element, index)) — close over the term via a def, never a
-        # default-arg lambda
-        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
-
-    tfs = d.select(
-        "doc_id",
-        F.size(toks).alias("dl"),
-        *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(BM25_TERMS)],
-    )
-    stats = tfs.agg(
-        F.count("*").alias("n_docs"),
-        f6(F.avg("dl")).alias("avgdl"),
-        *[
-            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
-            for i in range(len(BM25_TERMS))
-        ],
-    )
-    matched = tfs.filter(
-        " OR ".join(f"tf_{i} > 0" for i in range(len(BM25_TERMS)))
-    ).crossJoin(F.broadcast(stats))
-
-    total = F.lit(0.0)
-    n_terms = F.lit(0)
-    for i in range(len(BM25_TERMS)):  # fixed alphabetical fold order
-        tf = F.col(f"tf_{i}")
-        idf = f6(
-            F.log(
-                (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
-                / (F.col(f"df_{i}") + F.lit(0.5))
-                + F.lit(1.0)
-            )
-        )
-        c = f6(
-            idf
-            * (tf * F.lit(BM25_K1 + 1.0))
-            / (
-                tf
-                + F.lit(BM25_K1)
-                * (
-                    F.lit(1.0)
-                    - F.lit(BM25_B)
-                    + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
-                )
-            )
-        )
-        total = total + F.when(tf > 0, c).otherwise(F.lit(0.0))
-        n_terms = n_terms + (tf > 0).cast("int")
     return (
-        matched.select(
-            "doc_id",
-            n_terms.alias("n_terms"),
-            (F.floor(total * 1e4 + F.lit(0.5)) / 1e4).alias("score"),
-        )
+        bm25_scored(tbl(spark, sf_dir, "documents"), BM25_TERMS)
         .orderBy(F.desc("score"), "doc_id")
         .limit(BM25_TOPK)
+    )
+
+
+def q_bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval of the BM25 scorer (VERDICT r6 item 4):
+    MRR and precision@10 per eval query against a DERIVABLE relevance
+    rule — a doc is relevant to a query iff it contains EVERY query
+    term (AND-containment), so ground truth comes from the corpus
+    itself, no labels needed. One row per query: matched/relevant doc
+    counts, the rank of the first relevant doc, its reciprocal (rr —
+    the per-query MRR component) and precision@10.
+
+    Single-pass over the query SET: all queries share one tf frame
+    over the union of their terms and ONE broadcast stats row (the
+    per-term df/idf values are query-independent), so the whole eval
+    is still exactly TWO corpus scans; per-doc per-query (score,
+    relevance) structs are built in-row and exploded (q rows per
+    matched doc — bounded by the query-set size, not the vocabulary).
+    The per-query ranking is a window over len(BM25_EVAL_QUERIES)
+    partitions; ranks are consumed only as min-of-relevant and
+    rank≤10 counts, so at corpus scale the same metrics reduce to a
+    count-above-best-relevant + per-partition top-10 heap without the
+    full sort — the fixture-scale window keeps the plan 1:1 with the
+    oracle. Numerics compose :func:`bm25_scored` verbatim (same
+    floor6/floor4 snapping, same sorted fold order), and the oracle
+    embeds the bm25_topk oracle's arithmetic via the same SQL template
+    (:func:`_bm25_sql_scored`), so scorer and eval cannot drift.
+
+    Ties at equal floor4 score break by doc_id in BOTH engines; rr is
+    0.0 when a query has no relevant doc (never true on the fixtures).
+    """
+    qsets = [tuple(sorted(set(q))) for q in BM25_EVAL_QUERIES]
+    all_terms = tuple(sorted({t for q in qsets for t in q}))
+    base = _bm25_base(tbl(spark, sf_dir, "documents"), all_terms)
+
+    structs = []
+    for q in qsets:
+        n_terms, score = _bm25_query_cols(q)
+        structs.append(
+            F.struct(
+                F.lit(" ".join(q)).alias("query"),
+                score.alias("score"),
+                n_terms.alias("nt"),
+                (n_terms == len(q)).alias("rel"),
+            )
+        )
+    ex = (
+        base.select("doc_id", F.explode(F.array(*structs)).alias("q"))
+        .select("doc_id", "q.*")
+        .filter(F.col("nt") > 0)
+    )
+    w = Window.partitionBy("query").orderBy(F.desc("score"), "doc_id")
+    ranked = ex.withColumn("rnk", F.row_number().over(w))
+    f4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return (
+        ranked.groupBy("query")
+        .agg(
+            F.count("*").alias("n_matched"),
+            F.sum(F.col("rel").cast("long")).alias("n_relevant"),
+            F.min(F.when(F.col("rel"), F.col("rnk")))
+            .cast("long")
+            .alias("first_rel_rank"),
+            F.sum(
+                (F.col("rel") & (F.col("rnk") <= 10)).cast("long")
+            ).alias("_hits10"),
+        )
+        .select(
+            "query",
+            "n_matched",
+            "n_relevant",
+            "first_rel_rank",
+            F.coalesce(
+                f4(F.lit(1.0) / F.col("first_rel_rank")), F.lit(0.0)
+            ).alias("rr"),
+            f4(F.col("_hits10") / F.lit(10.0)).alias("p_at_10"),
+        )
+        .orderBy("query")
     )
 
 
@@ -996,13 +1117,41 @@ ORACLES["quality_threshold_sweep"] = f"""
     ORDER BY threshold
 """
 
-ORACLES["bm25_topk"] = """
-    WITH tfs AS (
+# --- BM25 oracle SQL template ------------------------------------------
+# Single SQL source of the BM25 arithmetic: bm25_topk's oracle and every
+# per-query scored CTE of bm25_eval's oracle are generated from the same
+# fragments, so the scorer and its eval cannot drift (the composition
+# discipline of ann_recall_eval, VERDICT r6 item 4).
+
+
+def _bm25_sql_contrib(term: str) -> str:
+    """One term's floor6-snapped contribution — SQL twin of
+    :func:`_bm25_contrib`."""
+    return (
+        f"CASE WHEN tf_{term} > 0 THEN\n"
+        f"                    floor(floor(ln((n_docs - df_{term} + 0.5)"
+        f" / (df_{term} + 0.5) + 1.0)\n"
+        f"                                * 1e6 + 0.5) / 1e6\n"
+        f"                          * (tf_{term} * {BM25_K1 + 1.0})\n"
+        f"                          / (tf_{term} + {BM25_K1} * (1.0 - {BM25_B}"
+        f" + {BM25_B} * dl / avgdl))\n"
+        f"                          * 1e6 + 0.5) / 1e6 ELSE 0.0 END"
+    )
+
+
+def _bm25_sql_base(all_terms: tuple[str, ...]) -> str:
+    """tfs + stats CTEs over a term set — SQL twin of :func:`_bm25_base`."""
+    tf_cols = ",\n               ".join(
+        f"len(list_filter(ws, x -> x = '{t}')) AS tf_{t}" for t in all_terms
+    )
+    df_cols = ",\n               ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in all_terms
+    )
+    return f"""tfs AS (
         SELECT doc_id,
                len(ws) AS dl,
-               len(list_filter(ws, x -> x = 'merge')) AS tf0,
-               len(list_filter(ws, x -> x = 'scan')) AS tf1,
-               len(list_filter(ws, x -> x = 'window')) AS tf2
+               {tf_cols}
         FROM (
             SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
             FROM documents WHERE text IS NOT NULL
@@ -1010,45 +1159,80 @@ ORACLES["bm25_topk"] = """
     ), stats AS (
         SELECT count(*) AS n_docs,
                floor(avg(dl) * 1e6 + 0.5) / 1e6 AS avgdl,
-               sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
-               sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
-               sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+               {df_cols}
         FROM tfs
-    ), scored AS (
-        SELECT doc_id,
-               (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END
-                + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
-                + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS n_terms,
-               (CASE WHEN tf0 > 0 THEN
-                    floor(floor(ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0)
-                                * 1e6 + 0.5) / 1e6
-                          * (tf0 * 2.2)
-                          / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
-                          * 1e6 + 0.5) / 1e6 ELSE 0.0 END
-                + CASE WHEN tf1 > 0 THEN
-                    floor(floor(ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0)
-                                * 1e6 + 0.5) / 1e6
-                          * (tf1 * 2.2)
-                          / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
-                          * 1e6 + 0.5) / 1e6 ELSE 0.0 END
-                + CASE WHEN tf2 > 0 THEN
-                    floor(floor(ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0)
-                                * 1e6 + 0.5) / 1e6
-                          * (tf2 * 2.2)
-                          / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
-                          * 1e6 + 0.5) / 1e6 ELSE 0.0 END) AS raw
-        FROM tfs CROSS JOIN stats
-        WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+    )"""
+
+
+def _bm25_sql_scored(terms: tuple[str, ...], name: str = "scored") -> str:
+    """Per-query scored CTE (n_terms + raw score) — SQL twin of
+    :func:`_bm25_query_cols`."""
+    flags = "\n                + ".join(
+        f"CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END" for t in terms
     )
+    contribs = "\n                + ".join(_bm25_sql_contrib(t) for t in terms)
+    where = " OR ".join(f"tf_{t} > 0" for t in terms)
+    return f"""{name} AS (
+        SELECT doc_id,
+               ({flags}) AS n_terms,
+               ({contribs}) AS raw
+        FROM tfs CROSS JOIN stats
+        WHERE {where}
+    )"""
+
+
+ORACLES["bm25_topk"] = f"""
+    WITH {_bm25_sql_base(BM25_TERMS)}, {_bm25_sql_scored(BM25_TERMS)}
     SELECT doc_id, CAST(n_terms AS INT) AS n_terms,
            floor((0.0 + raw) * 1e4 + 0.5) / 1e4 AS score
     FROM scored
     ORDER BY score DESC, doc_id
-    LIMIT 10
+    LIMIT {BM25_TOPK}
 """
+
+
+def _bm25_eval_oracle() -> str:
+    qsets = [tuple(sorted(set(q))) for q in BM25_EVAL_QUERIES]
+    all_terms = tuple(sorted({t for q in qsets for t in q}))
+    parts = [_bm25_sql_base(all_terms)]
+    selects = []
+    for i, q in enumerate(qsets):
+        parts.append(_bm25_sql_scored(q, f"scored_q{i}"))
+        parts.append(f"""ranked_q{i} AS (
+        SELECT doc_id, n_terms,
+               row_number() OVER (
+                   ORDER BY floor((0.0 + raw) * 1e4 + 0.5) / 1e4 DESC, doc_id
+               ) AS rnk
+        FROM scored_q{i}
+    )""")
+        parts.append(f"""m_q{i} AS (
+        SELECT '{" ".join(q)}' AS query,
+               count(*) AS n_matched,
+               CAST(sum(CASE WHEN n_terms = {len(q)} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_relevant,
+               CAST(min(CASE WHEN n_terms = {len(q)} THEN rnk END)
+                    AS BIGINT) AS first_rel_rank,
+               CAST(sum(CASE WHEN n_terms = {len(q)} AND rnk <= 10
+                             THEN 1 ELSE 0 END) AS BIGINT) AS hits10
+        FROM ranked_q{i}
+    )""")
+        selects.append(f"SELECT * FROM m_q{i}")
+    union = "\n          UNION ALL ".join(selects)
+    return f"""
+    WITH {", ".join(parts)}
+    SELECT query, n_matched, n_relevant, first_rel_rank,
+           floor(coalesce(1.0 / first_rel_rank, 0.0) * 1e4 + 0.5) / 1e4 AS rr,
+           floor(hits10 / 10.0 * 1e4 + 0.5) / 1e4 AS p_at_10
+    FROM ({union})
+    ORDER BY query
+"""
+
+
+ORACLES["bm25_eval"] = _bm25_eval_oracle()
 
 QUERIES = {
     "bm25_topk": q_bm25_topk,
+    "bm25_eval": q_bm25_eval,
     "inverted_index": q_inverted_index,
     "quality_threshold_sweep": q_quality_threshold_sweep,
     "redact_pii": q_redact_pii,
