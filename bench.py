@@ -65,6 +65,11 @@ HEADLINE = (
     "semantic_dedup",
     # round-6 addition: lexical retrieval (explode-free BM25 top-k)
     "bm25_topk",
+    # round-7 additions: retrieval eval + hybrid RRF fusion + the
+    # shuffle-free skew probe
+    "bm25_eval",
+    "hybrid_rrf_topk",
+    "hot_keys_sketch",
 )
 
 

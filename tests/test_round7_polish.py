@@ -309,3 +309,49 @@ def test_bm25_eval_plan_two_scans_no_python(spark):
     assert p.count("FileScan") == 2, p  # tf pass + stats pass
     # window over query keys + its final agg are the only hash shuffles
     assert p.count("Exchange hashpartitioning") <= 2, p
+
+
+def test_rrf_fuse_union_semantics_and_tiebreak(spark):
+    """RRF fusion: docs in both lists sum two reciprocal terms, docs in
+    one list get that term alone (rank columns NULL for the other),
+    and exact-score ties break by doc_id. Hand-built rank frames pin
+    the arithmetic: RRF(d) = 1/(60+lex) + 1/(60+sem), floor6."""
+    import math
+
+    from wd2duckdb_spark.functions.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, lex_rank int"
+    )
+    sem = spark.createDataFrame(
+        [(2, 1), (4, 2), (5, 3)], "doc_id long, sem_rank int"
+    )
+    got = {r.doc_id: r for r in rrf_fuse(lex, sem, topk=10).collect()}
+    f6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    assert got[2].rrf == f6(1 / 62 + 1 / 61)  # both lists
+    assert got[1].rrf == f6(1 / 61) and got[1].sem_rank is None
+    assert got[4].rrf == f6(1 / 62) and got[4].lex_rank is None
+    # tie: doc 1 (lex rank 1 only) vs doc 4+5? order check on equal rrf
+    # doc 1 = 1/61 ties nothing here; check global ordering is rrf desc
+    ordered = [r.doc_id for r in rrf_fuse(lex, sem, topk=10).collect()]
+    assert ordered[0] == 2  # only doc in both lists wins
+    # 1/61 (docs 1,4? no: 4 is 1/62) — full expected order:
+    # 2 (1/62+1/61), 1 (1/61), 4 (1/62), then 3 and 5 tie at 1/63 → doc_id
+    assert ordered == [2, 1, 4, 3, 5]
+
+
+def test_hybrid_rrf_plan_no_corpus_shuffle(spark):
+    """The fusion must ride each tier's top-k path: two
+    TakeOrderedAndProject heads (BM25 top-100, cosine top-100), no
+    Python, and no hash-exchange of corpus rows — the only shuffles
+    feed the bounded rank windows / the 100-row fusion join."""
+    from wd2duckdb_spark.functions.retrieval import q_hybrid_rrf_topk
+    from wd2duckdb_spark.plans import explain_str, plan_summary
+
+    df = q_hybrid_rrf_topk(spark, SF_DIR)
+    s = plan_summary(df)
+    assert s["python_udf"] == 0 and s["map_in_pandas"] == 0
+    assert s["take_ordered"] >= 2  # both tiers' depth-100 heaps
+    p = explain_str(df, "simple")
+    # rank windows run on single partitions of ≤100 rows
+    assert p.count("Exchange hashpartitioning") <= 1, p

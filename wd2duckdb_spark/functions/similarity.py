@@ -152,10 +152,16 @@ def clean_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-10 neighbors of vec_id=0."""
-    e = clean_embeddings(spark, sf_dir).filter(F.col("vec_id") != 0)
-    qv = query_vector(spark, sf_dir, 0)
+def cosine_scored(
+    spark: SparkSession, sf_dir: str, vec_id: int = 0
+) -> DataFrame:
+    """(vec_id, cosine round6) of every clean vector against the
+    ``vec_id`` probe, unranked — the parameterized core of
+    :func:`q_ann_bruteforce_topk`, reused by the hybrid RRF fusion
+    (functions/retrieval.py). Empty frame when the probe is dirty or
+    absent (the ADVICE r3 short-circuit)."""
+    e = clean_embeddings(spark, sf_dir).filter(F.col("vec_id") != vec_id)
+    qv = query_vector(spark, sf_dir, vec_id)
     if not qv:
         return e.limit(0).select("vec_id", F.lit(0.0).alias("cosine"))
     # norm(q) folds to a driver-side constant; the (norm(v) * norm(q))
@@ -166,8 +172,13 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (norm(F.col("_v")) * F.lit(_py_norm(qv))),
         6,
     )
+    return e.select("vec_id", sim.alias("cosine"))
+
+
+def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of vec_id=0."""
     return (
-        e.select("vec_id", sim.alias("cosine"))
+        cosine_scored(spark, sf_dir, 0)
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(10)
     )
@@ -911,12 +922,13 @@ def _pq_adc_oracle() -> str:
     """
 
 
-ORACLES: dict[str, str] = {
-    "pq_adc_topk": _pq_adc_oracle(),
-
-    "embedding_pq_codes": _pq_oracle(),
-
-    "ann_bruteforce_topk": f"""
+def _ann_bf_sql(limit: int) -> str:
+    """Brute-force cosine top-``limit`` oracle SQL — the single SQL
+    source of the exact cosine ranking: ann_bruteforce_topk uses it at
+    its own k, ann_recall_eval embeds it verbatim as ground truth, and
+    the hybrid RRF fusion (functions/retrieval.py) embeds it at fusion
+    depth, so the rankings cannot drift apart."""
+    return f"""
         WITH q AS (
             -- ADVICE r3: dirty probe vector => empty q => empty result
             -- (count guard below), matching the engine's short-circuit
@@ -932,9 +944,16 @@ ORACLES: dict[str, str] = {
           AND embedding IS NOT NULL AND len(embedding) = {EMB_DIM}
           AND (SELECT count(*) FROM q) = 1
         ORDER BY cosine DESC, vec_id
-        LIMIT 10
+        LIMIT {limit}
     """
-    ,
+
+
+ORACLES: dict[str, str] = {
+    "pq_adc_topk": _pq_adc_oracle(),
+
+    "embedding_pq_codes": _pq_oracle(),
+
+    "ann_bruteforce_topk": _ann_bf_sql(10),
     "ivf_ann_topk": _ivf_oracle(),
     "embedding_centroids": """
         WITH flat AS (

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from wd2duckdb_spark.functions import (
     dedup,
     multimodal,
+    retrieval,
     scalar,
     similarity,
     text,
@@ -41,6 +42,7 @@ _MODULES = (
     training,
     dedup,
     similarity,
+    retrieval,
     sessionize,
     multimodal,
     sketches,
