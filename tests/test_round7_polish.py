@@ -355,3 +355,34 @@ def test_hybrid_rrf_plan_no_corpus_shuffle(spark):
     p = explain_str(df, "simple")
     # rank windows run on single partitions of ≤100 rows
     assert p.count("Exchange hashpartitioning") <= 1, p
+
+
+def test_split_leakage_audit_consistency(spark):
+    """The audit's pair universe must be EXACTLY the LSH candidate
+    pair set (sum of cells == total pairs), its split labels must be
+    exactly dataset_split's rule, and is_cross must mark precisely the
+    off-diagonal cells with canonical (least,greatest) ordering."""
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.functions.dedup import lsh_candidate_pairs
+    from wd2duckdb_spark.functions.training import (
+        q_split_leakage_audit,
+        split_label,
+    )
+    from pyspark.sql import functions as F
+
+    rows = q_split_leakage_audit(spark, SF_DIR).collect()
+    pairs = lsh_candidate_pairs(tbl(spark, SF_DIR, "documents"))
+    assert sum(r.n_pairs for r in rows) == pairs.count()
+    for r in rows:
+        assert r.split_a <= r.split_b  # canonical cell
+        assert r.is_cross == (r.split_a != r.split_b)
+    # recompute one cell independently via the shared split rule
+    labeled = pairs.select(
+        split_label(F.col("a_id")).alias("sa"),
+        split_label(F.col("b_id")).alias("sb"),
+    )
+    want_tt = labeled.filter("sa = 'train' AND sb = 'train'").count()
+    got_tt = {(r.split_a, r.split_b): r.n_pairs for r in rows}.get(
+        ("train", "train"), 0
+    )
+    assert got_tt == want_tt

@@ -204,10 +204,12 @@ def band_keys(docs: DataFrame) -> DataFrame:
     return _band_key_cols(sig)
 
 
-def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs: docs sharing any of the 4 band keys
-    (band = md5 of 2 adjacent signature values). The join is on band
-    keys — the production-scale path (never all-pairs).
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Distinct LSH candidate pairs ``(a_id, b_id)``, ``a_id < b_id``,
+    of a ``documents``-shaped frame — the shared pair pipeline behind
+    :func:`q_minhash_lsh_pairs` and the split-leakage audit
+    (functions/training.py), so "candidate pair" means the same thing
+    everywhere.
 
     Implementation: bands → groupBy(band, key) collecting the (small)
     bucket membership → in-bucket pair expansion with a nested
@@ -215,9 +217,9 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     no self-join, no cache. Bucket sizes are bounded by the LSH banding
     parameters (pathological all-identical corpora excepted, which is
     inherent to the operator)."""
-    bands = band_keys(tbl(spark, sf_dir, "documents"))
     buckets = (
-        bands.groupBy("band", "key")
+        band_keys(docs)
+        .groupBy("band", "key")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
@@ -232,7 +234,16 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets.select(pair.alias("p"))
         .select("p.a_id", "p.b_id")
         .distinct()
-        .orderBy("a_id", "b_id")
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing any of the 4 band keys
+    (band = md5 of 2 adjacent signature values). The join is on band
+    keys — the production-scale path (never all-pairs). See
+    :func:`lsh_candidate_pairs` for the plan shape."""
+    return lsh_candidate_pairs(tbl(spark, sf_dir, "documents")).orderBy(
+        "a_id", "b_id"
     )
 
 
@@ -1030,14 +1041,12 @@ def _minhash_sql_cte() -> str:
     """
 
 
-def _cc_sql_prefix() -> str:
-    """Shared oracle CTE chain ending in ``labeled`` = (doc_id,
-    cluster_id, text): near-dup connected components over the LSH
-    candidate graph, singletons self-labeled — the oracle twin of
-    :func:`_labeled_clusters`, shared by the neardup_keep_list /
-    neardup_keep_best / dedup_cluster_stats oracles so the clustering
-    semantics cannot drift between them. Must follow a
-    ``WITH RECURSIVE``."""
+def lsh_pairs_sql_cte() -> str:
+    """Shared oracle CTE chain ending in ``pairs`` = distinct
+    ``(a_id, b_id)``, ``a_id < b_id``, LSH candidate pairs — the SQL
+    twin of :func:`lsh_candidate_pairs`, composed verbatim by the
+    minhash_lsh_pairs oracle, the CC prefix, and the split-leakage
+    audit (functions/training.py)."""
     bands_union = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band,"
         f" md5(CAST(h{2 * b} AS VARCHAR) || ',' || CAST(h{2 * b + 1} AS VARCHAR))"
@@ -1051,7 +1060,20 @@ def _cc_sql_prefix() -> str:
             SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-        ),
+        )
+    """
+
+
+def _cc_sql_prefix() -> str:
+    """Shared oracle CTE chain ending in ``labeled`` = (doc_id,
+    cluster_id, text): near-dup connected components over the LSH
+    candidate graph, singletons self-labeled — the oracle twin of
+    :func:`_labeled_clusters`, shared by the neardup_keep_list /
+    neardup_keep_best / dedup_cluster_stats oracles so the clustering
+    semantics cannot drift between them. Must follow a
+    ``WITH RECURSIVE``."""
+    return f"""
+        {lsh_pairs_sql_cte()},
         edges AS (
             SELECT a_id AS u, b_id AS v FROM pairs
             UNION SELECT b_id, a_id FROM pairs
@@ -1292,18 +1314,8 @@ ORACLES: dict[str, str] = {
         SELECT * FROM sig ORDER BY doc_id
     """,
     "minhash_lsh_pairs": f"""
-        WITH {_minhash_sql_cte()},
-        bands AS (
-            {" UNION ALL ".join(
-                f"SELECT doc_id, {b} AS band,"
-                f" md5(CAST(h{2*b} AS VARCHAR) || ',' || CAST(h{2*b+1} AS VARCHAR))"
-                f" AS key FROM sig"
-                for b in range(N_BANDS)
-            )}
-        )
-        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        WITH {lsh_pairs_sql_cte()}
+        SELECT a_id, b_id FROM pairs
         ORDER BY a_id, b_id
     """,
     "neardup_keep_list": f"""

@@ -71,21 +71,36 @@ def _ws_tokens(col: str = "text") -> Column:
     return F.size(F.split(F.trim(col), " "))
 
 
+def split_label(col: Column) -> Column:
+    """The 90/5/5 train/val/test assignment of a doc-id column:
+    md5(doc_id) mod 100 — content-stable, so adding or removing other
+    documents never moves an existing document between splits
+    (re-ingest safe), and every engine/retry agrees. Single source of
+    the split rule, shared by :func:`q_dataset_split` and the leakage
+    audit; SQL twin :func:`split_label_sql`."""
+    b = md5_bucket(col, 100)
+    return F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+
+
+def split_label_sql(expr: str) -> str:
+    """DuckDB twin of :func:`split_label`."""
+    return (
+        f"CASE WHEN {md5_bucket_sql(expr, 100)} < 90 THEN 'train'"
+        f" WHEN {md5_bucket_sql(expr, 100)} < 95 THEN 'val'"
+        f" ELSE 'test' END"
+    )
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test split with per-source
     accounting (doc + token counts, per-source doc share).
 
-    Assignment is md5(doc_id) mod 100 — content-stable, so adding or
-    removing other documents never moves an existing document between
-    splits (re-ingest safe), and every engine/retry agrees. The plan is
+    Assignment is :func:`split_label`. The plan is
     one scan → one tiny (split, source) aggregate → a window over that
     aggregate's handful of rows; nothing data-sized shuffles.
     """
     d = tbl(spark, sf_dir, "documents")
-    b = md5_bucket(F.col("doc_id"), 100)
-    split = (
-        F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
-    ).alias("split")
+    split = split_label(F.col("doc_id")).alias("split")
     agg = (
         d.select(split, "source", _ws_tokens().alias("n_tokens"))
         .groupBy("split", "source")
@@ -108,6 +123,51 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("doc_share"),
     ).orderBy("source", "split")
+
+
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-contamination audit (round 7): counts LSH near-dup
+    candidate pairs by the split memberships of their two sides. A
+    near-dup pair crossing train↔val/test means eval answers leak
+    into training — the failure mode the decontaminate/dedup tier
+    exists to prevent; this query MEASURES it for the engine's own
+    deterministic split, the audit a pipeline runs before trusting
+    its eval numbers.
+
+    Composition discipline: the pair set is exactly
+    :func:`~wd2duckdb_spark.functions.dedup.lsh_candidate_pairs` (the
+    minhash_lsh_pairs pipeline, shared code) and the split rule is
+    exactly :func:`split_label` (shared with dataset_split); the
+    oracle embeds both SQL twins verbatim, so the audit cannot
+    disagree with either component about what "near-dup" or "split"
+    means.
+
+    Plan: the pair pipeline's one shuffle, then both split labels
+    computed IN-ROW from the pair's ids (md5 of the id — no join back
+    to the corpus), least/greatest canonicalization (labels are never
+    NULL, so the least() NULL-skip trap does not bite), and a ≤6-row
+    aggregate. Scale cost = the pair pipeline itself.
+    """
+    from wd2duckdb_spark.functions.dedup import lsh_candidate_pairs
+
+    pairs = lsh_candidate_pairs(tbl(spark, sf_dir, "documents"))
+    sa = split_label(F.col("a_id"))
+    sb = split_label(F.col("b_id"))
+    return (
+        pairs.select(
+            F.least(sa, sb).alias("split_a"),
+            F.greatest(sa, sb).alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("is_cross"),
+        )
+        .orderBy("split_a", "split_b")
+    )
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -715,13 +775,38 @@ QUERIES = {
     "source_mix_weights": q_source_mix_weights,
     "weighted_sample": q_weighted_sample,
     "dataset_split": q_dataset_split,
+    "split_leakage_audit": q_split_leakage_audit,
     "importance_resample": q_importance_resample,
     "pack_sequences": q_pack_sequences,
     "boilerplate_prune": q_boilerplate_prune,
     "heavy_hitters": q_heavy_hitters,
 }
 
+def _split_leakage_oracle() -> str:
+    # imported lazily to keep module import order flexible; composes
+    # the LSH pair CTE and the split rule VERBATIM (see the query)
+    from wd2duckdb_spark.functions.dedup import lsh_pairs_sql_cte
+
+    return f"""
+        WITH {lsh_pairs_sql_cte()},
+        labeled AS (
+            SELECT least({split_label_sql("a_id")},
+                         {split_label_sql("b_id")}) AS split_a,
+                   greatest({split_label_sql("a_id")},
+                            {split_label_sql("b_id")}) AS split_b
+            FROM pairs
+        )
+        SELECT split_a, split_b,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               split_a <> split_b AS is_cross
+        FROM labeled
+        GROUP BY split_a, split_b
+        ORDER BY split_a, split_b
+    """
+
+
 ORACLES: dict[str, str] = {
+    "split_leakage_audit": _split_leakage_oracle(),
     "quality_calibration": _lr_calibration_oracle(),
     "quality_lr_score": _lr_oracle(),
     "source_mix_weights": """
