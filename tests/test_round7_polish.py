@@ -386,3 +386,30 @@ def test_split_leakage_audit_consistency(spark):
         ("train", "train"), 0
     )
     assert got_tt == want_tt
+
+
+def test_token_budget_plan_conservation(spark):
+    """Integer allocation discipline: sum of per-source allocations
+    never exceeds the budget, the shortfall is < n_sources tokens
+    (each source loses < 1 token to the floor), epochs = floor4 of
+    alloc/available, and the weights match source_mix_weights' rule
+    (floor(sqrt(available)))."""
+    import math
+
+    from wd2duckdb_spark.functions.training import (
+        TOKEN_BUDGET,
+        q_token_budget_plan,
+    )
+
+    rows = q_token_budget_plan(spark, SF_DIR).collect()
+    assert rows
+    total_alloc = sum(r.alloc_tokens for r in rows)
+    assert total_alloc <= TOKEN_BUDGET
+    assert TOKEN_BUDGET - total_alloc < len(rows)
+    for r in rows:
+        assert r.weight == math.floor(math.sqrt(r.available_tokens))
+        assert r.epochs == math.floor(
+            r.alloc_tokens / r.available_tokens * 1e4 + 0.5
+        ) / 1e4
+    # the √-temperature must both up- and down-sample on the fixtures
+    assert any(r.epochs > 1 for r in rows) or any(r.epochs < 1 for r in rows)

@@ -434,6 +434,64 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (n_docs, total_tokens, w=floor(sqrt(tokens))) frame
+    cross-joined with the 1-row (all_tokens, all_w) broadcast — the
+    shared base of :func:`q_source_mix_weights` and
+    :func:`q_token_budget_plan` (SQL twin :func:`_mix_sql_cte`)."""
+    d = tbl(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(_ws_tokens()).alias("total_tokens"),
+    )
+    w = F.floor(F.sqrt(F.col("total_tokens").cast("double"))).cast("long")
+    weighted = per_src.select("*", w.alias("w"))
+    totals = weighted.agg(
+        F.sum("total_tokens").alias("all_tokens"),
+        F.sum("w").alias("all_w"),
+    )
+    return weighted.crossJoin(F.broadcast(totals))
+
+
+#: Target training-token budget for q_token_budget_plan. Arbitrary but
+#: fixture-meaningful: ~36× the sf0.01 corpus, so epochs land both
+#: above and below 1 across sources (up- AND down-sampling visible).
+TOKEN_BUDGET = 1_000_000
+
+
+def q_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation plan (round 7): split a fixed training
+    budget of :data:`TOKEN_BUDGET` tokens across sources by the
+    √-temperature mixing weights, and report the implied EPOCH count
+    per source (allocated / available) — >1 means the source repeats
+    (upsampling a small high-value source), <1 means a single partial
+    pass. This is the planning artifact a data-mixing run materializes
+    before sampling (the DoReMi/LLaMA-style budget sheet).
+
+    Integer-exact where it matters: weights are integer
+    (floor∘sqrt), allocations are integer ``(BUDGET·w) div all_w``
+    (never a float share times the budget — those accumulate rounding
+    drift), so Σ alloc ≤ BUDGET with the shortfall < n_sources tokens;
+    only the epochs ratio is floated, floor4-snapped. Shares the
+    weighted base (one low-cardinality aggregate + 1-row broadcast)
+    with source_mix_weights; the oracle composes the same SQL CTE.
+    """
+    f4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    alloc = F.expr(f"CAST(({TOKEN_BUDGET} * w) DIV all_w AS BIGINT)")
+    return (
+        _mix_weighted(spark, sf_dir)
+        .select(
+            "source",
+            "n_docs",
+            F.col("total_tokens").alias("available_tokens"),
+            F.col("w").alias("weight"),
+            alloc.alias("alloc_tokens"),
+            f4(alloc / F.col("total_tokens")).alias("epochs"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted source mixing (the LLaMA/GPT-style data
     mix step): per source, sampling share ∝ √(total_tokens) — a
@@ -449,20 +507,9 @@ def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding convention (PLANS.md). One low-cardinality aggregate —
     nothing document-sized shuffles more than once.
     """
-    d = tbl(spark, sf_dir, "documents")
-    per_src = d.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(_ws_tokens()).alias("total_tokens"),
-    )
-    w = F.floor(F.sqrt(F.col("total_tokens").cast("double"))).cast("long")
-    weighted = per_src.select("*", w.alias("w"))
-    totals = weighted.agg(
-        F.sum("total_tokens").alias("all_tokens"),
-        F.sum("w").alias("all_w"),
-    )
     r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
     return (
-        weighted.crossJoin(F.broadcast(totals))
+        _mix_weighted(spark, sf_dir)
         .select(
             "source",
             "n_docs",
@@ -773,6 +820,7 @@ QUERIES = {
     "quality_lr_score": q_quality_lr_score,
     "shard_manifest": q_shard_manifest,
     "source_mix_weights": q_source_mix_weights,
+    "token_budget_plan": q_token_budget_plan,
     "weighted_sample": q_weighted_sample,
     "dataset_split": q_dataset_split,
     "split_leakage_audit": q_split_leakage_audit,
@@ -781,6 +829,30 @@ QUERIES = {
     "boilerplate_prune": q_boilerplate_prune,
     "heavy_hitters": q_heavy_hitters,
 }
+
+def _mix_sql_cte() -> str:
+    """per_src -> weighted -> tot CTE chain: the SQL twin of
+    :func:`_mix_weighted`, composed by the source_mix_weights AND
+    token_budget_plan oracles so the weighting rule has one source."""
+    return """per_src AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+                       AS total_tokens
+            FROM documents GROUP BY source
+        ),
+        weighted AS (
+            SELECT *,
+                   CAST(floor(sqrt(CAST(total_tokens AS DOUBLE))) AS BIGINT)
+                       AS w
+            FROM per_src
+        ),
+        tot AS (
+            SELECT CAST(sum(total_tokens) AS BIGINT) AS all_tokens,
+                   CAST(sum(w) AS BIGINT) AS all_w
+            FROM weighted
+        )"""
+
 
 def _split_leakage_oracle() -> str:
     # imported lazily to keep module import order flexible; composes
@@ -809,25 +881,8 @@ ORACLES: dict[str, str] = {
     "split_leakage_audit": _split_leakage_oracle(),
     "quality_calibration": _lr_calibration_oracle(),
     "quality_lr_score": _lr_oracle(),
-    "source_mix_weights": """
-        WITH per_src AS (
-            SELECT source,
-                   CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
-                       AS total_tokens
-            FROM documents GROUP BY source
-        ),
-        weighted AS (
-            SELECT *,
-                   CAST(floor(sqrt(CAST(total_tokens AS DOUBLE))) AS BIGINT)
-                       AS w
-            FROM per_src
-        ),
-        tot AS (
-            SELECT CAST(sum(total_tokens) AS BIGINT) AS all_tokens,
-                   CAST(sum(w) AS BIGINT) AS all_w
-            FROM weighted
-        )
+    "source_mix_weights": f"""
+        WITH {_mix_sql_cte()}
         SELECT source, n_docs, total_tokens,
                floor(CAST(total_tokens AS DOUBLE) / all_tokens * 1e6 + 0.5)
                    / 1e6 AS natural_share,
@@ -836,6 +891,17 @@ ORACLES: dict[str, str] = {
                floor((CAST(w AS DOUBLE) / all_w)
                      / (CAST(total_tokens AS DOUBLE) / all_tokens)
                      * 1e6 + 0.5) / 1e6 AS sampling_factor
+        FROM weighted CROSS JOIN tot
+        ORDER BY source
+    """,
+    "token_budget_plan": f"""
+        WITH {_mix_sql_cte()}
+        SELECT source, n_docs,
+               total_tokens AS available_tokens,
+               w AS weight,
+               CAST(({TOKEN_BUDGET} * w) // all_w AS BIGINT) AS alloc_tokens,
+               floor(CAST(({TOKEN_BUDGET} * w) // all_w AS DOUBLE)
+                     / total_tokens * 1e4 + 0.5) / 1e4 AS epochs
         FROM weighted CROSS JOIN tot
         ORDER BY source
     """,
