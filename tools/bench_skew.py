@@ -164,6 +164,64 @@ def main() -> None:
             grid_self_join(sa, sb, "k", n_cells=n_cells, join_hint="shuffle_hash")
         )
         n_pairs = self_rows * self_rows // 8
+
+        # --- diagnostic tier (round 7): exact hot-key report vs the
+        # Misra-Gries sketch probe, on a HIGH-CARDINALITY skewed key
+        # (10% of rows on one hot key, the rest unique). This is the
+        # regime the sketch exists for: the exact groupBy's map-side
+        # partials are ~one record per distinct key per partition
+        # (≈ N records when keys are mostly unique), while the sketch
+        # ships ≤ counters rows per partition regardless of N — the
+        # BYTES are the scale signal; local seconds can favor the JVM
+        # groupBy because the sketch pays the Arrow hop (the trade is
+        # shuffle volume and hot-reducer immunity, not local CPU).
+        from wd2duckdb_spark.operators.skew import (
+            _hot_keys_tail,
+            hot_keys_sketch,
+        )
+
+        dd = spark.range(n_rows).select(
+            F.when(F.pmod("id", F.lit(10)) == 0, F.lit("hot"))
+            .otherwise(F.concat(F.lit("u"), F.col("id")))
+            .alias("key")
+        )
+        dd.write.mode("overwrite").parquet("/tmp/skew_diag.parquet")
+        dread = spark.read.parquet("/tmp/skew_diag.parquet")
+        diag_counters = 4096  # heavy-hitter floor = N/4097 ≈ 0.02% share
+
+        def run_report(df) -> tuple[float, float, list]:
+            best, shuffle_mb, rows = float("inf"), None, None
+            for _ in range(reps):
+                stage_metrics.snapshot()
+                t0 = time.perf_counter()
+                rows = df.collect()
+                best = min(best, time.perf_counter() - t0)
+                if shuffle_mb is None:
+                    d = stage_metrics.delta()
+                    shuffle_mb = (
+                        "invalid"
+                        if d is None
+                        else round(d["shuffleWriteBytes"] / 1e6, 2)
+                    )
+            return round(best, 3), shuffle_mb, rows
+
+        exact_sec, exact_mb, exact_rows = run_report(
+            _hot_keys_tail(
+                dread.groupBy("key").agg(F.count("*").alias("n_rows"))
+            )
+        )
+        sketch_sec, sketch_mb, sketch_rows = run_report(
+            hot_keys_sketch(dread, "key", counters=diag_counters)
+        )
+        # correctness cross-check inside the bench: same hot key, and
+        # the estimate within the Misra-Gries undercount bound
+        hot_exact = exact_rows[0]
+        hot_sketch = sketch_rows[0]
+        mg_bound = n_rows // (diag_counters + 1)
+        diag_ok = (
+            hot_sketch.key == hot_exact.key
+            and 0 <= hot_exact.n_rows - hot_sketch.n_rows <= mg_bound
+        )
     finally:
         set_skew(True)  # restore the engine default
         spark.stop()
@@ -192,6 +250,18 @@ def main() -> None:
                     "plain_shuffle_mb": plain_mb,
                     "salted_shuffle_mb": salted_mb,
                     "grid_shuffle_mb": grid_mb,
+                },
+                "diagnostic": {
+                    "rows": n_rows,
+                    "counters": diag_counters,
+                    "exact_sec": exact_sec,
+                    "sketch_sec": sketch_sec,
+                    # the scale signal: exact's map-side partials ship
+                    # ~1 record per distinct key per partition; the
+                    # sketch ships <= counters rows per partition
+                    "exact_shuffle_mb": exact_mb,
+                    "sketch_shuffle_mb": sketch_mb,
+                    "hot_key_agrees_within_bound": diag_ok,
                 },
             }
         )

@@ -497,6 +497,10 @@ def q_bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Ties at equal floor4 score break by doc_id in BOTH engines; rr is
     0.0 when a query has no relevant doc (never true on the fixtures).
+    A query matching NO docs at all (e.g. an empty corpus — caught by
+    the degenerate-corpus sweep) still reports its row: counts 0,
+    first_rel_rank NULL, rr/p@10 0.0 — an eval that silently drops
+    queries reads as "forgot to run them", not "retrieved nothing".
     """
     qsets = [tuple(sorted(set(q))) for q in BM25_EVAL_QUERIES]
     all_terms = tuple(sorted({t for q in qsets for t in q}))
@@ -521,27 +525,34 @@ def q_bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query").orderBy(F.desc("score"), "doc_id")
     ranked = ex.withColumn("rnk", F.row_number().over(w))
     f4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    agg = ranked.groupBy("query").agg(
+        F.count("*").alias("n_matched"),
+        F.sum(F.col("rel").cast("long")).alias("n_relevant"),
+        F.min(F.when(F.col("rel"), F.col("rnk")))
+        .cast("long")
+        .alias("first_rel_rank"),
+        F.sum(
+            (F.col("rel") & (F.col("rnk") <= 10)).cast("long")
+        ).alias("_hits10"),
+    )
+    # LEFT JOIN from the literal query list so zero-match queries keep
+    # their row (groupBy alone drops them on an empty/matchless corpus)
+    labels = spark.createDataFrame(
+        [(" ".join(q),) for q in qsets], "query string"
+    )
     return (
-        ranked.groupBy("query")
-        .agg(
-            F.count("*").alias("n_matched"),
-            F.sum(F.col("rel").cast("long")).alias("n_relevant"),
-            F.min(F.when(F.col("rel"), F.col("rnk")))
-            .cast("long")
-            .alias("first_rel_rank"),
-            F.sum(
-                (F.col("rel") & (F.col("rnk") <= 10)).cast("long")
-            ).alias("_hits10"),
-        )
+        labels.join(agg, "query", "left")
         .select(
             "query",
-            "n_matched",
-            "n_relevant",
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            F.coalesce("n_relevant", F.lit(0)).alias("n_relevant"),
             "first_rel_rank",
             F.coalesce(
                 f4(F.lit(1.0) / F.col("first_rel_rank")), F.lit(0.0)
             ).alias("rr"),
-            f4(F.col("_hits10") / F.lit(10.0)).alias("p_at_10"),
+            f4(F.coalesce("_hits10", F.lit(0)) / F.lit(10.0)).alias(
+                "p_at_10"
+            ),
         )
         .orderBy("query")
     )
@@ -1208,12 +1219,16 @@ def _bm25_eval_oracle() -> str:
         parts.append(f"""m_q{i} AS (
         SELECT '{" ".join(q)}' AS query,
                count(*) AS n_matched,
-               CAST(sum(CASE WHEN n_terms = {len(q)} THEN 1 ELSE 0 END)
+               -- coalesce: sum() over a zero-match query is NULL, the
+               -- canonical semantics is a 0-count row (degenerate sweep)
+               CAST(coalesce(sum(CASE WHEN n_terms = {len(q)}
+                                      THEN 1 ELSE 0 END), 0)
                     AS BIGINT) AS n_relevant,
                CAST(min(CASE WHEN n_terms = {len(q)} THEN rnk END)
                     AS BIGINT) AS first_rel_rank,
-               CAST(sum(CASE WHEN n_terms = {len(q)} AND rnk <= 10
-                             THEN 1 ELSE 0 END) AS BIGINT) AS hits10
+               CAST(coalesce(sum(CASE WHEN n_terms = {len(q)} AND rnk <= 10
+                                      THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS hits10
         FROM ranked_q{i}
     )""")
         selects.append(f"SELECT * FROM m_q{i}")
