@@ -189,29 +189,35 @@ def main() -> None:
         dread = spark.read.parquet("/tmp/skew_diag.parquet")
         diag_counters = 4096  # heavy-hitter floor = N/4097 ≈ 0.02% share
 
-        def run_report(df) -> tuple[float, float, list]:
+        def run_report(mk) -> tuple[float, float, list]:
+            """mk: thunk building a FRESH DataFrame per rep — reps on
+            one DataFrame object ride Spark's shuffle-output reuse
+            (later reps skip the scan + map stages entirely), turning
+            min-of-N into a cache benchmark. Bytes from rep 1 (fresh),
+            three decimals: the sketch's whole shuffle is ~KBs and
+            would round to a fabricated-looking 0.0 at two."""
             best, shuffle_mb, rows = float("inf"), None, None
             for _ in range(reps):
                 stage_metrics.snapshot()
                 t0 = time.perf_counter()
-                rows = df.collect()
+                rows = mk().collect()
                 best = min(best, time.perf_counter() - t0)
                 if shuffle_mb is None:
                     d = stage_metrics.delta()
                     shuffle_mb = (
                         "invalid"
                         if d is None
-                        else round(d["shuffleWriteBytes"] / 1e6, 2)
+                        else round(d["shuffleWriteBytes"] / 1e6, 3)
                     )
             return round(best, 3), shuffle_mb, rows
 
         exact_sec, exact_mb, exact_rows = run_report(
-            _hot_keys_tail(
+            lambda: _hot_keys_tail(
                 dread.groupBy("key").agg(F.count("*").alias("n_rows"))
             )
         )
         sketch_sec, sketch_mb, sketch_rows = run_report(
-            hot_keys_sketch(dread, "key", counters=diag_counters)
+            lambda: hot_keys_sketch(dread, "key", counters=diag_counters)
         )
         # correctness cross-check inside the bench: same hot key, and
         # the estimate within the Misra-Gries undercount bound
