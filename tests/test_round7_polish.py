@@ -413,3 +413,44 @@ def test_token_budget_plan_conservation(spark):
         ) / 1e4
     # the √-temperature must both up- and down-sample on the fixtures
     assert any(r.epochs > 1 for r in rows) or any(r.epochs < 1 for r in rows)
+
+
+def test_rag_chunks_coverage_and_overlap(spark):
+    """Chunking invariants: every chunk is a verbatim token slice,
+    consecutive full chunks overlap by exactly W-S tokens, the final
+    window reaches the last token, no window starts past the end, and
+    docs <= W tokens yield exactly one chunk."""
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.functions.text import (
+        RAG_CHUNK_STRIDE as S,
+        RAG_CHUNK_TOKENS as W,
+        q_rag_chunks,
+    )
+
+    docs = {
+        r.doc_id: r.text.strip().split(" ")
+        for r in tbl(spark, SF_DIR, "documents")
+        .filter("text IS NOT NULL")
+        .collect()
+    }
+    by_doc: dict = {}
+    for r in q_rag_chunks(spark, SF_DIR).collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        toks = docs[doc_id]
+        n = len(toks)
+        chunks.sort(key=lambda r: r.chunk_id)
+        import math
+
+        want_chunks = 1 if n <= W else math.ceil((n - W) / S) + 1
+        assert len(chunks) == want_chunks, (doc_id, n)
+        for c in chunks:
+            assert c.start_tok == c.chunk_id * S
+            assert c.start_tok < n  # no window starts past the end
+            want = toks[c.start_tok : c.start_tok + W]
+            assert c.n_tok == len(want)
+            assert c.chunk_text == " ".join(want)  # verbatim slice
+        # the final window reaches the last token
+        last = chunks[-1]
+        assert last.start_tok + last.n_tok == n

@@ -558,6 +558,60 @@ def q_bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Sliding-window chunking parameters: 32-token windows advancing by
+#: 24 tokens (8-token overlap) — the RAG/context-prep shape where
+#: overlap preserves cross-boundary context for retrieval.
+RAG_CHUNK_TOKENS = 32
+RAG_CHUNK_STRIDE = 24
+
+
+def q_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking with overlap (round 7): split
+    every document into ``RAG_CHUNK_TOKENS``-token windows advancing
+    by ``RAG_CHUNK_STRIDE`` — the chunk-for-retrieval primitive of a
+    RAG / context-window prep pipeline (``chunk_dedup`` uses
+    non-overlapping chunks internally for dedup; this one EMITS the
+    chunks with provenance: doc_id, chunk_id, start token offset,
+    chunk length, text).
+
+    Plan: pure column expressions — tokenize once, compute the chunk
+    COUNT per doc, expand starts with an in-row ``transform(sequence)``
+    and ``posexplode``; no shuffle at all until the presentation sort
+    (a production writer drops the sort and partitions by doc hash).
+    Chunk fan-out is bounded by ⌈(n-W)/S⌉+1 per doc — linear in corpus
+    tokens, embarrassingly parallel at any scale.
+
+    Chunk-count rule (mirrored verbatim in the oracle): docs with
+    ≤ W tokens yield exactly ONE chunk; otherwise ⌈(n-W)/S⌉+1, so the
+    final window always reaches the last token and no window starts
+    past the end (no empty trailing chunks).
+    """
+    W, S = RAG_CHUNK_TOKENS, RAG_CHUNK_STRIDE
+    d = tbl(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # spread the CPU-bound fan-out across cores (single-split corpus)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    toks = F.split(F.trim("text"), " ")
+    n = F.size(toks)
+    n_chunks = F.when(n <= W, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(W)) / F.lit(float(S))).cast("int") + F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * S + 1, W),
+    )
+    return (
+        d.select("doc_id", F.posexplode(chunks).alias("chunk_id", "_c"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            (F.col("chunk_id") * S).alias("start_tok"),
+            F.size("_c").alias("n_tok"),
+            F.array_join("_c", " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
 def q_vocab_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source vocabulary statistics: Shannon entropy of the word
     frequency distribution, vocabulary size, and type-token ratio —
@@ -1245,9 +1299,34 @@ def _bm25_eval_oracle() -> str:
 
 ORACLES["bm25_eval"] = _bm25_eval_oracle()
 
+ORACLES["rag_chunks"] = f"""
+    WITH d AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS ws,
+               len(string_split(trim(text), ' ')) AS n
+        FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (
+        SELECT doc_id, CAST(i AS INT) AS chunk_id,
+               CAST(i * {RAG_CHUNK_STRIDE} AS INT) AS start_tok,
+               list_slice(ws, i * {RAG_CHUNK_STRIDE} + 1,
+                          i * {RAG_CHUNK_STRIDE} + {RAG_CHUNK_TOKENS}) AS sl
+        FROM d, LATERAL unnest(range(
+            CASE WHEN n <= {RAG_CHUNK_TOKENS} THEN 1
+                 ELSE CAST(ceil((n - {RAG_CHUNK_TOKENS})
+                                / {RAG_CHUNK_STRIDE}.0) AS BIGINT) + 1
+            END)) AS t(i)
+    )
+    SELECT doc_id, chunk_id, start_tok,
+           CAST(len(sl) AS INT) AS n_tok,
+           array_to_string(sl, ' ') AS chunk_text
+    FROM c
+    ORDER BY doc_id, chunk_id
+"""
+
 QUERIES = {
     "bm25_topk": q_bm25_topk,
     "bm25_eval": q_bm25_eval,
+    "rag_chunks": q_rag_chunks,
     "inverted_index": q_inverted_index,
     "quality_threshold_sweep": q_quality_threshold_sweep,
     "redact_pii": q_redact_pii,
