@@ -142,14 +142,87 @@ def q_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (round 7): users grouped by their FIRST
+    active day (the cohort), then for each day-offset the share of the
+    cohort still active — the standard product-analytics retention
+    triangle, built the warehouse way.
+
+    Plan: ONE user-keyed aggregate produces each user's cohort day;
+    the distinct (user, day) activity set shuffles on the SAME user
+    key, so the cohort join co-locates without a new exchange
+    strategy (broadcast at fixture scale, hash-co-partitioned at
+    cluster scale — user_id is the high-cardinality scale-out key of
+    this whole tier); cohort sizes are a tiny per-day aggregate
+    broadcast back. Retention = floor4(n_active / cohort_size), an
+    integer ratio. NULL user_id forms its own cohort member on both
+    engines (GROUP BY null semantics agree).
+    """
+    e = tbl(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_size")
+    )
+    activity = e.distinct()
+    joined = activity.join(first, "user_id").select(
+        "cohort_day", F.datediff("day", F.col("cohort_day")).alias("day_offset")
+    )
+    f4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return (
+        joined.groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_active",
+            "cohort_size",
+            f4(F.col("n_active") / F.col("cohort_size")).alias("retention"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
 QUERIES = {
     "scd2_intervals": q_scd2_intervals,
+    "cohort_retention": q_cohort_retention,
     "rolling_7d_features": q_rolling_7d_features,
     "regr_trend": q_regr_trend,
     "ohlc_downsample": q_ohlc_downsample,
 }
 
 ORACLES: dict[str, str] = {
+    "cohort_retention": """
+        WITH e AS (
+            SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        first AS (
+            SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id
+        ),
+        sizes AS (
+            SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+            FROM first GROUP BY cohort_day
+        ),
+        activity AS (SELECT DISTINCT user_id, day FROM e),
+        offsets AS (
+            SELECT f.cohort_day,
+                   CAST(date_diff('day', f.cohort_day, a.day) AS INT)
+                       AS day_offset
+            FROM activity a JOIN first f USING (user_id)
+        ),
+        matrix AS (
+            SELECT cohort_day, day_offset,
+                   CAST(count(*) AS BIGINT) AS n_active
+            FROM offsets GROUP BY cohort_day, day_offset
+        )
+        SELECT m.cohort_day, m.day_offset, m.n_active, s.cohort_size,
+               floor(CAST(m.n_active AS DOUBLE) / s.cohort_size
+                     * 1e4 + 0.5) / 1e4 AS retention
+        FROM matrix m JOIN sizes s USING (cohort_day)
+        ORDER BY cohort_day, day_offset
+    """,
     "ohlc_downsample": """
         SELECT user_id,
                CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
