@@ -454,3 +454,49 @@ def test_rag_chunks_coverage_and_overlap(spark):
         # the final window reaches the last token
         last = chunks[-1]
         assert last.start_tok + last.n_tok == n
+
+
+def test_mmr_rerank_diversifies(spark):
+    """MMR properties: the first pick is the pure-relevance top-1, all
+    picks come from the depth-bounded candidate pool, no repeats, and
+    the selection is LESS redundant than plain top-K — its max
+    pairwise cosine is <= the plain top-K head's (that's the point of
+    the operator)."""
+    from wd2duckdb_spark.functions.retrieval import (
+        MMR_DEPTH,
+        MMR_K,
+        _mmr_pair_sims,
+        q_mmr_rerank,
+    )
+    from wd2duckdb_spark.functions.similarity import cosine_scored
+    from pyspark.sql import functions as F
+
+    cands = (
+        cosine_scored(spark, SF_DIR, 0)
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(MMR_DEPTH)
+        .collect()
+    )
+    mmr = q_mmr_rerank(spark, SF_DIR).collect()
+    assert [r.rank for r in mmr] == list(range(1, MMR_K + 1))
+    assert mmr[0].vec_id == cands[0].vec_id  # pure-relevance first pick
+    pool = {r.vec_id for r in cands}
+    picks = [r.vec_id for r in mmr]
+    assert set(picks) <= pool and len(set(picks)) == MMR_K
+
+    sims = {
+        (r.a_id, r.b_id): r.sim
+        for r in _mmr_pair_sims(spark, SF_DIR, [r.vec_id for r in cands])
+    }
+
+    def max_pairwise(ids):
+        return max(
+            sims[(a, b)] for a in ids for b in ids if a != b
+        )
+
+    plain = [r.vec_id for r in cands[:MMR_K]]
+    assert max_pairwise(picks) <= max_pairwise(plain)
+    # reported max_sim is really the max cosine to PRIOR picks
+    for i, r in enumerate(mmr[1:], start=1):
+        want = max(sims[(r.vec_id, s)] for s in picks[:i])
+        assert r.max_sim == want

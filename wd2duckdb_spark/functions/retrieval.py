@@ -151,6 +151,213 @@ def _hybrid_oracle() -> str:
 """
 
 
-ORACLES: dict[str, str] = {"hybrid_rrf_topk": _hybrid_oracle()}
+#: MMR trade-off: 0.5 weighs relevance-to-query and redundancy-to-
+#: already-selected equally (the Carbonell/Goldstein default regime).
+MMR_LAMBDA = 0.5
+#: Greedy selection length and the candidate pool it draws from.
+MMR_K = 5
+MMR_DEPTH = 20
+#: Composite (a_id, b_id) key encoding for the oracle's sim map —
+#: fixture vec_ids are ≪ 1e6, asserted at build time in the query.
+_MMR_ENC = 1_000_000
 
-QUERIES = {"hybrid_rrf_topk": q_hybrid_rrf_topk}
+
+def _mmr_pair_sims(spark: SparkSession, sf_dir: str, cand_ids: list[int]):
+    """round6 pairwise cosines among the candidate vectors — computed
+    IN SPARK with the exact arithmetic of :func:`cosine_scored` (same
+    sequential-fold dot, same round6), so the driver-side greedy and
+    the DuckDB oracle see identical numbers."""
+    from wd2duckdb_spark.functions.similarity import (
+        _as_double,
+        _dot_fold_sql,
+        clean_embeddings,
+        norm,
+    )
+
+    e = (
+        clean_embeddings(spark, sf_dir)
+        .filter(F.col("vec_id").isin(cand_ids))
+        .select("vec_id", _as_double(F.col("embedding")).alias("_v"))
+    )
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("_v").alias("_va"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("_v").alias("_vb"))
+    sim = F.round(
+        F.expr(_dot_fold_sql("_va", "_vb"))
+        / (norm(F.col("_va")) * norm(F.col("_vb"))),
+        6,
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", sim.alias("sim"))
+        .collect()
+    )
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) of the cosine retrieval: greedily select ``MMR_K``
+    results from the top-``MMR_DEPTH`` candidates, each step taking
+    the doc maximizing ``λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`` — the
+    standard redundancy-removal step between retrieval and a context
+    window (near-identical chunks waste the prompt budget that
+    diversity spends well).
+
+    Distribution discipline: the EXPENSIVE parts — candidate top-k
+    over the corpus and the pairwise candidate sims — run in Spark
+    with :func:`cosine_scored`'s exact arithmetic; the greedy itself
+    is inherently sequential over ≤ MMR_DEPTH rows, so it runs
+    driver-side on those bounded collects (the ``query_vector``
+    boundedness class: ≤ 20 + 380 tiny rows at any corpus size).
+
+    Determinism (oracle-exact): rel and sim are round6 cosines, each
+    step's score is floor6(λ·rel − (1−λ)·max_sim), ties break on
+    vec_id — and the DuckDB oracle replays the SAME greedy as a
+    recursive CTE carrying the remaining-candidate state (running
+    max-sim per candidate updated with each pick), so both engines
+    walk the identical selection path. First pick has max_sim 0 (empty
+    selected set), i.e. it is the pure-relevance top-1.
+    """
+    import math
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("rank", IntegerType()),
+            StructField("vec_id", LongType()),
+            StructField("rel", DoubleType()),
+            StructField("max_sim", DoubleType()),
+            StructField("mmr", DoubleType()),
+        ]
+    )
+    cands = (
+        cosine_scored_import()(spark, sf_dir, 0)
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(MMR_DEPTH)
+        .collect()
+    )
+    if not cands:
+        return spark.createDataFrame([], schema)
+    rel = {r.vec_id: r.cosine for r in cands}
+    assert all(v < _MMR_ENC for v in rel), "vec_id exceeds oracle encoding"
+    sims: dict[tuple[int, int], float] = {
+        (r.a_id, r.b_id): r.sim
+        for r in _mmr_pair_sims(spark, sf_dir, list(rel))
+    }
+    f6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    selected: list[int] = []
+    out = []
+    for step in range(min(MMR_K, len(rel))):
+        best = None
+        for v in sorted(rel):
+            if v in selected:
+                continue
+            ms = max((sims[(v, s)] for s in selected), default=0.0)
+            score = f6(MMR_LAMBDA * rel[v] - (1.0 - MMR_LAMBDA) * ms)
+            key = (-score, v)
+            if best is None or key < best[0]:
+                best = (key, v, rel[v], ms, score)
+        selected.append(best[1])
+        out.append((step + 1, best[1], float(best[2]), float(best[3]), best[4]))
+    return spark.createDataFrame(out, schema).orderBy("rank")
+
+
+def cosine_scored_import():
+    from wd2duckdb_spark.functions.similarity import cosine_scored
+
+    return cosine_scored
+
+
+def _mmr_oracle() -> str:
+    """Recursive-CTE replay of the greedy: the working row carries the
+    REMAINING candidates with their running max-sim-to-selected, each
+    iteration picks ``list_min`` over (−floor6(score), vec_id) structs
+    and folds the pick's sims into the remainder — pure scalar list
+    ops (DuckDB lambdas cannot capture correlated columns, so the
+    state travels IN the row instead of being re-derived per step).
+    Embeds the brute-force cosine oracle at MMR_DEPTH verbatim as the
+    candidate CTE — the ann_recall_eval composition discipline."""
+    from wd2duckdb_spark.functions.similarity import _ann_bf_sql
+
+    lam, om = MMR_LAMBDA, 1.0 - MMR_LAMBDA
+    d0 = "CAST(0.0 AS DOUBLE)"
+    return f"""
+    WITH RECURSIVE cands AS (
+        SELECT vec_id, cosine FROM ({_ann_bf_sql(MMR_DEPTH)})
+    ),
+    pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                            CAST(eb.embedding AS DOUBLE[])),
+                     6) AS sim
+        FROM cands a
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN cands b ON b.vec_id <> a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ),
+    smap AS (
+        SELECT map(coalesce(list(a_id * {_MMR_ENC} + b_id),
+                            CAST([] AS BIGINT[])),
+                   coalesce(list(sim), CAST([] AS DOUBLE[]))) AS m
+        FROM pairs
+    ),
+    base AS (
+        SELECT s.m AS m,
+               list_min(list_transform(cl.lst,
+                   e -> {{'mneg': -floor(({lam} * e.rel) * 1e6 + 0.5) / 1e6,
+                         'v': e.v, 'rel': e.rel, 'ms': {d0}}})) AS pick,
+               cl.lst AS lst
+        FROM (SELECT list({{'v': vec_id, 'rel': cosine}}) AS lst
+              FROM cands) cl,
+             smap s
+    ),
+    sel(rank, vec_id, rel, max_sim, mmr, rem, m) AS (
+        SELECT 1, pick.v, pick.rel, pick.ms, -pick.mneg,
+               list_transform(
+                   list_filter(lst, e -> e.v <> pick.v),
+                   e -> {{'v': e.v, 'rel': e.rel,
+                         'ms': coalesce(m[e.v * {_MMR_ENC} + pick.v][1],
+                                        {d0})}}) AS rem,
+               m
+        FROM base
+        WHERE pick IS NOT NULL
+      UNION ALL
+        SELECT rank + 1, pick.v, pick.rel, pick.ms, -pick.mneg,
+               list_transform(
+                   list_filter(rem, e -> e.v <> pick.v),
+                   e -> {{'v': e.v, 'rel': e.rel,
+                         'ms': greatest(e.ms,
+                               coalesce(m[e.v * {_MMR_ENC} + pick.v][1],
+                                        {d0}))}}) AS rem,
+               m
+        FROM (
+            SELECT sel.rank AS rank, sel.rem AS rem, sel.m AS m,
+                   list_min(list_transform(sel.rem,
+                       e -> {{'mneg': -floor(({lam} * e.rel - {om} * e.ms)
+                                            * 1e6 + 0.5) / 1e6,
+                             'v': e.v, 'rel': e.rel, 'ms': e.ms}})) AS pick
+            FROM sel
+            WHERE sel.rank < {MMR_K} AND len(sel.rem) > 0
+        )
+    )
+    SELECT CAST(rank AS INT) AS rank, vec_id, rel, max_sim, mmr
+    FROM sel ORDER BY rank
+"""
+
+
+ORACLES: dict[str, str] = {
+    "hybrid_rrf_topk": _hybrid_oracle(),
+    "mmr_rerank": _mmr_oracle(),
+}
+
+QUERIES = {
+    "hybrid_rrf_topk": q_hybrid_rrf_topk,
+    "mmr_rerank": q_mmr_rerank,
+}
