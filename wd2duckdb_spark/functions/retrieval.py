@@ -228,6 +228,8 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
+    from wd2duckdb_spark.functions.similarity import cosine_scored
+
     schema = StructType(
         [
             StructField("rank", IntegerType()),
@@ -238,7 +240,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     cands = (
-        cosine_scored_import()(spark, sf_dir, 0)
+        cosine_scored(spark, sf_dir, 0)
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(MMR_DEPTH)
         .collect()
@@ -267,12 +269,6 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         selected.append(best[1])
         out.append((step + 1, best[1], float(best[2]), float(best[3]), best[4]))
     return spark.createDataFrame(out, schema).orderBy("rank")
-
-
-def cosine_scored_import():
-    from wd2duckdb_spark.functions.similarity import cosine_scored
-
-    return cosine_scored
 
 
 def _mmr_oracle() -> str:
