@@ -500,3 +500,42 @@ def test_mmr_rerank_diversifies(spark):
     for i, r in enumerate(mmr[1:], start=1):
         want = max(sims[(r.vec_id, s)] for s in picks[:i])
         assert r.max_sim == want
+
+
+def test_ann_filtered_prefilters_not_postfilters(spark):
+    """Filtered vector search must apply the predicate BEFORE top-k:
+    all results carry the filter label, the result is the top-10 of
+    the label-restricted ranking (recomputed independently), and
+    post-filtering the GLOBAL top-10 would under-fill — demonstrated
+    whenever fewer than 10 of the global top-10 carry the label."""
+    from pyspark.sql import functions as F
+
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.functions.similarity import (
+        ANN_FILTER_LABEL,
+        cosine_scored,
+        q_ann_bruteforce_topk,
+        q_ann_filtered_topk,
+    )
+
+    got = q_ann_filtered_topk(spark, SF_DIR).collect()
+    labels = {
+        r.vec_id: r.label
+        for r in tbl(spark, SF_DIR, "embeddings").select("vec_id", "label").collect()
+    }
+    assert got and all(labels[r.vec_id] == ANN_FILTER_LABEL for r in got)
+    # equals the top-10 of the label-restricted full ranking
+    want = [
+        (r.vec_id, r.cosine)
+        for r in cosine_scored(spark, SF_DIR, 0).collect()
+        if labels[r.vec_id] == ANN_FILTER_LABEL
+    ]
+    want.sort(key=lambda t: (-t[1], t[0]))
+    assert [(r.vec_id, r.cosine) for r in got] == want[:10]
+    # the naive post-filter would under-fill here (fixture property
+    # that makes this test meaningful — global top-10 spans labels)
+    global_top = q_ann_bruteforce_topk(spark, SF_DIR).collect()
+    n_matching = sum(
+        1 for r in global_top if labels[r.vec_id] == ANN_FILTER_LABEL
+    )
+    assert n_matching < len(got)

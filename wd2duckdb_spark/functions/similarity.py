@@ -153,14 +153,20 @@ def clean_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cosine_scored(
-    spark: SparkSession, sf_dir: str, vec_id: int = 0
+    spark: SparkSession, sf_dir: str, vec_id: int = 0, pred=None
 ) -> DataFrame:
     """(vec_id, cosine round6) of every clean vector against the
     ``vec_id`` probe, unranked — the parameterized core of
-    :func:`q_ann_bruteforce_topk`, reused by the hybrid RRF fusion
-    (functions/retrieval.py). Empty frame when the probe is dirty or
+    :func:`q_ann_bruteforce_topk`, reused by the hybrid RRF fusion and
+    MMR (functions/retrieval.py). ``pred`` (an optional Column) is the
+    metadata filter of FILTERED vector search (q_ann_filtered_topk) —
+    applied BEFORE scoring, so at 100 TB a selective predicate prunes
+    the scan (partition/row-group level for stored columns) instead of
+    scoring then discarding. Empty frame when the probe is dirty or
     absent (the ADVICE r3 short-circuit)."""
     e = clean_embeddings(spark, sf_dir).filter(F.col("vec_id") != vec_id)
+    if pred is not None:
+        e = e.filter(pred)
     qv = query_vector(spark, sf_dir, vec_id)
     if not qv:
         return e.limit(0).select("vec_id", F.lit(0.0).alias("cosine"))
@@ -179,6 +185,31 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors of vec_id=0."""
     return (
         cosine_scored(spark, sf_dir, 0)
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+
+
+#: Metadata predicate of the filtered-search query: restrict to one
+#: label class (labels 0-9 on the fixtures, each ~10% selective).
+ANN_FILTER_LABEL = 3
+
+
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search (round 7): exact cosine top-10 among
+    vectors whose ``label = ANN_FILTER_LABEL`` — the metadata-filter
+    + similarity combination every production vector store ships
+    (search only docs matching a predicate). The filter applies
+    BEFORE scoring via :func:`cosine_scored`'s ``pred`` hook, so a
+    selective stored predicate prunes the scan rather than scoring
+    then discarding; post-filtering a global top-k instead would
+    UNDER-fill the result whenever fewer than k of the global top
+    match the predicate — the classic filtered-ANN correctness trap.
+    Oracle composes :func:`_ann_bf_sql` with the same predicate."""
+    return (
+        cosine_scored(
+            spark, sf_dir, 0, pred=F.col("label") == ANN_FILTER_LABEL
+        )
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(10)
     )
@@ -922,12 +953,14 @@ def _pq_adc_oracle() -> str:
     """
 
 
-def _ann_bf_sql(limit: int) -> str:
+def _ann_bf_sql(limit: int, extra_where: str = "") -> str:
     """Brute-force cosine top-``limit`` oracle SQL — the single SQL
     source of the exact cosine ranking: ann_bruteforce_topk uses it at
-    its own k, ann_recall_eval embeds it verbatim as ground truth, and
-    the hybrid RRF fusion (functions/retrieval.py) embeds it at fusion
-    depth, so the rankings cannot drift apart."""
+    its own k, ann_recall_eval embeds it verbatim as ground truth, the
+    hybrid RRF fusion and MMR (functions/retrieval.py) embed it at
+    their depths, and the filtered-search oracle passes the metadata
+    predicate via ``extra_where`` (an ``AND …`` clause) — so the
+    rankings cannot drift apart."""
     return f"""
         WITH q AS (
             -- ADVICE r3: dirty probe vector => empty q => empty result
@@ -943,6 +976,7 @@ def _ann_bf_sql(limit: int) -> str:
         WHERE vec_id <> 0
           AND embedding IS NOT NULL AND len(embedding) = {EMB_DIM}
           AND (SELECT count(*) FROM q) = 1
+          {extra_where}
         ORDER BY cosine DESC, vec_id
         LIMIT {limit}
     """
@@ -954,6 +988,9 @@ ORACLES: dict[str, str] = {
     "embedding_pq_codes": _pq_oracle(),
 
     "ann_bruteforce_topk": _ann_bf_sql(10),
+    "ann_filtered_topk": _ann_bf_sql(
+        10, extra_where=f"AND label = {ANN_FILTER_LABEL}"
+    ),
     "ivf_ann_topk": _ivf_oracle(),
     "embedding_centroids": """
         WITH flat AS (
@@ -1524,6 +1561,7 @@ QUERIES = {
     "hard_negative_mining": q_hard_negative_mining,
     "embedding_pq_codes": q_embedding_pq_codes,
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
+    "ann_filtered_topk": q_ann_filtered_topk,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ivf_ann_topk": q_ivf_ann_topk,
     "embedding_centroids": q_embedding_centroids,
