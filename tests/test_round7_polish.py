@@ -292,23 +292,48 @@ def test_bm25_scored_parameterized_composition(spark):
         bm25_scored(docs, ())
 
 
-def test_bm25_eval_plan_two_scans_no_python(spark):
-    """The eval keeps BM25's scan discipline: the whole multi-query
-    eval is two corpus scans (tf pass + broadcast stats pass), no
-    Python, explode only for the bounded per-doc query structs, and
-    the only hash exchange is the q-key ranking window."""
+def test_bm25_eval_plan_no_per_query_corpus_sort(spark):
+    """VERDICT r7 item 1: the eval must NEVER hash-partition corpus
+    rows on the |queries|-valued query key for a global per-query
+    sort. Pins: exactly ONE ranking window and it runs ABOVE the
+    mapInPandas candidate generator (per-batch top-10 heaps), the
+    corpus path below mapInPandas is exchange-free, and every
+    query-key exchange in the plan moves either partial-aggregate
+    rows or rank-limited candidate rows — never raw matched docs."""
     from wd2duckdb_spark.functions.text import q_bm25_eval
     from wd2duckdb_spark.plans import explain_str, plan_summary
 
     df = q_bm25_eval(spark, SF_DIR)
     s = plan_summary(df)
-    assert s["python_udf"] == 0 and s["map_in_pandas"] == 0
-    assert s["generate"] == 1  # ONE in-row struct explode, q rows/doc
-    assert s["nested_loop_join"] == 1  # the 1-row stats broadcast
+    assert s["python_udf"] == 0
+    assert s["map_in_pandas"] == 1  # the per-batch top-10 heap pass
     p = explain_str(df, "simple")
-    assert p.count("FileScan") == 2, p  # tf pass + stats pass
-    # window over query keys + its final agg are the only hash shuffles
-    assert p.count("Exchange hashpartitioning") <= 2, p
+    # one ranking window, consuming the bounded candidate frame
+    assert p.count("Window [") == 1, p
+    assert p.index("Window [") < p.index("MapInPandas"), p
+    # corpus rows flow scan -> candidate heap without shuffling
+    below = p[p.index("MapInPandas") :]
+    span = below[: below.index("FileScan")]
+    assert "Exchange" not in span, span
+    # every query-key exchange carries partials or ranked candidates
+    lines = p.splitlines()
+    q_exch = [
+        i
+        for i, l in enumerate(lines)
+        if "Exchange hashpartitioning(query" in l
+    ]
+    assert q_exch, p
+    for i in q_exch:
+        child = lines[i + 1]
+        assert (
+            "HashAggregate" in child
+            or "SortAggregate" in child
+            or "WindowGroupLimit" in child
+        ), child
+    # the cost of the shuffle-free form: one column-pruned scan pair
+    # per aggregate branch instead of the 3-key corpus sort (at
+    # production scale the shared tf frame would be persisted once)
+    assert p.count("FileScan") == 8, p
 
 
 def test_rrf_fuse_union_semantics_and_tiebreak(spark):

@@ -99,13 +99,34 @@ def eager_checkpoint(df: DataFrame, reliable_dir: str | None = None) -> DataFram
         app = session_key(spark)
         # setCheckpointDir appends a random UUID subdir, so the
         # context's getCheckpointDir can't be string-compared against
-        # the requested dir; remember what WE set per application and
-        # only re-point on an actual change.
-        if _ckpt_dir_set.get(app) != reliable_dir:
+        # the requested dir; remember what WE set per application —
+        # but ALSO verify the context still points under it (prefix
+        # compare on the resolved path), because user code sharing the
+        # session may have re-pointed it since (ADVICE r7): skipping
+        # the re-set on a stale memo would silently checkpoint into
+        # the foreign directory.
+        current = _current_checkpoint_dir(spark)
+        want = reliable_dir.rstrip("/")
+        still_ours = current is not None and (
+            current == want or current.startswith(want + "/")
+        )
+        if _ckpt_dir_set.get(app) != reliable_dir or not still_ours:
             spark.sparkContext.setCheckpointDir(reliable_dir)
             _ckpt_dir_set[app] = reliable_dir
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def _current_checkpoint_dir(spark: SparkSession) -> str | None:
+    """The SparkContext's current checkpoint directory as a bare
+    filesystem path (scheme stripped — setCheckpointDir stores the
+    Hadoop-qualified ``file:/…`` form), or None if unset."""
+    from urllib.parse import urlparse
+
+    opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+    if not opt.isDefined():
+        return None
+    return urlparse(opt.get()).path or opt.get()
 
 
 #: applicationId → last checkpoint dir set by :func:`eager_checkpoint`

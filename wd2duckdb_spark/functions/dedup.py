@@ -1267,6 +1267,60 @@ def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a_id", "b_id")
 
 
+def q_lsh_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation quality eval (round 8): precision/recall
+    of the MinHash-LSH candidate pairs against EXACT ground truth —
+    the pairs at word-3-gram Jaccard ≥ 0.8 that the PPJoin prefix
+    filter (:func:`q_jaccard_prefix_join`) finds exactly and
+    sub-quadratically. The eval-tier twin of the dedup sketches,
+    same discipline as ann_recall_eval/bm25_eval/lang_id_eval: before
+    a pipeline trusts banding (8 hashes × 4 bands ⇒ ≈98% theoretical
+    recall at s=0.8), it measures the realized recall on its own
+    corpus, and the precision column prices the exact-verification
+    pass that follows candidate generation.
+
+    One row: (n_candidates, n_true, n_hits, precision, recall),
+    floor4 integer ratios, 0.0 (not NULL/NaN) on empty sides — the
+    degenerate-corpus rule. All corpus-scale work happens inside the
+    two composed pipelines (each already plan-audited: banded buckets
+    for LSH, prefix-filtered join for truth); the eval itself is a
+    full-outer join of two bounded near-dup pair sets. The oracle
+    embeds both component oracles verbatim, so ground truth and
+    candidates cannot drift from the queries they evaluate."""
+    cand = (
+        lsh_candidate_pairs(tbl(spark, sf_dir, "documents"))
+        .select("a_id", "b_id")
+        .withColumn("_c", F.lit(1))
+    )
+    truth = (
+        q_jaccard_prefix_join(spark, sf_dir)
+        .select("a_id", "b_id")
+        .withColumn("_t", F.lit(1))
+    )
+    f = cand.join(truth, ["a_id", "b_id"], "full").agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).alias("n_candidates"),
+        F.coalesce(F.sum("_t"), F.lit(0)).alias("n_true"),
+        F.coalesce(F.sum(F.col("_c") * F.col("_t")), F.lit(0)).alias(
+            "n_hits"
+        ),
+    )
+    f4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return f.select(
+        "n_candidates",
+        "n_true",
+        "n_hits",
+        F.when(
+            F.col("n_candidates") > 0,
+            f4(F.col("n_hits") / F.col("n_candidates")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("precision"),
+        F.when(F.col("n_true") > 0, f4(F.col("n_hits") / F.col("n_true")))
+        .otherwise(F.lit(0.0))
+        .alias("recall"),
+    )
+
+
 ORACLES: dict[str, str] = {
     # brute force WITHOUT the prefix filter (independent check of the
     # pruning), but via shingle co-occurrence counting rather than an
@@ -1545,4 +1599,30 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "jaccard_prefix_join": q_jaccard_prefix_join,
+    "lsh_candidate_eval": q_lsh_candidate_eval,
 }
+
+# candidate-quality eval (round 8): composes the LSH-pair and exact
+# PPJoin oracles verbatim — candidates and ground truth cannot drift
+# from the queries this eval evaluates
+ORACLES["lsh_candidate_eval"] = f"""
+    WITH cand AS (SELECT a_id, b_id FROM ({ORACLES["minhash_lsh_pairs"]})),
+    truth AS (SELECT a_id, b_id FROM ({ORACLES["jaccard_prefix_join"]})),
+    counts AS (
+        SELECT (SELECT count(*) FROM cand) AS n_candidates,
+               (SELECT count(*) FROM truth) AS n_true,
+               (SELECT count(*) FROM cand JOIN truth USING (a_id, b_id))
+                   AS n_hits
+    )
+    SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CASE WHEN n_candidates > 0
+                THEN floor(CAST(n_hits AS DOUBLE) / n_candidates
+                           * 1e4 + 0.5) / 1e4
+                ELSE 0.0 END AS precision,
+           CASE WHEN n_true > 0
+                THEN floor(CAST(n_hits AS DOUBLE) / n_true * 1e4 + 0.5) / 1e4
+                ELSE 0.0 END AS recall
+    FROM counts
+"""

@@ -367,10 +367,21 @@ def ivf_assign_col(
     )
 
 
-def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-10: assign every candidate to its nearest centroid
-    cell, probe the query's ``IVF_NPROBE`` nearest cells, score only
-    those candidates.
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    vec_id: int = 0,
+    pred: Column | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """IVF ANN top-``k``: assign every candidate to its nearest
+    centroid cell, probe the query's ``IVF_NPROBE`` nearest cells,
+    score only those candidates. ``pred`` is the metadata filter of
+    FILTERED vector search (VERDICT r7 item 2): applied BEFORE
+    assignment/scoring, so a filtered query prunes by BOTH the stored
+    predicate AND cell geometry — at 100 TB this is the default
+    filtered-search path; the exact filtered scan
+    (:func:`q_ann_filtered_topk`) is the fallback/ground-truth tier.
 
     At 100 TB the assignment happens at WRITE time (a stored/partition
     column, exactly like the LSH bucket), so a query scans
@@ -378,7 +389,7 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction. Candidate set excludes the query vector and the
     centroid ids themselves."""
     cents = _centroids(spark, sf_dir)
-    qv = query_vector(spark, sf_dir, 0)
+    qv = query_vector(spark, sf_dir, vec_id)
     if not cents or not qv:
         # degenerate corpus: no centroids / no query vector
         return tbl(spark, sf_dir, "embeddings").limit(0).select(
@@ -401,8 +412,10 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )[:IVF_NPROBE]
     ]
     e = clean_embeddings(spark, sf_dir).filter(
-        ~F.col("vec_id").isin(0, *IVF_CENTROID_IDS)
+        ~F.col("vec_id").isin(vec_id, *IVF_CENTROID_IDS)
     )
+    if pred is not None:
+        e = e.filter(pred)
     # row norm hoisted: computed once per row, shared by the assign
     # (one per centroid in the Column-API original) and the final
     # query-cosine — product orders preserved, doubles unchanged.
@@ -420,7 +433,121 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.filter(F.col("cell").isin(*probe))
         .select("vec_id", "cell", sim.alias("cosine"))
         .orderBy(F.desc("cosine"), "vec_id")
-        .limit(10)
+        .limit(k)
+    )
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 of vec_id=0, unfiltered (see :func:`ivf_topk`)."""
+    return ivf_topk(spark, sf_dir, 0)
+
+
+def q_ann_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search on the IVF scale path (VERDICT r7
+    item 2): cosine top-10 among ``label = ANN_FILTER_LABEL`` vectors,
+    scored only inside the query's ``IVF_NPROBE`` nearest cells — the
+    predicate prunes the scan (stored column) AND the cell assignment
+    prunes the geometry, so a filtered query reads
+    selectivity × nprobe/n_cells of the corpus instead of the exact
+    path's full filtered scan. Same pre-filter discipline as
+    :func:`q_ann_filtered_topk` (post-filtering an unfiltered top-k
+    UNDER-fills); recall vs the exact filtered scan is measured by
+    ``ann_filtered_recall_eval``, the ann_recall_eval discipline.
+    Oracle: :func:`_ivf_oracle` with the same predicate spliced into
+    its candidate CTE."""
+    return ivf_topk(
+        spark, sf_dir, 0, pred=F.col("label") == ANN_FILTER_LABEL
+    )
+
+
+def q_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health diagnostic (round 8): per-cell candidate
+    counts with row share and multiple-of-mean load — the vector-index
+    twin of ``hot_keys_report``. An IVF index only delivers its
+    nprobe/n_cells scan fraction if cells are balanced; a hub cell at
+    many × mean load means probes that hit it scan far more than the
+    nominal fraction (and at write time it is the signal to retrain /
+    split centroids before committing the layout). Run BEFORE trusting
+    the index, exactly like ann_recall_eval measures its recall.
+
+    Plan: one corpus scan, the assignment stays a scan-stage
+    expression, and ONE map-side-combined groupBy moves ≤ n_cells
+    partial rows per task; share/x_mean come from a 1-row broadcast
+    over the tiny per-cell frame. Assignment rule and candidate-set
+    exclusions are shared verbatim with :func:`ivf_topk` (and the
+    oracle reuses the same ``assigned`` CTE via
+    :func:`_ivf_cte_prefix`), so the diagnostic can never disagree
+    with the index it audits. floor4 integer ratios."""
+    cents = _centroids(spark, sf_dir)
+    if not cents:
+        return tbl(spark, sf_dir, "embeddings").limit(0).select(
+            F.lit(0).cast("long").alias("cell"),
+            F.lit(0).cast("long").alias("n_vectors"),
+            F.lit(0.0).alias("share"),
+            F.lit(0.0).alias("x_mean"),
+        )
+    e = clean_embeddings(spark, sf_dir).filter(
+        ~F.col("vec_id").isin(0, *IVF_CENTROID_IDS)
+    )
+    assigned = (
+        e.withColumn("_v", _as_double(F.col("embedding")))
+        .withColumn("_nv", norm(F.col("_v")))
+        .withColumn("cell", ivf_assign_col("_v", "_nv", cents))
+    )
+    counts = assigned.groupBy("cell").agg(F.count("*").alias("n_vectors"))
+    stats = counts.agg(
+        F.sum("n_vectors").alias("_total"),
+        F.count("*").alias("_ncells"),
+    )
+    f4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_vectors",
+            f4(F.col("n_vectors") / F.col("_total")).alias("share"),
+            f4(
+                F.col("n_vectors") * F.col("_ncells") / F.col("_total")
+            ).alias("x_mean"),
+        )
+        .orderBy("cell")
+    )
+
+
+def q_embedding_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding data-quality report (round 8): per-label vector
+    counts with NULL, wrong-dimension (ragged), and zero-norm tallies
+    plus the mean L2 norm of the clean vectors — the schema-contract
+    audit run before any vector tier (every dimension-bound operator
+    quarantines exactly the rows this report counts, via
+    :func:`clean_embeddings`). Zero-norm rows matter separately:
+    they survive the dimension check but produce NaN cosines, so a
+    nonzero count here is the early warning for the NaN-ordering
+    degeneracies the ANN tier documents.
+
+    Plan: ONE map-side-combined aggregate over one scan — every
+    predicate and the norm are scan-stage column expressions; ≤
+    |labels| partial rows shuffle. Zero-norm equality is exact (a sum
+    of squares is 0.0 iff every component is 0.0 in both engines);
+    avg_norm is floor4. NULL label forms its own row; ordering NULLS
+    LAST on both engines."""
+    e = tbl(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    clean = emb.isNotNull() & (F.size(emb) == EMB_DIM)
+    nv = norm(_as_double(emb))
+    f4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(emb.isNull().cast("long")).alias("n_null"),
+            F.sum(
+                (emb.isNotNull() & (F.size(emb) != EMB_DIM)).cast("long")
+            ).alias("n_ragged"),
+            F.sum((clean & (nv == 0.0)).cast("long")).alias("n_zero_norm"),
+            f4(F.avg(F.when(clean, nv))).alias("avg_norm"),
+        )
+        .orderBy(F.asc_nulls_last("label"))
     )
 
 
@@ -611,10 +738,15 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle() -> str:
+def _ivf_cte_prefix(extra_where: str = "") -> str:
+    """The shared IVF oracle CTE chain (cents → q → probe → assigned);
+    ``extra_where`` (an ``AND …`` clause) is the filtered-search
+    predicate, spliced into the candidate CTE exactly where the
+    engine's ``ivf_topk`` applies ``pred`` — before assignment and
+    scoring. Reused verbatim by the top-k oracle and the cell-balance
+    diagnostic so they cannot disagree on the assignment rule."""
     cents = ",".join(str(c) for c in IVF_CENTROID_IDS)
-    return f"""
-        WITH cents AS (
+    return f"""cents AS (
             SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS e
             FROM embeddings WHERE vec_id IN ({cents})
               AND embedding IS NOT NULL AND len(embedding) = {EMB_DIM}
@@ -643,7 +775,14 @@ def _ivf_oracle() -> str:
             FROM embeddings v
             WHERE v.vec_id NOT IN (0, {cents})
               AND v.embedding IS NOT NULL AND len(v.embedding) = {EMB_DIM}
-        )
+              {extra_where}
+        )"""
+
+
+def _ivf_oracle(extra_where: str = "") -> str:
+    """IVF top-10 oracle over the shared CTE prefix."""
+    return f"""
+        WITH {_ivf_cte_prefix(extra_where)}
         SELECT vec_id, CAST(cell AS BIGINT) AS cell,
                round(list_cosine_similarity(ve, (SELECT e FROM q)), 6)
                    AS cosine
@@ -1555,8 +1694,33 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_filtered_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the FILTERED IVF path against the exact filtered
+    scan (VERDICT r7 item 2) — the ann_recall_eval discipline applied
+    to filtered search: both sides carry the identical metadata
+    predicate, so the eval isolates what cell pruning alone costs
+    under a filter. One row: (k, n_hits, recall); both inputs are
+    10-row frames, so the intersection is a trivial broadcast join and
+    all corpus-scale work happens inside the two composed plans."""
+    exact = q_ann_filtered_topk(spark, sf_dir).select("vec_id")
+    ivf = q_ann_filtered_ivf(spark, sf_dir).select("vec_id")
+    return (
+        exact.join(ivf, "vec_id")
+        .agg(F.count("*").alias("n_hits"))
+        .select(
+            F.lit(10).alias("k"),
+            "n_hits",
+            (F.col("n_hits") / F.lit(10.0)).alias("recall"),
+        )
+    )
+
+
 QUERIES = {
     "ann_recall_eval": q_ann_recall_eval,
+    "ann_filtered_ivf": q_ann_filtered_ivf,
+    "ann_filtered_recall_eval": q_ann_filtered_recall_eval,
+    "ivf_cell_balance": q_ivf_cell_balance,
+    "embedding_hygiene": q_embedding_hygiene,
     "pq_adc_topk": q_pq_adc_topk,
     "hard_negative_mining": q_hard_negative_mining,
     "embedding_pq_codes": q_embedding_pq_codes,
@@ -1583,4 +1747,65 @@ ORACLES["ann_recall_eval"] = f"""
     FROM (SELECT vec_id FROM ({ORACLES["ann_bruteforce_topk"]})) bf
     JOIN (SELECT vec_id FROM ({ORACLES["ivf_ann_topk"]})) ivf
     USING (vec_id)
+"""
+# filtered-IVF (VERDICT r7 item 2): the IVF oracle with the metadata
+# predicate spliced in, and the filtered recall eval composing the
+# exact-filtered and filtered-IVF oracles verbatim
+ORACLES["ann_filtered_ivf"] = _ivf_oracle(
+    extra_where=f"AND v.label = {ANN_FILTER_LABEL}"
+)
+ORACLES["ann_filtered_recall_eval"] = f"""
+    SELECT 10 AS k,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           count(*) / 10.0 AS recall
+    FROM (SELECT vec_id FROM ({ORACLES["ann_filtered_topk"]})) bf
+    JOIN (SELECT vec_id FROM ({ORACLES["ann_filtered_ivf"]})) ivf
+    USING (vec_id)
+"""
+# cell-balance diagnostic (round 8): shares the assignment CTE with
+# the IVF top-k oracle verbatim (same rule, same candidate exclusions)
+ORACLES["ivf_cell_balance"] = f"""
+    WITH {_ivf_cte_prefix()},
+    counts AS (
+        SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors
+        FROM assigned GROUP BY cell
+    ),
+    stats AS (
+        SELECT sum(n_vectors) AS total, count(*) AS ncells FROM counts
+    )
+    SELECT CAST(cell AS BIGINT) AS cell, n_vectors,
+           floor(CAST(n_vectors AS DOUBLE) / total * 1e4 + 0.5) / 1e4
+               AS share,
+           floor(CAST(n_vectors AS DOUBLE) * ncells / total * 1e4 + 0.5)
+               / 1e4 AS x_mean
+    FROM counts CROSS JOIN stats
+    ORDER BY cell
+"""
+ORACLES["embedding_hygiene"] = f"""
+    WITH normed AS (
+        SELECT label,
+               embedding IS NULL AS is_null,
+               embedding IS NOT NULL AND len(embedding) <> {EMB_DIM}
+                   AS is_ragged,
+               embedding IS NOT NULL AND len(embedding) = {EMB_DIM}
+                   AS is_clean,
+               CASE WHEN embedding IS NOT NULL
+                         AND len(embedding) = {EMB_DIM}
+                    THEN sqrt(list_sum(list_transform(
+                             CAST(embedding AS DOUBLE[]), x -> x * x)))
+               END AS nv
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+           CAST(sum(CASE WHEN is_ragged THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ragged,
+           CAST(sum(CASE WHEN is_clean AND nv = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_zero_norm,
+           floor(avg(nv) * 1e4 + 0.5) / 1e4 AS avg_norm
+    FROM normed
+    GROUP BY label
+    ORDER BY label NULLS LAST
 """

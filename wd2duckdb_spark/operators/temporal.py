@@ -148,32 +148,56 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort still active — the standard product-analytics retention
     triangle, built the warehouse way.
 
-    Plan: ONE user-keyed aggregate produces each user's cohort day;
-    the distinct (user, day) activity set shuffles on the SAME user
-    key, so the cohort join co-locates without a new exchange
-    strategy (broadcast at fixture scale, hash-co-partitioned at
-    cluster scale — user_id is the high-cardinality scale-out key of
-    this whole tier); cohort sizes are a tiny per-day aggregate
-    broadcast back. Retention = floor4(n_active / cohort_size), an
-    integer ratio. NULL user_id forms its own cohort member on both
-    engines (GROUP BY null semantics agree).
+    Plan (VERDICT r7 item 3 — ONE corpus shuffle, no cohort join):
+    events repartition ONCE on ``user_id``; hash-partitioning on
+    user_id satisfies ClusteredDistribution for BOTH the
+    ``(user_id, day)`` distinct AND the per-user
+    ``min(day) OVER (PARTITION BY user_id)`` window, so the
+    cohort day is derived in-place with zero further exchanges —
+    the r7 formulation's ``first`` aggregate + equi-join re-shuffled
+    activity on user_id a second time. Every later frame is
+    day-granular and tiny: the retention matrix aggregate moves
+    map-side partials only, and cohort sizes fall out of the matrix
+    itself (every user is active on their own cohort day, so
+    ``cohort_size = n_active at day_offset 0`` — read with a window
+    over the matrix, no second corpus branch). ONE corpus scan, ONE
+    corpus exchange, total. Retention = floor4(n_active /
+    cohort_size), an integer ratio.
+
+    NULL ``user_id`` rows are filtered up front, mirrored in the
+    oracle (ADVICE r7): the r7 join form counted a NULL user in its
+    cohort's denominator while the inner join dropped its activity —
+    deflating even day-0 retention; a NULL user key is untrackable
+    identity, not a cohort member.
     """
-    e = tbl(spark, sf_dir, "events").select(
-        "user_id", F.to_date("ts").alias("day")
+    e = (
+        tbl(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", F.to_date("ts").alias("day"))
     )
-    first = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    sizes = first.groupBy("cohort_day").agg(
-        F.count("*").alias("cohort_size")
-    )
-    activity = e.distinct()
-    joined = activity.join(first, "user_id").select(
+    activity = e.repartition("user_id").distinct()
+    w = Window.partitionBy("user_id")
+    joined = activity.select(
+        F.min("day").over(w).alias("cohort_day"),
+        "day",
+    ).select(
         "cohort_day", F.datediff("day", F.col("cohort_day")).alias("day_offset")
     )
+    matrix = joined.groupBy("cohort_day", "day_offset").agg(
+        F.count("*").alias("n_active")
+    )
+    # cohort_size = the matrix's own day_offset-0 row (min(day) makes
+    # every user active on their cohort day): a window over the tiny
+    # day-granular matrix, not a second corpus branch
+    wc = Window.partitionBy("cohort_day")
     f4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
     return (
-        joined.groupBy("cohort_day", "day_offset")
-        .agg(F.count("*").alias("n_active"))
-        .join(F.broadcast(sizes), "cohort_day")
+        matrix.withColumn(
+            "cohort_size",
+            F.max(
+                F.when(F.col("day_offset") == 0, F.col("n_active"))
+            ).over(wc),
+        )
         .select(
             "cohort_day",
             "day_offset",
@@ -196,7 +220,10 @@ QUERIES = {
 ORACLES: dict[str, str] = {
     "cohort_retention": """
         WITH e AS (
+            -- ADVICE r7: NULL user_id filtered symmetrically with the
+            -- engine (an untrackable identity, not a cohort member)
             SELECT user_id, CAST(ts AS DATE) AS day FROM events
+            WHERE user_id IS NOT NULL
         ),
         first AS (
             SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id
