@@ -70,6 +70,10 @@ HEADLINE = (
     "bm25_eval",
     "hybrid_rrf_topk",
     "hot_keys_sketch",
+    # round-8 additions: filtered vector search on the IVF scale path
+    # + the cell-balance index-health diagnostic
+    "ann_filtered_ivf",
+    "ivf_cell_balance",
 )
 
 

@@ -324,3 +324,35 @@ def test_cluster_once_memo_reliable_checkpoint_path(spark, tmp_path):
         if not f.startswith(".")
     ]
     assert files, f"no checkpoint data written under {ckpt_dir}"
+
+
+def test_lsh_multiprobe_superset_and_recall(spark):
+    """Round 8: multi-probe LSH candidates are a SUPERSET of the
+    single-probe bucket's (the probe set always contains the home
+    bucket), so recall@10 vs brute force can only improve — and the
+    probe count bounds the scan fraction (<= n_probes buckets)."""
+    from wd2duckdb_spark.functions.similarity import q_ann_lsh_multiprobe
+
+    exact = {
+        r["vec_id"] for r in q_ann_bruteforce_topk(spark, SF_DIR).collect()
+    }
+    # compare candidate SETS at large k so top-k truncation doesn't
+    # hide the superset property
+    single = {
+        r["vec_id"]
+        for r in lsh_bucket_ann(spark, SF_DIR, 0, 4, 10**6, 1).collect()
+    }
+    multi = {
+        r["vec_id"]
+        for r in lsh_bucket_ann(spark, SF_DIR, 0, 4, 10**6, 3).collect()
+    }
+    assert single <= multi
+    assert len(multi) > len(single)  # the extra probes add candidates
+    hit_single = len(exact & {
+        r["vec_id"] for r in lsh_bucket_ann(spark, SF_DIR, 0, 4, 10, 1).collect()
+    })
+    hit_multi = len(exact & {
+        r["vec_id"] for r in q_ann_lsh_multiprobe(spark, SF_DIR).collect()
+    })
+    assert hit_multi >= hit_single
+    assert hit_multi >= 1

@@ -253,13 +253,24 @@ def lsh_bucket_ann(
     vec_id: int = 0,
     n_planes: int = 4,
     k: int = 10,
+    n_probes: int = 1,
 ) -> DataFrame:
-    """ANN top-k scoring only the query's LSH bucket.
+    """ANN top-k scoring only the query's LSH bucket(s).
 
     At 100 TB: bucket once at write time (a stored column / partition
-    key), so a query prunes to ~1/2^n_planes of the data before any
-    scoring. Here bucketing happens inline on the fixture table.
-    """
+    key), so a query prunes to ~n_probes/2^n_planes of the data before
+    any scoring. Here bucketing happens inline on the fixture table.
+
+    ``n_probes > 1`` is MULTI-PROBE LSH (Lv et al., VLDB'07): instead
+    of paying more tables/planes for recall, also probe the buckets
+    whose sign bit was CLOSEST to flipping — the query's margin
+    |dot(q, plane)| per plane, ascending, decides which single bits to
+    flip for probes 2..n. A near neighbor that landed across one
+    low-margin hyperplane is recovered for one extra bucket's worth of
+    scan. The probe set always contains the home bucket, so the
+    candidate set is a SUPERSET of single-probe's — recall can only
+    improve (pinned in tests); everything stays engine-defined
+    (hyperplanes), hence no SQL oracle, like ann_lsh_bucketed."""
     qv = query_vector(spark, sf_dir, vec_id)
     if not qv:
         return (
@@ -268,12 +279,18 @@ def lsh_bucket_ann(
             .select("vec_id", F.lit(0.0).alias("cosine"))
         )
     n_dims = len(qv)
-    # the query's bucket id, computed driver-side with the same planes
-    q_bucket = sum(
-        (1 << p)
+    # the query's bucket id + per-plane margins, driver-side with the
+    # same deterministic planes
+    margins = [
+        sum(qv[d] * _plane_component(p, d) for d in range(n_dims))
         for p in range(n_planes)
-        if sum(qv[d] * _plane_component(p, d) for d in range(n_dims)) >= 0
-    )
+    ]
+    q_bucket = sum((1 << p) for p in range(n_planes) if margins[p] >= 0)
+    # probes 2..n flip one bit each, lowest |margin| first
+    flip_order = sorted(range(n_planes), key=lambda p: (abs(margins[p]), p))
+    probes = [q_bucket] + [
+        q_bucket ^ (1 << p) for p in flip_order[: max(0, n_probes - 1)]
+    ]
     e = clean_embeddings(spark, sf_dir).filter(F.col("vec_id") != vec_id)
     # hoisted norms: norm(q) is a driver-side constant and norm(v) a
     # per-row column computed ONCE (the Column-API original re-derived
@@ -288,7 +305,7 @@ def lsh_bucket_ann(
         6,
     )
     return (
-        bucketed.filter(F.col("bucket") == q_bucket)
+        bucketed.filter(F.col("bucket").isin(*probes))
         .select("vec_id", sim.alias("cosine"))
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(k)
@@ -297,6 +314,16 @@ def lsh_bucket_ann(
 
 def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_ann(spark, sf_dir, 0, 4, 10)
+
+
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (round 8): home bucket + the 2 lowest-
+    margin single-bit-flip buckets — 3/16 of the corpus scanned for a
+    recall several tables' worth better than one bucket (see
+    :func:`lsh_bucket_ann`). Engine-defined hyperplanes ⇒ no SQL
+    oracle; superset-of-single-probe and recall-vs-bruteforce pinned
+    in tests like ann_lsh_bucketed."""
+    return lsh_bucket_ann(spark, sf_dir, 0, 4, 10, n_probes=3)
 
 
 # ---------------------------------------------------------------------------
@@ -1727,6 +1754,7 @@ QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "ann_filtered_topk": q_ann_filtered_topk,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
+    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "ivf_ann_topk": q_ivf_ann_topk,
     "embedding_centroids": q_embedding_centroids,
     "embedding_quantize": q_embedding_quantize,
