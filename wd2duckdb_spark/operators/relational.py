@@ -729,6 +729,80 @@ def q_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): average weekly
+    revenue lost if low-quantity line items of selected brands were
+    not shipped — ``l_quantity < f · avg(l_quantity)`` where the
+    average is correlated per part (fraction 0.5 and a two-brand
+    predicate replace spec's 0.2/container, which is degenerate on the
+    synthetic fixture's quantity distribution; reference delegates
+    Q17-class SQL to DuckDB, wd2duckdb main.rs:104-151).
+
+    Plan: the brand predicate prunes via a broadcast join FIRST, so
+    the per-part average is computed only over the surviving ~0.1% of
+    lineitem; the correlated average is a window over l_partkey on
+    that pruned frame — one exchange, no self-join, no second lineitem
+    scan. At 100 TB the window partitions by partkey (millions of
+    evenly-sized groups), never by a low-cardinality key.
+    """
+    p = tbl(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#2", "Brand#3")
+    )
+    l = tbl(spark, sf_dir, "lineitem")
+    pruned = l.join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    thr = F.avg("l_quantity").over(Window.partitionBy("l_partkey")) * 0.5
+    return (
+        pruned.withColumn("thr", thr)
+        .filter(F.col("l_quantity") < F.col("thr"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total line-item
+    quantity exceeds 250 (spec's 300 is empty on the synthetic
+    fixture), with their customer, ranked by order value — top 100.
+
+    Plan: ONE lineitem aggregate on l_orderkey (partial map-side
+    combine does most of the work; HAVING keeps ~2% of orders), then
+    an equi-join to orders on the same orderkey — under AQE the
+    post-HAVING side is small enough to flip to broadcast at bench
+    SFs, and shuffles on orderkey at 100 TB — a customer join on
+    custkey, and a global top-100 that plans as
+    TakeOrderedAndProject (no full sort). o_orderkey tie-break makes
+    the 100-row frontier deterministic across engines.
+    """
+    l = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey"
+        )
+        .limit(100)
+    )
+
+
 def q_q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: rich-but-inactive customers per nation —
     uncorrelated scalar subquery (global positive-balance average,
@@ -1510,6 +1584,35 @@ ORACLES: dict[str, str] = {
            OR (p_brand = 'Brand#3' AND p_size BETWEEN 21 AND 40
                AND l_quantity BETWEEN 20 AND 40)
     """,
+    "q17_small_quantity_revenue": """
+        WITH pruned AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand IN ('Brand#2', 'Brand#3')
+        ), thr AS (
+            SELECT l_partkey, l_quantity, l_extendedprice,
+                   0.5 * avg(l_quantity) OVER (PARTITION BY l_partkey)
+                       AS thr
+            FROM pruned
+        )
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM thr WHERE l_quantity < thr
+    """,
+    "q18_large_volume_customer": """
+        WITH big AS (
+            SELECT l_orderkey, sum(l_quantity) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 250
+        )
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               total_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        LIMIT 100
+    """,
     "q22_idle_balance": """
         SELECT c_nationkey,
                CAST(count(*) AS BIGINT) AS numcust,
@@ -1699,6 +1802,8 @@ QUERIES = {
     "q7_bilateral_trade": q_q7_bilateral_trade,
     "q8_market_share": q_q8_market_share,
     "q14_promo_revenue": q_q14_promo_revenue,
+    "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
+    "q18_large_volume_customer": q_q18_large_volume_customer,
     "q19_disjunctive": q_q19_disjunctive,
     "q22_idle_balance": q_q22_idle_balance,
     "window_range_frame": q_window_range_frame,
