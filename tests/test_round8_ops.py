@@ -33,6 +33,52 @@ def test_q17_single_corpus_exchange_and_broadcast(spark):
     assert row["n_items"] > 0 and row["avg_yearly"] > 0
 
 
+def test_leakage_safe_split_eliminates_cross_pairs(spark):
+    """The whole point of the cluster-keyed split: re-running the
+    leakage audit's pair×split join under the SAFE assignment finds
+    zero cross-split near-dup candidate pairs, while the naive
+    per-doc assignment finds some on the same corpus (otherwise the
+    fixture wouldn't exercise the fix)."""
+    from wd2duckdb_spark.functions.dedup import (
+        _labeled_clusters,
+        lsh_candidate_pairs,
+    )
+    from wd2duckdb_spark.functions.training import split_label
+    from wd2duckdb_spark.catalog import tbl
+
+    pairs = lsh_candidate_pairs(tbl(spark, SF_DIR, "documents"))
+    naive_cross = pairs.filter(
+        split_label(F.col("a_id")) != split_label(F.col("b_id"))
+    ).count()
+    assert naive_cross > 0  # fixture really leaks under per-doc split
+
+    clusters = _labeled_clusters(spark, SF_DIR).select(
+        "doc_id", split_label(F.col("cluster_id")).alias("split")
+    )
+    a = clusters.withColumnRenamed("doc_id", "a_id").withColumnRenamed(
+        "split", "split_a"
+    )
+    b = clusters.withColumnRenamed("doc_id", "b_id").withColumnRenamed(
+        "split", "split_b"
+    )
+    safe_cross = (
+        pairs.join(a, "a_id")
+        .join(b, "b_id")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert safe_cross == 0
+
+    # singletons never move: n_moved ≤ clustered docs, and the three
+    # splits partition the corpus
+    from wd2duckdb_spark.functions.training import q_leakage_safe_split
+
+    rows = {r["split"]: r for r in q_leakage_safe_split(spark, SF_DIR).collect()}
+    total = sum(r["n_docs"] for r in rows.values())
+    assert total == tbl(spark, SF_DIR, "documents").count()
+    assert set(rows) <= {"train", "val", "test"}
+
+
 def test_q18_take_ordered_no_global_sort(spark):
     from wd2duckdb_spark.operators.relational import (
         q_q18_large_volume_customer,

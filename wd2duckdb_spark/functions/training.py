@@ -125,6 +125,52 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "split")
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-FREE split assignment (round 8): the fix for what
+    :func:`q_split_leakage_audit` measures. Instead of splitting each
+    document independently (which strands near-duplicate pairs on
+    opposite sides of the train/eval boundary), assign the WHOLE
+    near-dup cluster by hashing its canonical id: split =
+    :func:`split_label` of the cluster's min doc_id. Singletons hash
+    by their own id, so for them the assignment is bit-identical to
+    :func:`q_dataset_split` — only clustered docs can move, and after
+    the move a cross-split near-dup candidate pair is impossible by
+    construction (both sides share a cluster_id, hence a split;
+    pinned in tests/test_round8_ops.py).
+
+    Composition discipline: the clustering is exactly
+    :func:`~wd2duckdb_spark.functions.dedup._labeled_clusters` (the
+    memoized CC over the minhash_lsh_pairs graph that keep_list /
+    keep_best / cluster_stats consume) and the split rule is exactly
+    :func:`split_label`; the oracle composes the shared recursive-CC
+    prefix and the split-rule SQL twin verbatim.
+
+    Plan: both labels are computed IN-ROW from ids already present on
+    the labeled frame (md5 — no join back, no extra shuffle), then one
+    ≤3-group aggregate. Scale cost = the shared CC itself; this query
+    adds nothing corpus-shaped.
+    """
+    from wd2duckdb_spark.functions.dedup import _labeled_clusters
+
+    labeled = _labeled_clusters(spark, sf_dir)
+    safe = split_label(F.col("cluster_id"))
+    naive = split_label(F.col("doc_id"))
+    return (
+        labeled.select(
+            safe.alias("split"),
+            "cluster_id",
+            (safe != naive).cast("long").alias("moved"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum("moved").alias("n_moved"),
+        )
+        .orderBy("split")
+    )
+
+
 def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-contamination audit (round 7): counts LSH near-dup
     candidate pairs by the split memberships of their two sides. A
@@ -824,6 +870,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "dataset_split": q_dataset_split,
     "split_leakage_audit": q_split_leakage_audit,
+    "leakage_safe_split": q_leakage_safe_split,
     "importance_resample": q_importance_resample,
     "pack_sequences": q_pack_sequences,
     "boilerplate_prune": q_boilerplate_prune,
@@ -877,8 +924,29 @@ def _split_leakage_oracle() -> str:
     """
 
 
+def _leakage_safe_split_oracle() -> str:
+    # the recursive-CC prefix (shared with keep_list/keep_best/
+    # cluster_stats) ends in labeled = (doc_id, cluster_id, text);
+    # split rule composed verbatim via split_label_sql
+    from wd2duckdb_spark.functions.dedup import _cc_sql_prefix
+
+    return f"""
+        WITH RECURSIVE {_cc_sql_prefix()}
+        SELECT {split_label_sql("cluster_id")} AS split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               count(DISTINCT cluster_id) AS n_clusters,
+               CAST(sum(CASE WHEN {split_label_sql("cluster_id")}
+                             <> {split_label_sql("doc_id")}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+        FROM labeled
+        GROUP BY 1
+        ORDER BY 1
+    """
+
+
 ORACLES: dict[str, str] = {
     "split_leakage_audit": _split_leakage_oracle(),
+    "leakage_safe_split": _leakage_safe_split_oracle(),
     "quality_calibration": _lr_calibration_oracle(),
     "quality_lr_score": _lr_oracle(),
     "source_mix_weights": f"""
