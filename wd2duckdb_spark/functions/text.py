@@ -1089,14 +1089,17 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 BIGRAM_K = 0.5
 
 
-def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-trained bigram language-model scoring — the
-    perplexity-style quality filter of a training-data pipeline,
-    without an external model: train bigram/unigram counts on the
-    corpus itself, then score every document by its mean token
-    surprisal −ln P(wᵢ | wᵢ₋₁) with add-k smoothing. Documents whose
-    word sequences are improbable under the corpus's own statistics
-    (boilerplate-free gibberish, wrong-language fragments) score high.
+def doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus-trained bigram language-model score
+    ``(doc_id, source, doc_surprisal)`` — the perplexity-style quality
+    signal of a training-data pipeline, without an external model:
+    train bigram/unigram counts on the corpus itself, then score every
+    document by its mean token surprisal −ln P(wᵢ | wᵢ₋₁) with add-k
+    smoothing. Documents whose word sequences are improbable under the
+    corpus's own statistics (boilerplate-free gibberish, wrong-language
+    fragments) score high. Shared by :func:`q_bigram_surprisal` and
+    :func:`q_perplexity_bucket_sample`; SQL twin
+    :func:`_surprisal_sql_cte`.
 
     Dataflow: bigrams are built array-side (zip of the token array
     with its own shift — no posexplode self-join), then ONE (bigram)
@@ -1155,6 +1158,13 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("doc_surprisal")
         )
     )
+    return per_doc
+
+
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source summary of the corpus-trained bigram LM scores —
+    see :func:`doc_surprisal` for the model and its scale shape."""
+    per_doc = doc_surprisal(spark, sf_dir)
     return (
         per_doc.groupBy("source")
         .agg(
@@ -1181,8 +1191,100 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES["bigram_surprisal"] = f"""
-    WITH t AS (
+def q_perplexity_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-bucket sampling (Wenzek et al. 2020):
+    score every document with the corpus-trained bigram LM
+    (:func:`doc_surprisal`, shared code AND shared oracle CTE), z-score
+    the per-doc surprisal against the global mean/stddev, bucket into
+    head (z < −0.5, most fluent), middle (|z| ≤ 0.5), tail (z > 0.5,
+    least fluent), and keep each bucket at a different deterministic
+    rate — head 100%, middle 50%, tail 10% — via the engine's standard
+    content-stable md5 keep rule (same
+    :func:`~wd2duckdb_spark.functions.training.md5_bucket` as
+    dataset_split / hash_sample, so re-ingest never flips a doc's
+    fate). Docs under 2 tokens have no bigrams and are out of scope on
+    both engines.
+
+    Plan: the LM pipeline's joins, then ONE 1-row global stats
+    aggregate broadcast back (z is computed in-row — no sort, no
+    window, no percentile pass: z-buckets replace CCNet's tercile cuts
+    precisely because exact global terciles need either a global sort
+    or a second histogram pass at 100 TB, while mean/std partial-agg
+    in one reduction), then one ≤(3×sources)-group aggregate.
+
+    Determinism: doc_surprisal is floored to 4 dp upstream; z is
+    floored to 4 dp before the ±0.5 comparisons (PLANS.md "rounding
+    ties"); the keep decision hashes ids, never floats.
+    """
+    from wd2duckdb_spark.functions.training import md5_bucket
+
+    per_doc = doc_surprisal(spark, sf_dir)
+    stats = per_doc.agg(
+        F.avg("doc_surprisal").alias("mu"),
+        F.stddev_samp("doc_surprisal").alias("sigma"),
+    )
+    z = (
+        F.when(F.col("sigma").isNull() | (F.col("sigma") == 0), F.lit(0.0))
+        .otherwise(
+            F.floor(
+                (F.col("doc_surprisal") - F.col("mu"))
+                / F.col("sigma")
+                * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4
+        )
+    )
+    bucket = (
+        F.when(F.col("z") < -0.5, "head")
+        .when(F.col("z") <= 0.5, "middle")
+        .otherwise("tail")
+    )
+    rate = (
+        F.when(F.col("bucket") == "head", F.lit(100))
+        .when(F.col("bucket") == "middle", F.lit(50))
+        .otherwise(F.lit(10))
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .withColumn("z", z)
+        .withColumn("bucket", bucket)
+        .withColumn(
+            "kept", (md5_bucket(F.col("doc_id"), 100) < rate).cast("long")
+        )
+        .groupBy("bucket", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            # integer micro-units (doc_surprisal is already 4-dp): the
+            # sum is exact, the single division is one IEEE op — no
+            # accumulation-order ulp for the floor to amplify
+            F.sum(
+                F.floor(F.col("doc_surprisal") * 1e4 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("sum_micro"),
+        )
+        .select(
+            "bucket",
+            "source",
+            "n_docs",
+            "n_kept",
+            (
+                F.floor(F.col("sum_micro") / F.col("n_docs") + F.lit(0.5))
+                / 1e4
+            ).alias("avg_surprisal"),
+        )
+        .orderBy("bucket", "source")
+    )
+
+
+def _surprisal_sql_cte() -> str:
+    """DuckDB twin of :func:`doc_surprisal`: CTE chain ending in
+    ``per_doc`` = (doc_id, source, doc_surprisal). Shared verbatim by
+    the bigram_surprisal and perplexity_bucket_sample oracles so the
+    LM semantics cannot drift between them."""
+    return f"""t AS (
         SELECT doc_id, source,
                string_split(lower(trim(text)), ' ') AS w
         FROM documents
@@ -1208,7 +1310,11 @@ ORACLES["bigram_surprisal"] = f"""
                floor(avg(surprisal) * 1e4 + 0.5) / 1e4 AS doc_surprisal
         FROM base JOIN lm USING (bg)
         GROUP BY doc_id, source
-    )
+    )"""
+
+
+ORACLES["bigram_surprisal"] = f"""
+    WITH {_surprisal_sql_cte()}
     SELECT source,
            count(*) AS n_docs,
            floor(avg(doc_surprisal) * 1e4 + 0.5) / 1e4 AS avg_surprisal,
@@ -1218,6 +1324,46 @@ ORACLES["bigram_surprisal"] = f"""
     GROUP BY source
     ORDER BY source
 """
+
+
+def _perplexity_bucket_oracle() -> str:
+    # keep rule composed verbatim from the engine's md5 split hash
+    from wd2duckdb_spark.functions.training import md5_bucket_sql
+
+    return f"""
+        WITH {_surprisal_sql_cte()}, stats AS (
+            SELECT avg(doc_surprisal) AS mu,
+                   stddev_samp(doc_surprisal) AS sigma
+            FROM per_doc
+        ), scored AS (
+            SELECT doc_id, source, doc_surprisal,
+                   CASE WHEN sigma IS NULL OR sigma = 0 THEN 0.0
+                        ELSE floor((doc_surprisal - mu) / sigma * 1e4 + 0.5)
+                             / 1e4 END AS z
+            FROM per_doc CROSS JOIN stats
+        ), b AS (
+            SELECT doc_id, source, doc_surprisal,
+                   CASE WHEN z < -0.5 THEN 'head'
+                        WHEN z <= 0.5 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored
+        )
+        SELECT bucket, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN {md5_bucket_sql("doc_id", 100)} <
+                                  CASE bucket WHEN 'head' THEN 100
+                                              WHEN 'middle' THEN 50
+                                              ELSE 10 END
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               floor(sum(CAST(floor(doc_surprisal * 1e4 + 0.5) AS BIGINT))
+                     * 1.0 / count(*) + 0.5) / 1e4 AS avg_surprisal
+        FROM b
+        GROUP BY bucket, source
+        ORDER BY bucket, source
+    """
+
+
+ORACLES["perplexity_bucket_sample"] = _perplexity_bucket_oracle()
 
 
 ORACLES["inverted_index"] = """
@@ -1493,6 +1639,7 @@ QUERIES = {
     "quality_threshold_sweep": q_quality_threshold_sweep,
     "redact_pii": q_redact_pii,
     "bigram_surprisal": q_bigram_surprisal,
+    "perplexity_bucket_sample": q_perplexity_bucket_sample,
     "vocab_entropy": q_vocab_entropy,
     "clean_corpus_pipeline": q_clean_corpus_pipeline,
     "token_count_bpe": q_token_count_bpe,
