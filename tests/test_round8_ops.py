@@ -106,6 +106,25 @@ def test_perplexity_bucket_sample_rates_and_partition(spark):
     assert all(0 <= r["n_kept"] <= r["n_docs"] for r in rows)
 
 
+def test_vocab_divergence_bounds_and_pairs(spark):
+    """JS divergence lies in [0, ln 2] for every source pair; pairs are
+    canonical (a < b) and cover every source pair that shares any
+    word; the self-join never degenerates to a nested loop."""
+    import math
+
+    from wd2duckdb_spark.functions.text import q_vocab_divergence
+
+    df = q_vocab_divergence(spark, SF_DIR)
+    assert plan_summary(df)["nested_loop_join"] == 0
+    rows = df.collect()
+    assert rows, "fixture sources share vocabulary"
+    ln2 = math.log(2)
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert -1e-9 <= r["js_divergence"] <= ln2 + 1e-9
+        assert r["n_shared_words"] > 0
+
+
 def test_q18_take_ordered_no_global_sort(spark):
     from wd2duckdb_spark.operators.relational import (
         q_q18_large_volume_customer,

@@ -1191,6 +1191,85 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between the unigram word
+    distributions of every source pair — the dataset-drift /
+    source-redundancy diagnostic of a corpus mixer: JS ≈ 0 means two
+    sources are interchangeable (mix them with one weight), JS → ln 2
+    means disjoint vocabularies. Complements
+    ``source_overlap_matrix`` (document n-gram containment) with a
+    distribution-level signal that sees topical drift even when no
+    n-gram is shared.
+
+    Exact-sum identity used: JS(P,Q) = ½Σ_shared [p·ln(2p/(p+q)) +
+    q·ln(2q/(p+q))] + ½ln2·[(1−Σ_shared p) + (1−Σ_shared q)] — words
+    private to one side contribute exactly ½·p·ln2, so summing ONLY
+    the inner-joined shared vocabulary plus the two residual masses is
+    the full JS with no outer join and no per-pair full-vocabulary
+    frame.
+
+    Plan: one (source, word) aggregate, a broadcast of the ≤|sources|
+    totals row set, then a word-keyed self-join whose per-word fan-out
+    is bounded by |sources|² — never corpus×corpus — and a
+    |sources|²-group aggregate. At 100 TB the only big exchange is the
+    unigram count, which partial-aggregates map-side.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    words = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("word"),
+    )
+    counts = words.groupBy("source", "word").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("source").agg(F.sum("c").alias("tot"))
+    dist = counts.join(F.broadcast(totals), "source").select(
+        "source", "word", (F.col("c") / F.col("tot")).alias("p")
+    )
+    a = dist.select(
+        F.col("source").alias("source_a"),
+        "word",
+        F.col("p").alias("p"),
+    )
+    b = dist.select(
+        F.col("source").alias("source_b"),
+        "word",
+        F.col("p").alias("q"),
+    )
+    ln2 = 0.6931471805599453
+    shared = a.join(b, "word").filter(F.col("source_a") < F.col("source_b"))
+    term = 0.5 * (
+        F.col("p") * F.log(2 * F.col("p") / (F.col("p") + F.col("q")))
+        + F.col("q") * F.log(2 * F.col("q") / (F.col("p") + F.col("q")))
+    )
+    return (
+        shared.groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_shared_words"),
+            F.sum(term).alias("js_shared"),
+            F.sum("p").alias("mass_a"),
+            F.sum("q").alias("mass_b"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_words",
+            (
+                F.floor(
+                    (
+                        F.col("js_shared")
+                        + 0.5
+                        * ln2
+                        * ((1 - F.col("mass_a")) + (1 - F.col("mass_b")))
+                    )
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("js_divergence"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 def q_perplexity_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity-bucket sampling (Wenzek et al. 2020):
     score every document with the corpus-trained bigram LM
@@ -1364,6 +1443,36 @@ def _perplexity_bucket_oracle() -> str:
 
 
 ORACLES["perplexity_bucket_sample"] = _perplexity_bucket_oracle()
+
+
+ORACLES["vocab_divergence"] = """
+    WITH words AS (
+        SELECT source,
+               unnest(string_split(lower(trim(text)), ' ')) AS word
+        FROM documents
+    ), counts AS (
+        SELECT source, word, count(*) AS c FROM words GROUP BY 1, 2
+    ), totals AS (
+        SELECT source, sum(c) AS tot FROM counts GROUP BY 1
+    ), dist AS (
+        SELECT source, word, c * 1.0 / tot AS p
+        FROM counts JOIN totals USING (source)
+    ), shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               a.p AS p, b.p AS q
+        FROM dist a JOIN dist b
+          ON a.word = b.word AND a.source < b.source
+    )
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_words,
+           floor((sum(0.5 * (p * ln(2 * p / (p + q))
+                             + q * ln(2 * q / (p + q))))
+                  + 0.5 * ln(2) * ((1 - sum(p)) + (1 - sum(q))))
+                 * 1e4 + 0.5) / 1e4 AS js_divergence
+    FROM shared
+    GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+"""
 
 
 ORACLES["inverted_index"] = """
@@ -1640,6 +1749,7 @@ QUERIES = {
     "redact_pii": q_redact_pii,
     "bigram_surprisal": q_bigram_surprisal,
     "perplexity_bucket_sample": q_perplexity_bucket_sample,
+    "vocab_divergence": q_vocab_divergence,
     "vocab_entropy": q_vocab_entropy,
     "clean_corpus_pipeline": q_clean_corpus_pipeline,
     "token_count_bpe": q_token_count_bpe,
