@@ -125,6 +125,33 @@ def test_vocab_divergence_bounds_and_pairs(spark):
         assert r["n_shared_words"] > 0
 
 
+def test_repeated_ngram_spans_finds_planted_span(spark, tmp_path):
+    """Two docs share an exact 8-token span → both report
+    max_dup_span_tokens == 8 (a run of 4 duplicated 5-grams); a third
+    doc with no repetition is absent from the report."""
+    from wd2duckdb_spark.functions.dedup import q_repeated_ngram_spans
+
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = [
+        (1, f"one two {span} three four", "en", "s1", 0),
+        (2, f"{span} nine ten eleven twelve", "en", "s2", 0),
+        (3, "completely unrelated words with no overlap at all", "en", "s3", 0),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    rows = {r["doc_id"]: r for r in
+            q_repeated_ngram_spans(spark, str(tmp_path)).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["max_dup_span_tokens"] == 8
+    assert rows[2]["max_dup_span_tokens"] == 8
+    assert rows[1]["n_dup_grams"] == 4  # 8-token span = 4 sliding 5-grams
+    for r in rows.values():
+        assert r["n_dup_grams"] <= r["n_grams"]
+        assert 0 < r["dup_fraction"] <= 1
+
+
 def test_q18_take_ordered_no_global_sort(spark):
     from wd2duckdb_spark.operators.relational import (
         q_q18_large_volume_customer,

@@ -654,6 +654,88 @@ def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_N = 5  # word n-gram width for repeated-span detection
+
+
+def q_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring detection at word-5-gram granularity
+    (the scalable analog of Lee et al. 2022's suffix-array substring
+    dedup, "Deduplicating Training Data Makes Language Models
+    Better"): a 5-gram occurring ≥2 times ANYWHERE in the corpus
+    (cross- or intra-document) marks its positions as duplicated, and
+    maximal runs of consecutive duplicated positions are the repeated
+    SPANS — a run of r consecutive duplicated 5-grams is a repeated
+    substring of r+4 tokens. Per affected document: gram count,
+    duplicated-gram count, longest span, duplicated fraction — the
+    per-doc signal a span-remover or a dup-aware loss mask consumes.
+
+    Plan: positions ride the explode (posexplode — no second scan for
+    offsets); the duplicated-gram set comes from ONE gram-keyed
+    aggregate whose map-side partial combine collapses each task's
+    repeats before the shuffle; marking is an inner join back on gram
+    (only duplicated positions survive — the frame entering the
+    per-doc stage is contamination-sized, not corpus-sized). The
+    gaps-and-islands window partitions by doc_id — millions of
+    bounded groups at 100 TB, never a low-cardinality key.
+
+    Determinism: island bookkeeping never leaves the engine
+    (0- vs 1-based positions cancel in pos − row_number()); the only
+    float is one division of two exact longs, floored to 4 dp.
+    """
+    from pyspark.sql import Window
+
+    d = tbl(spark, sf_dir, "documents")
+    grams = F.expr(
+        f"transform(sequence(1, size(w) - {SPAN_N - 1}),"
+        f" i -> concat_ws(' ', slice(w, i, {SPAN_N})))"
+    )
+    base = (
+        d.select(
+            "doc_id", F.split(F.lower(F.trim("text")), " ").alias("w")
+        )
+        # sequence(1, 0) counts DOWN (same guard as _with_shingles)
+        .filter(F.size("w") >= SPAN_N)
+        .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+    ).persist()  # one shingling pass feeds the dup set, marking, totals
+    dupg = (
+        base.groupBy("gram")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gram")
+    )
+    marked = base.join(dupg, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        marked.withColumn("island", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "island")
+        .agg(F.count("*").alias("run"))
+    )
+    per_doc = runs.groupBy("doc_id").agg(
+        F.sum("run").alias("n_dup_grams"),
+        F.max("run").alias("max_run"),
+    )
+    totals = base.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    return (
+        per_doc.join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            (F.col("max_run") + F.lit(SPAN_N - 1)).alias(
+                "max_dup_span_tokens"
+            ),
+            (
+                F.floor(
+                    F.col("n_dup_grams") / F.col("n_grams") * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_dedup_stage_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source dedup attrition funnel: how many documents survive
     the EXACT stage (content-hash keep-min), then the NEAR-DUP stage
@@ -1592,6 +1674,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "simhash": q_simhash,
     "dedup_stage_attrition": q_dedup_stage_attrition,
+    "repeated_ngram_spans": q_repeated_ngram_spans,
     "source_overlap_sketch": q_source_overlap_sketch,
     "source_overlap_matrix": q_source_overlap_matrix,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1601,6 +1684,50 @@ QUERIES = {
     "jaccard_prefix_join": q_jaccard_prefix_join,
     "lsh_candidate_eval": q_lsh_candidate_eval,
 }
+
+ORACLES["repeated_ngram_spans"] = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents
+    ), base AS (
+        -- zipped unnests: pos and gram advance together
+        SELECT doc_id,
+               unnest(range(1, greatest(len(w) - {SPAN_N - 2}, 1)))
+                   AS pos,
+               unnest(list_transform(
+                   range(1, greatest(len(w) - {SPAN_N - 2}, 1)),
+                   i -> array_to_string(w[i:i + {SPAN_N - 1}], ' ')))
+                   AS gram
+        FROM t
+    ), dupg AS (
+        SELECT gram FROM base GROUP BY gram HAVING count(*) >= 2
+    ), marked AS (
+        SELECT doc_id, pos FROM base JOIN dupg USING (gram)
+    ), runs AS (
+        SELECT doc_id,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS island
+        FROM marked
+    ), island_runs AS (
+        SELECT doc_id, island, count(*) AS run
+        FROM runs GROUP BY doc_id, island
+    ), per_doc AS (
+        SELECT doc_id,
+               CAST(sum(run) AS BIGINT) AS n_dup_grams,
+               CAST(max(run) AS BIGINT) AS max_run
+        FROM island_runs GROUP BY doc_id
+    ), totals AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        FROM base GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, n_dup_grams,
+           max_run + {SPAN_N - 1} AS max_dup_span_tokens,
+           floor(n_dup_grams * 1.0 / n_grams * 1e4 + 0.5) / 1e4
+               AS dup_fraction
+    FROM per_doc JOIN totals USING (doc_id)
+    ORDER BY doc_id
+"""
+
 
 # candidate-quality eval (round 8): composes the LSH-pair and exact
 # PPJoin oracles verbatim — candidates and ground truth cannot drift
