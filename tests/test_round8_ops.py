@@ -152,6 +152,33 @@ def test_repeated_ngram_spans_finds_planted_span(spark, tmp_path):
         assert 0 < r["dup_fraction"] <= 1
 
 
+def test_label_exemplars_broadcast_and_membership(spark):
+    """Centroid arrays broadcast back (never a corpus-side shuffle
+    join); the exemplar really belongs to its label and its cosine is
+    a valid similarity."""
+    from wd2duckdb_spark.functions.similarity import (
+        clean_embeddings,
+        q_label_exemplars,
+    )
+
+    df = q_label_exemplars(spark, SF_DIR)
+    s = plan_summary(df)
+    assert s["broadcast_hash_join"] >= 1
+    assert s["sort_merge_join"] == 0
+    rows = df.collect()
+    e = {
+        (r["vec_id"], r["label"])
+        for r in clean_embeddings(spark, SF_DIR)
+        .select("vec_id", "label")
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        assert (r["exemplar_vec_id"], r["label"]) in e
+        assert -1.000001 <= r["exemplar_cos"] <= 1.000001
+    assert sum(r["n_vectors"] for r in rows) == len(e)
+
+
 def test_q18_take_ordered_no_global_sort(spark):
     from wd2duckdb_spark.operators.relational import (
         q_q18_large_volume_customer,

@@ -578,6 +578,19 @@ def q_embedding_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _centroid_rows(e: DataFrame) -> DataFrame:
+    """(label, pos, centroid) per-label mean rows — shared by
+    :func:`q_embedding_centroids` and :func:`q_label_exemplars` so the
+    prototype definition cannot drift between them."""
+    return (
+        e.select(
+            "label", F.posexplode(_as_double(F.col("embedding")))
+        )
+        .groupBy("label", F.col("pos").cast("int").alias("pos"))
+        .agg(F.round(F.avg("col"), 6).alias("centroid"))
+    )
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding vectors as (label, pos,
     centroid) rows — the reduction that produces IVF/k-means centroids
@@ -590,13 +603,58 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange-friendly form AND directly comparable to DuckDB's
     ``unnest WITH ORDINALITY``."""
     e = tbl(spark, sf_dir, "embeddings")
-    return (
-        e.select(
-            "label", F.posexplode(_as_double(F.col("embedding")))
+    return _centroid_rows(e).orderBy("label", "pos")
+
+
+def q_label_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label EXEMPLAR selection: the vector nearest (cosine) to
+    its label's centroid — the prototype/medoid-style data-selection
+    primitive (pick one representative per class/cluster for dataset
+    cards, active-learning seeds, or SemDeDup-style semantic keep
+    rules). Centroid definition is shared verbatim with
+    :func:`q_embedding_centroids` (:func:`_centroid_rows`, rounded to
+    6 dp BEFORE scoring so both engines score against bit-identical
+    prototypes); dirty vectors are quarantined by the standard
+    EMB_DIM contract on both the centroid and the scoring side.
+
+    Plan: one (label × dim)-row partial-agg exchange builds the
+    centroids, which assemble to |labels| array rows and BROADCAST
+    back; scoring is in-row fold arithmetic at scan speed, and the
+    winner per label is one more tiny aggregate (max-struct — no sort,
+    no window). Nothing corpus-sized shuffles twice at 100 TB.
+    """
+    e = clean_embeddings(spark, sf_dir)
+    cvec = (
+        _centroid_rows(e)
+        .groupBy("label")
+        .agg(F.collect_list(F.struct("pos", "centroid")).alias("pc"))
+        .select(
+            "label",
+            F.expr("transform(array_sort(pc), s -> s.centroid)").alias(
+                "cv"
+            ),
         )
-        .groupBy("label", F.col("pos").cast("int").alias("pos"))
-        .agg(F.round(F.avg("col"), 6).alias("centroid"))
-        .orderBy("label", "pos")
+    )
+    scored = (
+        e.withColumn("_v", _as_double(F.col("embedding")))
+        .join(F.broadcast(cvec), "label")
+        .select(
+            "label",
+            "vec_id",
+            F.round(cosine(F.col("_v"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    best = F.max(
+        F.struct(F.col("cos").alias("s"), (-F.col("vec_id")).alias("negid"))
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            (-best.getField("negid")).alias("exemplar_vec_id"),
+            best.getField("s").alias("exemplar_cos"),
+        )
+        .orderBy("label")
     )
 
 
@@ -1158,6 +1216,32 @@ ORACLES: dict[str, str] = {
         10, extra_where=f"AND label = {ANN_FILTER_LABEL}"
     ),
     "ivf_ann_topk": _ivf_oracle(),
+    "label_exemplars": f"""
+        WITH clean AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = {EMB_DIM}
+        ), flat AS (
+            SELECT label,
+                   CAST(unnest(range(len(ve))) AS INT) AS pos,
+                   unnest(ve) AS x
+            FROM clean
+        ), cent AS (
+            SELECT label, pos, round(avg(x), 6) AS c
+            FROM flat GROUP BY label, pos
+        ), cvec AS (
+            SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label
+        ), scored AS (
+            SELECT clean.label, vec_id,
+                   round(list_cosine_similarity(ve, cv), 6) AS cos
+            FROM clean JOIN cvec USING (label)
+        )
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               -max(ROW(cos, -vec_id))[2] AS exemplar_vec_id,
+               max(ROW(cos, -vec_id))[1] AS exemplar_cos
+        FROM scored GROUP BY label ORDER BY label
+    """,
     "embedding_centroids": """
         WITH flat AS (
             -- parallel unnests zip element-wise (Postgres semantics)
@@ -1757,6 +1841,7 @@ QUERIES = {
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "ivf_ann_topk": q_ivf_ann_topk,
     "embedding_centroids": q_embedding_centroids,
+    "label_exemplars": q_label_exemplars,
     "embedding_quantize": q_embedding_quantize,
     "embedding_pca": q_embedding_pca,
     "kmeans_lloyd": q_kmeans_lloyd,
