@@ -74,6 +74,13 @@ HEADLINE = (
     # + the cell-balance index-health diagnostic
     "ann_filtered_ivf",
     "ivf_cell_balance",
+    # round-8 wave 2: TPC-H Q17/Q18 + the new LLM-pipeline tier
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "repeated_ngram_spans",
+    "vocab_divergence",
+    "perplexity_bucket_sample",
+    "label_exemplars",
 )
 
 

@@ -179,6 +179,33 @@ def test_label_exemplars_broadcast_and_membership(spark):
     assert sum(r["n_vectors"] for r in rows) == len(e)
 
 
+def test_dedup_span_removal_keeps_first_occurrence(spark, tmp_path):
+    """Lee-et-al policy: the corpus-wide FIRST occurrence (min
+    (doc_id, pos)) of a duplicated span survives; later ones are cut.
+    Doc 1 holds the canonical copy → absent from the report (nothing
+    removed); doc 2 loses exactly the 8 planted tokens and its hash
+    equals the md5 of the surviving text."""
+    import hashlib
+
+    from wd2duckdb_spark.functions.dedup import q_dedup_span_removal
+
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = [
+        (1, f"one two {span} three four", "en", "s1", 0),
+        (2, f"{span} nine ten eleven twelve", "en", "s2", 0),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    rows = {r["doc_id"]: r for r in
+            q_dedup_span_removal(spark, str(tmp_path)).collect()}
+    assert set(rows) == {2}
+    assert rows[2]["n_removed"] == 8
+    expect = hashlib.md5(b"nine ten eleven twelve").hexdigest()
+    assert rows[2]["cleaned_hash"] == expect
+
+
 def test_q18_take_ordered_no_global_sort(spark):
     from wd2duckdb_spark.operators.relational import (
         q_q18_large_volume_customer,

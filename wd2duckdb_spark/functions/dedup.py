@@ -736,6 +736,92 @@ def q_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION twin of :func:`q_repeated_ngram_spans` — Lee et
+    al. 2022's remove-later-occurrences policy at word-5-gram
+    granularity: for every 5-gram occurring ≥2 times in the corpus,
+    the lexicographically first occurrence (min (doc_id, pos)) is
+    canonical and stays; every other occurrence marks its 5 token
+    positions for removal; a document's cleaned text is its token
+    array minus all marked positions (overlapping spans union
+    naturally in the drop set). Per affected document: token counts
+    before/after and the md5 of the cleaned text — the hash pins the
+    exact reconstruction cross-engine without shipping corpus-sized
+    strings through the compare.
+
+    Plan: one gram-keyed aggregate finds duplicated grams AND their
+    canonical occurrence in the same pass (min-struct); the join back
+    keeps only duplicated-gram occurrences (contamination-sized), the
+    ×5 index explode is bounded by 5×removals, and the per-doc drop
+    set is one doc-keyed aggregate whose lists are bounded by document
+    length. Reconstruction is an in-row index-aware filter at scan
+    speed — no window, no sort, nothing corpus-sized shuffles twice.
+
+    Positions are 1-based on both engines (Spark's 0-based posexplode
+    is shifted at birth) so min-struct canonicalization and drop-set
+    membership agree bit-for-bit.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    grams = F.expr(
+        f"transform(sequence(1, size(w) - {SPAN_N - 1}),"
+        f" i -> concat_ws(' ', slice(w, i, {SPAN_N})))"
+    )
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.trim("text")), " ").alias("w")
+    )
+    occ = (
+        toks.filter(F.size("w") >= SPAN_N)
+        .select("doc_id", F.posexplode(grams).alias("pos0", "gram"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    ).persist()  # one shingling pass feeds the dup aggregate AND the
+    # occurrence side of the join back (same barrier rationale as
+    # q_repeated_ngram_spans / ngram_decontaminate)
+    dup = (
+        occ.groupBy("gram")
+        .agg(
+            F.count("*").alias("c"),
+            F.min(
+                F.struct(
+                    F.col("doc_id").alias("d"), F.col("pos").alias("p")
+                )
+            ).alias("canon"),
+        )
+        .filter(F.col("c") >= 2)
+        .select("gram", "canon")
+    )
+    removals = (
+        occ.join(dup, "gram")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("canon.d"))
+                & (F.col("pos") == F.col("canon.p"))
+            )
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (SPAN_N - 1))
+            ).alias("idx"),
+        )
+    )
+    drops = removals.groupBy("doc_id").agg(
+        F.collect_set("idx").alias("drop_idx")
+    )
+    kept = F.expr(
+        "filter(w, (t, i) -> NOT array_contains(drop_idx, i + 1))"
+    )
+    return (
+        toks.join(drops, "doc_id")
+        .select(
+            "doc_id",
+            F.size("w").cast("long").alias("n_tokens"),
+            F.size("drop_idx").cast("long").alias("n_removed"),
+            F.md5(F.concat_ws(" ", kept)).alias("cleaned_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_dedup_stage_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source dedup attrition funnel: how many documents survive
     the EXACT stage (content-hash keep-min), then the NEAR-DUP stage
@@ -1675,6 +1761,7 @@ QUERIES = {
     "simhash": q_simhash,
     "dedup_stage_attrition": q_dedup_stage_attrition,
     "repeated_ngram_spans": q_repeated_ngram_spans,
+    "dedup_span_removal": q_dedup_span_removal,
     "source_overlap_sketch": q_source_overlap_sketch,
     "source_overlap_matrix": q_source_overlap_matrix,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1726,6 +1813,47 @@ ORACLES["repeated_ngram_spans"] = f"""
                AS dup_fraction
     FROM per_doc JOIN totals USING (doc_id)
     ORDER BY doc_id
+"""
+
+
+ORACLES["dedup_span_removal"] = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents
+    ), base AS (
+        SELECT doc_id,
+               unnest(range(1, greatest(len(w) - {SPAN_N - 2}, 1)))
+                   AS pos,
+               unnest(list_transform(
+                   range(1, greatest(len(w) - {SPAN_N - 2}, 1)),
+                   i -> array_to_string(w[i:i + {SPAN_N - 1}], ' ')))
+                   AS gram
+        FROM t
+    ), dup AS (
+        SELECT gram, min(ROW(doc_id, pos)) AS canon
+        FROM base GROUP BY gram HAVING count(*) >= 2
+    ), rem AS (
+        SELECT doc_id, unnest(range(pos, pos + {SPAN_N})) AS idx
+        FROM base JOIN dup USING (gram)
+        WHERE NOT (doc_id = canon[1] AND pos = canon[2])
+    ), dropset AS (
+        SELECT doc_id, list(DISTINCT idx) AS drop_idx
+        FROM rem GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(drop_idx) AS BIGINT) AS n_removed,
+           -- array_to_string of an EMPTY list is NULL in DuckDB
+           -- (Spark's concat_ws gives ''); coalesce for the
+           -- everything-removed doc
+           md5(coalesce(array_to_string(
+               list_transform(
+                   list_filter(list_zip(w, range(1, len(w) + 1)),
+                               x -> NOT list_contains(drop_idx, x[2])),
+                   x -> x[1]),
+               ' '), '')) AS cleaned_hash
+    FROM t JOIN dropset ON t.doc_id = dropset.doc_id
+    ORDER BY t.doc_id
 """
 
 
