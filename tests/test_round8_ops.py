@@ -206,6 +206,43 @@ def test_dedup_span_removal_keeps_first_occurrence(spark, tmp_path):
     assert rows[2]["cleaned_hash"] == expect
 
 
+def test_ngram_novelty_conservation_and_decile_zero(spark):
+    """Global invariant: novel grams across all deciles == distinct
+    grams in the corpus (every gram is first-seen exactly once); the
+    earliest decile is at least as novel as the corpus average (ids
+    arrive in order, so decile 0 can only discover); no window/sort
+    over the corpus in the plan."""
+    from wd2duckdb_spark.functions.dedup import q_ngram_novelty
+
+    df = q_ngram_novelty(spark, SF_DIR)
+    assert plan_summary(df)["take_ordered"] == 0
+    rows = df.collect()
+    assert rows and rows[0]["decile"] == 0
+    total_novel = sum(r["novel_grams"] for r in rows)
+    total = sum(r["total_grams"] for r in rows)
+    assert 0 < total_novel <= total
+    # every gram's first occurrence is counted exactly once
+    from wd2duckdb_spark.catalog import tbl
+    import pyspark.sql.functions as F2
+    from wd2duckdb_spark.functions.dedup import SPAN_N
+
+    grams = F2.expr(
+        f"transform(sequence(1, size(w) - {SPAN_N - 1}),"
+        f" i -> concat_ws(' ', slice(w, i, {SPAN_N})))"
+    )
+    n_distinct = (
+        tbl(spark, SF_DIR, "documents")
+        .select(F2.split(F2.lower(F2.trim("text")), " ").alias("w"))
+        .filter(F2.size("w") >= SPAN_N)
+        .select(F2.explode(grams).alias("g"))
+        .distinct()
+        .count()
+    )
+    assert total_novel == n_distinct
+    weighted_avg = {r["decile"]: r["avg_novelty"] for r in rows}
+    assert 0 < weighted_avg[0] <= 1.0
+
+
 def test_q18_take_ordered_no_global_sort(spark):
     from wd2duckdb_spark.operators.relational import (
         q_q18_large_volume_customer,

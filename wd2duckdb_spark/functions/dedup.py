@@ -822,6 +822,85 @@ def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty-decay curve: treating ascending doc_id as arrival
+    order, a document's novelty is the fraction of its word-5-grams
+    whose corpus-wide FIRST occurrence (min doc_id; intra-doc repeats
+    collapse to the doc) is this document. Aggregated into ten
+    arrival-order deciles, the curve answers the data-curation
+    question "is newly collected data still contributing unseen
+    content, or replaying what we have?" — flat-high = healthy
+    acquisition, decaying = the source is exhausted (the growth-side
+    twin of the dedup attrition funnel).
+
+    Plan: one (doc, gram)-distinct + one gram-keyed min aggregate —
+    the first-seen table — joined back along the same gram key; the
+    decile cut uses a broadcast 1-row max(doc_id) (no ntile window,
+    no global sort: ntile over the corpus is exactly the
+    100 TB-hostile shape this engine avoids; id-range deciles are
+    in-row arithmetic). Per-doc novelty is two exact longs divided
+    once; decile means use the integer micro-unit trick
+    (PLANS.md "rounding ties").
+    """
+    d = tbl(spark, sf_dir, "documents")
+    grams = F.expr(
+        f"transform(sequence(1, size(w) - {SPAN_N - 1}),"
+        f" i -> concat_ws(' ', slice(w, i, {SPAN_N})))"
+    )
+    doc_grams = (
+        d.select(
+            "doc_id", F.split(F.lower(F.trim("text")), " ").alias("w")
+        )
+        .filter(F.size("w") >= SPAN_N)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .distinct()
+    ).persist()  # feeds first-seen AND the join back (one shingle pass)
+    first_seen = doc_grams.groupBy("gram").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    per_doc = (
+        doc_grams.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                (F.col("doc_id") == F.col("first_doc")).cast("long")
+            ).alias("n_novel"),
+        )
+    )
+    max_id = per_doc.agg(F.max("doc_id").alias("mx"))
+    novelty_micro = F.floor(
+        F.col("n_novel") / F.col("n_grams") * 1e4 + F.lit(0.5)
+    ).cast("long")
+    return (
+        per_doc.crossJoin(F.broadcast(max_id))
+        .select(
+            F.least(
+                F.lit(9),
+                F.floor(F.col("doc_id") * 10 / (F.col("mx") + 1)).cast(
+                    "int"
+                ),
+            ).alias("decile"),
+            "n_grams",
+            "n_novel",
+            novelty_micro.alias("nm"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_grams").alias("total_grams"),
+            F.sum("n_novel").alias("novel_grams"),
+            (
+                F.floor(
+                    F.sum("nm") / F.count("*") + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("avg_novelty"),
+        )
+        .orderBy("decile")
+    )
+
+
 def q_dedup_stage_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source dedup attrition funnel: how many documents survive
     the EXACT stage (content-hash keep-min), then the NEAR-DUP stage
@@ -1762,6 +1841,7 @@ QUERIES = {
     "dedup_stage_attrition": q_dedup_stage_attrition,
     "repeated_ngram_spans": q_repeated_ngram_spans,
     "dedup_span_removal": q_dedup_span_removal,
+    "ngram_novelty": q_ngram_novelty,
     "source_overlap_sketch": q_source_overlap_sketch,
     "source_overlap_matrix": q_source_overlap_matrix,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1813,6 +1893,38 @@ ORACLES["repeated_ngram_spans"] = f"""
                AS dup_fraction
     FROM per_doc JOIN totals USING (doc_id)
     ORDER BY doc_id
+"""
+
+
+ORACLES["ngram_novelty"] = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents
+    ), dg AS (
+        SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(w) - {SPAN_N - 2}, 1)),
+                       i -> array_to_string(w[i:i + {SPAN_N - 1}], ' ')))
+                       AS gram
+            FROM t)
+    ), fs AS (
+        SELECT gram, min(doc_id) AS first_doc FROM dg GROUP BY gram
+    ), pd AS (
+        SELECT doc_id, count(*) AS n_grams,
+               sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                   AS n_novel
+        FROM dg JOIN fs USING (gram) GROUP BY doc_id
+    ), mxr AS (SELECT max(doc_id) AS mx FROM pd)
+    SELECT CAST(least(9, floor(doc_id * 10.0 / (mx + 1))) AS INT)
+               AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_grams) AS BIGINT) AS total_grams,
+           CAST(sum(n_novel) AS BIGINT) AS novel_grams,
+           floor(sum(floor(n_novel * 1.0 / n_grams * 1e4 + 0.5))
+                 / count(*) + 0.5) / 1e4 AS avg_novelty
+    FROM pd CROSS JOIN mxr
+    GROUP BY 1 ORDER BY 1
 """
 
 
