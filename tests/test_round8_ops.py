@@ -243,6 +243,64 @@ def test_ngram_novelty_conservation_and_decile_zero(spark):
     assert 0 < weighted_avg[0] <= 1.0
 
 
+def test_simhash_hamming_pairs_complete_vs_bruteforce(spark):
+    """Pigeonhole completeness: the 4-band blocking finds EXACTLY the
+    brute-force all-pairs Hamming ≤ 3 set (3 flips can't touch all 4
+    bands), and every reported pair verifies."""
+    from wd2duckdb_spark.functions.dedup import (
+        SIMHASH_HAMMING,
+        q_simhash_hamming_pairs,
+    )
+
+    banded = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in q_simhash_hamming_pairs(spark, SF_DIR).collect()
+    }
+    assert banded, "fixture has near-identical docs"
+    assert all(0 <= h <= SIMHASH_HAMMING for h in banded.values())
+
+    # brute force over the same signatures (reconstructed via the
+    # registered pipeline's own sig stage: re-run with bands joined on
+    # a constant would be the pipeline again, so recompute pairwise
+    # from the per-doc signature output of an unbanded variant)
+    import itertools
+
+    from pyspark.sql import functions as F2
+
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.functions.dedup import SIMHASH_BITS
+
+    d = tbl(spark, SF_DIR, "documents")
+    toks = d.select(
+        "doc_id",
+        F2.explode(
+            F2.array_distinct(F2.split(F2.lower(F2.trim("text")), " "))
+        ).alias("tok"),
+    ).filter(F2.col("tok") != "")
+    h60 = F2.conv(F2.substring(F2.md5("tok"), 1, 15), 16, 10).cast("long")
+    sums = [
+        F2.sum(F2.shiftright(h60, j).bitwiseAND(1)).alias(f"c{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(F2.count("*").alias("n"), *sums)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        t = F2.when(F2.col(f"c{j}") * 2 > F2.col("n"), F2.lit(1 << j)).otherwise(
+            F2.lit(0)
+        )
+        sim = t if sim is None else sim + t
+    sigs = {
+        r["doc_id"]: r["sim"]
+        for r in agg.select("doc_id", sim.cast("long").alias("sim")).collect()
+    }
+    brute = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= SIMHASH_HAMMING
+    }
+    assert banded == brute
+
+
 def test_q18_take_ordered_no_global_sort(spark):
     from wd2duckdb_spark.operators.relational import (
         q_q18_large_volume_customer,

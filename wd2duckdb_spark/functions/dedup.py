@@ -599,6 +599,103 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("doc_id", sim.cast("int").alias("simhash")).orderBy("doc_id")
 
 
+SIMHASH_BITS = 60  # 15 md5 hex chars — stays inside a signed 64-bit
+SIMHASH_BANDS = 4  # Hamming ≤ 3 ⇒ ≥1 untouched band (pigeonhole)
+SIMHASH_HAMMING = SIMHASH_BANDS - 1
+_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15-bit keys, 32768 values
+
+
+def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS at corpus scale (Manku, Jain & Das
+    Sarma, WWW'07 — Google's web near-dup detector): a 60-bit SimHash
+    per document (majority vote per bit over distinct-token md5
+    hashes), then every pair within Hamming distance ≤ 3. The scale
+    trick is the pigeonhole block split: 3 flipped bits cannot touch
+    all 4 of the signature's 15-bit bands, so equi-joining on each
+    band's value enumerates a candidate superset with ZERO false
+    negatives, and one in-row ``bit_count(a XOR b)`` verifies. The
+    oracle builds the identical banding (a brute-force twin is
+    quadratic in the corpus), and completeness vs brute force is
+    pinned at fixture scale in tests/test_round8_ops.py.
+
+    Plan: ONE doc-keyed aggregate builds the signatures (60 partial
+    bit counters, map-side combined); the 4 band joins run on 15-bit
+    keys (32k values per band — hot exact-dup clusters skew a key, and
+    AQE's skew-join split handles exactly that shape); verification
+    never re-touches text. Complements `simhash` (the per-doc
+    16-bit fingerprint report) and `minhash_lsh_pairs` (set-Jaccard
+    banding): SimHash catches small EDITS, MinHash catches set
+    overlap.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    toks = (
+        d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.trim("text")), " "))
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    h60 = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    bit_sums = [
+        F.sum(F.shiftright(h60, j).bitwiseAND(1)).alias(f"c{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(F.count("*").alias("n"), *bit_sums)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(
+            F.col(f"c{j}") * 2 > F.col("n"), F.lit(1 << j)
+        ).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    sig = agg.select("doc_id", sim.cast("long").alias("sim")).persist()
+    band_frames = [
+        sig.select(
+            "doc_id",
+            "sim",
+            F.lit(b).alias("band"),
+            F.shiftright("sim", _BAND_BITS * b)
+            .bitwiseAND((1 << _BAND_BITS) - 1)
+            .alias("key"),
+        )
+        for b in range(SIMHASH_BANDS)
+    ]
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.union(bf)
+    a = bands.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("sim").alias("sa"),
+        "band",
+        "key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("sim").alias("sb"),
+        "band",
+        "key",
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "sa", "sb")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "a_id",
+            "b_id",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAMMING)
+        .orderBy("a_id", "b_id")
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard similarity — the verification operator
     for candidate pairs, demonstrated on consecutive-id pairs."""
@@ -1838,6 +1935,7 @@ QUERIES = {
     "lsh_keep_list": q_lsh_keep_list,
     "dedup_exact": q_dedup_exact,
     "simhash": q_simhash,
+    "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "dedup_stage_attrition": q_dedup_stage_attrition,
     "repeated_ngram_spans": q_repeated_ngram_spans,
     "dedup_span_removal": q_dedup_span_removal,
@@ -1893,6 +1991,46 @@ ORACLES["repeated_ngram_spans"] = f"""
                AS dup_fraction
     FROM per_doc JOIN totals USING (doc_id)
     ORDER BY doc_id
+"""
+
+
+ORACLES["simhash_hamming_pairs"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(string_split(lower(trim(text)), ' ')))
+                   AS tok
+        FROM documents
+    ), agg AS (
+        SELECT doc_id, count(*) AS n,
+               {", ".join(
+                   f"sum((('0x' || substr(md5(tok), 1, 15))::BIGINT"
+                   f" >> {j}) & 1) AS c{j}"
+                   for j in range(SIMHASH_BITS)
+               )}
+        FROM toks WHERE tok <> '' GROUP BY doc_id
+    ), sig AS (
+        SELECT doc_id,
+               CAST({" + ".join(
+                   f"CASE WHEN c{j} * 2 > n THEN {1 << j} ELSE 0 END"
+                   for j in range(SIMHASH_BITS)
+               )} AS BIGINT) AS sim
+        FROM agg
+    ), bands AS (
+        SELECT doc_id, sim, band,
+               (sim >> ({_BAND_BITS} * band)) & {(1 << _BAND_BITS) - 1}
+                   AS key
+        FROM sig, (SELECT unnest(range({SIMHASH_BANDS})) AS band)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                        a.sim AS sa, b.sim AS sb
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id,
+           CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= {SIMHASH_HAMMING}
+    ORDER BY a_id, b_id
 """
 
 
