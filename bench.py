@@ -78,9 +78,13 @@ HEADLINE = (
     "q17_small_quantity_revenue",
     "q18_large_volume_customer",
     "repeated_ngram_spans",
+    "dedup_span_removal",
+    "ngram_novelty",
     "vocab_divergence",
     "perplexity_bucket_sample",
     "label_exemplars",
+    "simhash_hamming_pairs",
+    "leakage_safe_split",
 )
 
 
