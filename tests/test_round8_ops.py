@@ -301,6 +301,27 @@ def test_simhash_hamming_pairs_complete_vs_bruteforce(spark):
     assert banded == brute
 
 
+def test_neardup_method_overlap_invariants(spark):
+    """Three canonical rows; intersection never exceeds either side;
+    overlap is a valid Jaccard. On this fixture the exact-Jaccard set
+    is (near-)contained in the LSH candidate set, so that overlap is
+    the highest of the matrix — the agreement signal the audit
+    exists to surface."""
+    from wd2duckdb_spark.functions.dedup import q_neardup_method_overlap
+
+    rows = {(r["m1"], r["m2"]): r for r in
+            q_neardup_method_overlap(spark, SF_DIR).collect()}
+    assert set(rows) == {
+        ("jaccard08", "lsh_band"),
+        ("jaccard08", "simhash3"),
+        ("lsh_band", "simhash3"),
+    }
+    for r in rows.values():
+        assert r["n_both"] <= min(r["n_m1"], r["n_m2"])
+        assert 0.0 <= r["overlap"] <= 1.0
+    assert rows[("jaccard08", "lsh_band")]["n_both"] > 0
+
+
 def test_q18_take_ordered_no_global_sort(spark):
     from wd2duckdb_spark.operators.relational import (
         q_q18_large_volume_customer,

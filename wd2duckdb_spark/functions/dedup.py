@@ -1665,6 +1665,76 @@ def q_lsh_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_method_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup METHOD-AGREEMENT matrix: pairwise overlap (Jaccard of
+    pair SETS) between the engine's three near-dup definitions —
+    MinHash-LSH band candidates (`lsh_band`), exact word-3-gram
+    Jaccard ≥ 0.8 (`jaccard08`, the PPJoin join), and SimHash
+    Hamming ≤ 3 (`simhash3`). The methods-audit a pipeline runs before
+    standardizing on one definition: high agreement means the cheap
+    method can stand in for the expensive one on THIS corpus; low
+    agreement means they catch different duplication modes (set
+    overlap vs small edits) and a production dedup needs both.
+
+    Composition discipline: all three pair sets are the registered
+    pipelines' own code, and the oracle embeds all three component
+    oracles verbatim — the matrix cannot disagree with the queries it
+    compares. All corpus-scale work happens inside the composed
+    (already plan-audited) pipelines; the matrix itself is one
+    union + one pair-keyed aggregate over three bounded pair sets and
+    a 1-row reduction.
+    """
+    pairs = [
+        ("l", lsh_candidate_pairs(tbl(spark, sf_dir, "documents"))),
+        ("j", q_jaccard_prefix_join(spark, sf_dir)),
+        ("s", q_simhash_hamming_pairs(spark, sf_dir)),
+    ]
+    tagged = None
+    for flag, df in pairs:
+        t = df.select(
+            "a_id",
+            "b_id",
+            *[
+                F.lit(1 if f == flag else 0).alias(f)
+                for f in ("l", "j", "s")
+            ],
+        )
+        tagged = t if tagged is None else tagged.union(t)
+    flags = tagged.groupBy("a_id", "b_id").agg(
+        F.max("l").alias("l"), F.max("j").alias("j"), F.max("s").alias("s")
+    )
+    z = F.lit(0)
+    tot = flags.agg(
+        F.coalesce(F.sum("l"), z).alias("nl"),
+        F.coalesce(F.sum("j"), z).alias("nj"),
+        F.coalesce(F.sum("s"), z).alias("ns"),
+        F.coalesce(F.sum(F.col("l") * F.col("j")), z).alias("nlj"),
+        F.coalesce(F.sum(F.col("l") * F.col("s")), z).alias("nls"),
+        F.coalesce(F.sum(F.col("j") * F.col("s")), z).alias("njs"),
+    )
+    rows = tot.selectExpr(
+        "stack(3,"
+        " 'jaccard08', 'lsh_band',  nj, nl, nlj,"
+        " 'jaccard08', 'simhash3',  nj, ns, njs,"
+        " 'lsh_band',  'simhash3',  nl, ns, nls)"
+        " AS (m1, m2, n_m1, n_m2, n_both)"
+    )
+    denom = F.col("n_m1") + F.col("n_m2") - F.col("n_both")
+    return rows.select(
+        "m1",
+        "m2",
+        "n_m1",
+        "n_m2",
+        "n_both",
+        F.when(
+            denom > 0,
+            F.floor(F.col("n_both") / denom * 1e4 + F.lit(0.5)) / 1e4,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("overlap"),
+    ).orderBy("m1", "m2")
+
+
 ORACLES: dict[str, str] = {
     # brute force WITHOUT the prefix filter (independent check of the
     # pruning), but via shingle co-occurrence counting rather than an
@@ -1936,6 +2006,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "simhash": q_simhash,
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
+    "neardup_method_overlap": q_neardup_method_overlap,
     "dedup_stage_attrition": q_dedup_stage_attrition,
     "repeated_ngram_spans": q_repeated_ngram_spans,
     "dedup_span_removal": q_dedup_span_removal,
@@ -2130,4 +2201,45 @@ ORACLES["lsh_candidate_eval"] = f"""
                 THEN floor(CAST(n_hits AS DOUBLE) / n_true * 1e4 + 0.5) / 1e4
                 ELSE 0.0 END AS recall
     FROM counts
+"""
+
+
+# methods-audit matrix (round 8 wave 3): all three near-dup pair
+# oracles composed verbatim — the agreement numbers cannot drift from
+# the pipelines they compare
+ORACLES["neardup_method_overlap"] = f"""
+    WITH lp AS (SELECT a_id, b_id FROM ({ORACLES["minhash_lsh_pairs"]})),
+    jp AS (SELECT a_id, b_id FROM ({ORACLES["jaccard_prefix_join"]})),
+    sp AS (SELECT a_id, b_id FROM ({ORACLES["simhash_hamming_pairs"]})),
+    tagged AS (
+        SELECT a_id, b_id, 1 AS l, 0 AS j, 0 AS s FROM lp
+        UNION ALL SELECT a_id, b_id, 0, 1, 0 FROM jp
+        UNION ALL SELECT a_id, b_id, 0, 0, 1 FROM sp
+    ), flags AS (
+        SELECT a_id, b_id, max(l) AS l, max(j) AS j, max(s) AS s
+        FROM tagged GROUP BY a_id, b_id
+    ), tot AS (
+        SELECT coalesce(sum(l), 0) AS nl,
+               coalesce(sum(j), 0) AS nj,
+               coalesce(sum(s), 0) AS ns,
+               coalesce(sum(l * j), 0) AS nlj,
+               coalesce(sum(l * s), 0) AS nls,
+               coalesce(sum(j * s), 0) AS njs
+        FROM flags
+    ), rows3 AS (
+        SELECT 'jaccard08' AS m1, 'lsh_band' AS m2,
+               nj AS n_m1, nl AS n_m2, nlj AS n_both FROM tot
+        UNION ALL SELECT 'jaccard08', 'simhash3', nj, ns, njs FROM tot
+        UNION ALL SELECT 'lsh_band', 'simhash3', nl, ns, nls FROM tot
+    )
+    SELECT m1, m2,
+           CAST(n_m1 AS BIGINT) AS n_m1,
+           CAST(n_m2 AS BIGINT) AS n_m2,
+           CAST(n_both AS BIGINT) AS n_both,
+           CASE WHEN n_m1 + n_m2 - n_both > 0
+                THEN floor(CAST(n_both AS DOUBLE)
+                           / (n_m1 + n_m2 - n_both) * 1e4 + 0.5) / 1e4
+                ELSE 0.0 END AS overlap
+    FROM rows3
+    ORDER BY m1, m2
 """
