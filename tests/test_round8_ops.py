@@ -301,6 +301,45 @@ def test_simhash_hamming_pairs_complete_vs_bruteforce(spark):
     assert banded == brute
 
 
+def test_simhash_pigeonhole_lemma_property():
+    """Pure-Python property behind the banding's zero-false-negative
+    claim: for ANY 60-bit signature and ANY ≤3 flipped bits, at least
+    one 15-bit band is untouched — so the band equi-join must emit
+    the pair. Hypothesis searches for a counterexample."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from wd2duckdb_spark.functions.dedup import (
+        SIMHASH_BANDS,
+        SIMHASH_BITS,
+        SIMHASH_HAMMING,
+        _BAND_BITS,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        sig=st.integers(min_value=0, max_value=(1 << SIMHASH_BITS) - 1),
+        flips=st.sets(
+            st.integers(min_value=0, max_value=SIMHASH_BITS - 1),
+            min_size=0,
+            max_size=SIMHASH_HAMMING,
+        ),
+    )
+    def prop(sig, flips):
+        other = sig
+        for f in flips:
+            other ^= 1 << f
+        mask = (1 << _BAND_BITS) - 1
+        shared = any(
+            (sig >> (_BAND_BITS * b)) & mask
+            == (other >> (_BAND_BITS * b)) & mask
+            for b in range(SIMHASH_BANDS)
+        )
+        assert shared
+
+    prop()
+
+
 def test_neardup_method_overlap_invariants(spark):
     """Three canonical rows; intersection never exceeds either side;
     overlap is a valid Jaccard. On this fixture the exact-Jaccard set
