@@ -85,6 +85,7 @@ HEADLINE = (
     "label_exemplars",
     "simhash_hamming_pairs",
     "leakage_safe_split",
+    "event_pattern_match",
 )
 
 

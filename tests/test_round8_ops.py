@@ -301,6 +301,39 @@ def test_simhash_hamming_pairs_complete_vs_bruteforce(spark):
     assert banded == brute
 
 
+def test_event_pattern_match_planted_sequences(spark, tmp_path):
+    """Planted CEP semantics: an error between funnel stages
+    invalidates the funnel; a second view inside a clean funnel is
+    transparent filler; a user who never purchases is absent."""
+    from datetime import datetime
+
+    from wd2duckdb_spark.operators.analytics import q_event_pattern_match
+
+    def ev(i, user, typ):
+        return (i, datetime(2024, 1, 1, 0, 0, i), user, typ, 1.0, "{}")
+
+    rows = (
+        # user 1: v c p (clean) then v e c p (error kills it) -> 1
+        [ev(i, 1, t) for i, t in enumerate("vcpvecp")]
+        # user 2: v c v c p -> one clean funnel spanning the filler
+        + [ev(10 + i, 2, t) for i, t in enumerate("vcvcp")]
+        # user 3: no purchase -> absent
+        + [ev(20 + i, 3, t) for i, t in enumerate("esv")]
+    )
+    names = {"v": "view", "c": "click", "p": "purchase", "e": "error",
+             "s": "signup"}
+    rows = [(i, ts, u, names[t], v, p) for (i, ts, u, t, v, p) in rows]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    out = {r["user_id"]: r["n_clean_funnels"]
+           for r in q_event_pattern_match(spark, str(tmp_path)).collect()}
+    assert out == {1: 1, 2: 1}
+
+
 def test_simhash_pigeonhole_lemma_property():
     """Pure-Python property behind the banding's zero-false-negative
     claim: for ANY 60-bit signature and ANY ≤3 flipped bits, at least

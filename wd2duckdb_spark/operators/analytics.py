@@ -446,6 +446,77 @@ def _pivot_oracle() -> str:
     """
 
 
+#: CEP pattern: a CLEAN funnel — view, then click, then purchase, with
+#: no error and no earlier purchase anywhere between the three stages.
+#: Single-char codes keep the regex engine-portable (no word bounds).
+EVENT_CODES = {
+    "view": "v",
+    "click": "c",
+    "purchase": "p",
+    "error": "e",
+    "signup": "s",
+}
+FUNNEL_PATTERN = "v[^ep]*c[^ep]*p"
+
+
+def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing (CEP) pattern matching — the
+    MATCH_RECOGNIZE capability class — expressed as REGEX OVER THE
+    EVENT SEQUENCE: each user's event stream collapses to one
+    single-char-per-event string in (ts, event_id) order, and the
+    pattern (a clean view→click→purchase funnel with no error or
+    intervening purchase, ``v[^ep]*c[^ep]*p``) is counted with
+    non-overlapping leftmost-greedy regex semantics — identical in
+    Java regex (Spark) and DuckDB's RE2 for this backreference-free
+    class. Complements `funnel_stages` (first-touch conversion rates):
+    this counts EVERY completed clean funnel per user and rejects
+    funnels a mid-stream error invalidates — the
+    negative-condition/"no intervening event" semantics cascaded
+    min-timestamp funnels cannot express.
+
+    Plan: ONE user-keyed aggregate (collect_list of (ts, event_id,
+    code) structs — per-user state bounded by that user's activity,
+    the same contract as sessionize), in-row array_sort +
+    regexp_count at scan speed, no window, no self-join, no
+    per-stage re-scan. NULL/unknown event types code as 'o' and act
+    as transparent filler (they are not in any character class).
+    """
+    e = tbl(spark, sf_dir, "events")
+    code = F.lit("o")
+    for k, v in sorted(EVENT_CODES.items()):
+        code = F.when(F.col("event_type") == k, F.lit(v)).otherwise(code)
+    per_user = (
+        e.select(
+            "user_id",
+            F.struct(
+                F.col("ts").alias("t"),
+                F.col("event_id").alias("i"),
+                code.alias("code"),
+            ).alias("ev"),
+        )
+        .groupBy("user_id")
+        .agg(F.collect_list("ev").alias("evs"))
+        .select(
+            "user_id",
+            F.size("evs").cast("long").alias("n_events"),
+            F.array_join(
+                F.expr("transform(array_sort(evs), x -> x.code)"), ""
+            ).alias("seq"),
+        )
+    )
+    return (
+        per_user.select(
+            "user_id",
+            "n_events",
+            F.regexp_count("seq", F.lit(FUNNEL_PATTERN))
+            .cast("int")
+            .alias("n_clean_funnels"),
+        )
+        .filter(F.col("n_clean_funnels") > 0)
+        .orderBy("user_id")
+    )
+
+
 def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered event funnel: view → click-after-view →
     purchase-after-click, counted over the events stream.
@@ -769,6 +840,30 @@ ORACLES: dict[str, str] = {
         ORDER BY user_id
     """,
 
+    "event_pattern_match": f"""
+        WITH coded AS (
+            SELECT user_id, ts, event_id,
+                   CASE event_type
+                        WHEN 'click' THEN 'c'
+                        WHEN 'error' THEN 'e'
+                        WHEN 'purchase' THEN 'p'
+                        WHEN 'signup' THEN 's'
+                        WHEN 'view' THEN 'v'
+                        ELSE 'o' END AS code
+            FROM events
+        ), per_user AS (
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   string_agg(code, '' ORDER BY ts, event_id) AS seq
+            FROM coded GROUP BY user_id
+        )
+        SELECT user_id, n_events,
+               CAST(len(regexp_extract_all(seq, '{FUNNEL_PATTERN}'))
+                    AS INT) AS n_clean_funnels
+        FROM per_user
+        WHERE len(regexp_extract_all(seq, '{FUNNEL_PATTERN}')) > 0
+        ORDER BY user_id
+    """,
     "funnel_stages": """
         WITH views AS (
             SELECT user_id, min(ts) AS t_view
@@ -1169,6 +1264,7 @@ QUERIES = {
     "histogram_equiwidth": q_histogram_equiwidth,
     "corr_matrix": q_corr_matrix,
     "funnel_stages": q_funnel_stages,
+    "event_pattern_match": q_event_pattern_match,
     "retention_cohorts": q_retention_cohorts,
     "argmax_extremes": q_argmax_extremes,
     "mode_quantity": q_mode_quantity,
