@@ -301,6 +301,36 @@ def test_simhash_hamming_pairs_complete_vs_bruteforce(spark):
     assert banded == brute
 
 
+def test_round8_plan_pins(spark):
+    """Remaining wave-2/3 plan-shape pins: span removal finds canonical
+    occurrences with min-struct aggregation, never a window; the CEP
+    matcher is one aggregate + in-row regex (no join, no Python); the
+    vocab-divergence self-join never degenerates to a nested loop."""
+    import re
+
+    from wd2duckdb_spark.functions.dedup import q_dedup_span_removal
+    from wd2duckdb_spark.functions.text import q_vocab_divergence
+    from wd2duckdb_spark.operators.analytics import q_event_pattern_match
+    from wd2duckdb_spark.plans import explain_str
+
+    sr = explain_str(q_dedup_span_removal(spark, SF_DIR), "simple")
+    assert "Window" not in sr  # min-struct canon, not a ranking window
+
+    s = plan_summary(q_event_pattern_match(spark, SF_DIR))
+    assert (
+        s["broadcast_hash_join"]
+        + s["sort_merge_join"]
+        + s["shuffled_hash_join"]
+        + s["nested_loop_join"]
+        == 0
+    )
+    assert s["python_udf"] == 0 and s["map_in_pandas"] == 0
+
+    v = plan_summary(q_vocab_divergence(spark, SF_DIR))
+    assert v["nested_loop_join"] == 0
+    assert v["broadcast_hash_join"] >= 1  # totals broadcast back
+
+
 def test_event_pattern_match_planted_sequences(spark, tmp_path):
     """Planted CEP semantics: an error between funnel stages
     invalidates the funnel; a second view inside a clean funnel is
