@@ -44,6 +44,17 @@ BENCH_QUERIES = (
     # twin — window-min over band buckets, linear in rows (the PAIR
     # generator stays excluded; the keep rule is not pair-generating)
     "lsh_keep_list",
+    # round-8 documents-tier additions. All linear in rows: the LM
+    # sampler and JS divergence are aggregate-bounded; the span
+    # queries mark OCCURRENCES of duplicated grams (≤ total
+    # occurrences — linear), unlike the excluded pair generators
+    # (simhash_hamming_pairs / leakage_safe_split stay out for the
+    # same quadratic-pairs reason as MinHash-LSH).
+    "perplexity_bucket_sample",
+    "vocab_divergence",
+    "repeated_ngram_spans",
+    "dedup_span_removal",
+    "ngram_novelty",
 )
 
 #: Embeddings-tier queries, scaled by duplicating vectors under fresh
@@ -55,6 +66,9 @@ EMB_QUERIES = (
     "kmeans_lloyd",
     "embedding_centroids",
     "embedding_quantize",
+    # round-8: centroid-nearest prototype — one (label × dim) partial
+    # agg + broadcast-back scan scoring, linear in vectors
+    "label_exemplars",
     # semantic_dedup deliberately excluded: like MinHash-LSH it is
     # pair-generating, and duplicating vectors k× multiplies in-cluster
     # pairs quadratically — a semantics change, not a scaling test.
