@@ -1297,7 +1297,14 @@ def q_perplexity_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from wd2duckdb_spark.functions.training import md5_bucket
 
-    per_doc = doc_surprisal(spark, sf_dir)
+    # persist: the per-doc frame feeds BOTH the 1-row stats aggregate
+    # and the z-scoring pass — without the barrier the whole bigram-LM
+    # training pipeline (the dominant cost) plans and RUNS twice. At
+    # bench SFs the second training pass hides in fixed overhead
+    # (min-of-3 2.15 s → 1.74 s at sf0.1), but at 100 TB it is a
+    # straight 2× of the heaviest stage; same rationale as
+    # ngram_decontaminate's barrier.
+    per_doc = doc_surprisal(spark, sf_dir).persist()
     stats = per_doc.agg(
         F.avg("doc_surprisal").alias("mu"),
         F.stddev_samp("doc_surprisal").alias("sigma"),
