@@ -965,7 +965,11 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_novel"),
         )
     )
-    max_id = per_doc.agg(F.max("doc_id").alias("mx"))
+    # max over the CACHED gram frame, not per_doc: per_doc's doc set
+    # equals doc_grams' (the first-seen join always matches), and
+    # aggregating per_doc here would re-run the gram-keyed join a
+    # second time just to find the ceiling
+    max_id = doc_grams.agg(F.max("doc_id").alias("mx"))
     novelty_micro = F.floor(
         F.col("n_novel") / F.col("n_grams") * 1e4 + F.lit(0.5)
     ).cast("long")
