@@ -1,0 +1,263 @@
+"""Round-9 additions (VERDICT r8 / ADVICE r8): parameterized SimHash
+banding, the `match_events` CEP API + hot-user cap, the asymmetric
+containment join, real BPE token counting, and the cross-engine
+float-determinism hardening. Correctness vs DuckDB is covered by the
+oracle gate; these tests pin the semantic invariants and scale
+postures the oracles can't express.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_DIR
+from wd2duckdb_spark.plans import plan_summary
+
+# ---------------------------------------------------------------------------
+# SimHash banding parameterization (VERDICT r8 item 1)
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_pigeonhole_lemma_generalized():
+    """The zero-false-negative claim for ANY (blocks, hamming): for
+    any signature and any ≤hamming flipped bits, at least one probe
+    table's combined key (a concatenation of blocks−hamming blocks)
+    is untouched. Hypothesis searches for a counterexample across the
+    layouts the engine registers plus uneven-width ones."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from wd2duckdb_spark.functions.dedup import (
+        simhash_block_widths,
+        simhash_tables,
+    )
+
+    layouts = [(60, 4, 3), (60, 6, 3), (60, 5, 2), (59, 7, 3), (48, 6, 2)]
+
+    def combo_key(sig: int, combo, widths, offsets) -> int:
+        key = 0
+        for b in combo:
+            key = (key << widths[b]) | ((sig >> offsets[b]) & ((1 << widths[b]) - 1))
+        return key
+
+    @settings(max_examples=400, deadline=None)
+    @given(
+        layout=st.sampled_from(layouts),
+        sig=st.integers(min_value=0, max_value=(1 << 63) - 1),
+        data=st.data(),
+    )
+    def prop(layout, sig, data):
+        bits, blocks, hamming = layout
+        sig &= (1 << bits) - 1
+        flips = data.draw(
+            st.sets(
+                st.integers(min_value=0, max_value=bits - 1),
+                min_size=0,
+                max_size=hamming,
+            )
+        )
+        other = sig
+        for f in flips:
+            other ^= 1 << f
+        widths = simhash_block_widths(bits, blocks)
+        offsets = [sum(widths[:i]) for i in range(blocks)]
+        assert any(
+            combo_key(sig, c, widths, offsets)
+            == combo_key(other, c, widths, offsets)
+            for c in simhash_tables(blocks, hamming)
+        )
+
+    prop()
+
+
+def test_simhash_block_widths_cover_signature():
+    from wd2duckdb_spark.functions.dedup import simhash_block_widths
+
+    for bits, blocks in [(60, 4), (60, 6), (59, 7), (1, 1), (63, 9)]:
+        w = simhash_block_widths(bits, blocks)
+        assert sum(w) == bits and len(w) == blocks
+        assert max(w) - min(w) <= 1
+
+
+def test_simhash_wide_equals_narrow_equals_bruteforce(spark):
+    """All valid layouts produce the same EXACT answer set, and that
+    set is the brute-force all-pairs Hamming ≤ 3 set."""
+    from wd2duckdb_spark.functions.dedup import (
+        SIMHASH_HAMMING,
+        _simhash_sig,
+        simhash_pairs,
+    )
+
+    sig = _simhash_sig(spark, SF_DIR)
+    narrow = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in simhash_pairs(sig, blocks=4, hamming=3).collect()
+    }
+    wide = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in simhash_pairs(sig, blocks=6, hamming=3).collect()
+    }
+    assert narrow == wide and narrow
+    sigs = {r["doc_id"]: r["sim"] for r in sig.collect()}
+    brute = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= SIMHASH_HAMMING
+    }
+    assert narrow == brute
+
+
+def test_simhash_wide_keys_cut_candidate_volume(spark):
+    """The point of the wide layout: on the same signatures, 30-bit
+    combined keys admit no more candidates than 15-bit single-block
+    keys (strictly fewer whenever random collisions exist at all).
+    True pairs are a subset of both, so equality would mean the
+    narrow keys had zero random collisions at this corpus size."""
+    from wd2duckdb_spark.functions.dedup import (
+        _simhash_sig,
+        simhash_candidates,
+    )
+
+    sig = _simhash_sig(spark, SF_DIR)
+    narrow = simhash_candidates(sig, blocks=4, hamming=3).count()
+    wide = simhash_candidates(sig, blocks=6, hamming=3).count()
+    assert wide <= narrow
+
+
+def test_simhash_banding_validation():
+    from wd2duckdb_spark.functions.dedup import (
+        simhash_pairs,
+        simhash_signatures,
+    )
+
+    with pytest.raises(ValueError, match="hamming"):
+        simhash_pairs(None, blocks=4, hamming=4)
+    with pytest.raises(ValueError, match="blocks"):
+        simhash_pairs(None, bits=60, blocks=61, hamming=3)
+    with pytest.raises(ValueError, match="bits"):
+        simhash_pairs(None, bits=64, blocks=4, hamming=3)
+    with pytest.raises(ValueError, match="table"):
+        simhash_pairs(None, bits=60, blocks=20, hamming=10)
+    with pytest.raises(ValueError, match="bits"):
+        simhash_signatures(None, bits=61)
+
+
+def test_simhash_pairs_plan_stays_jvm_side(spark):
+    """The probe-table explode is a Generate over a Column array —
+    no Python anywhere, and the self-join is an equi-join (never a
+    nested loop)."""
+    from wd2duckdb_spark.functions.dedup import q_simhash_wide_pairs
+
+    s = plan_summary(q_simhash_wide_pairs(spark, SF_DIR))
+    assert s["python_udf"] == 0 and s["map_in_pandas"] == 0
+    assert s["nested_loop_join"] == 0
+
+# ---------------------------------------------------------------------------
+# match_events CEP API (VERDICT r8 items 3+5)
+# ---------------------------------------------------------------------------
+
+
+def test_match_events_validation():
+    from wd2duckdb_spark.operators.analytics import EVENT_CODES, match_events
+
+    with pytest.raises(ValueError, match="non-empty"):
+        match_events(None, "v", {})
+    with pytest.raises(ValueError, match="single lowercase"):
+        match_events(None, "v", {"view": "V"})
+    with pytest.raises(ValueError, match="duplicate"):
+        match_events(None, "v", {"view": "v", "visit": "v"})
+    with pytest.raises(ValueError, match="reserved"):
+        match_events(None, "v", {"other": "o"})
+    with pytest.raises(ValueError, match="lookaround|not portable"):
+        match_events(None, "v(?!p)", EVENT_CODES)
+    with pytest.raises(ValueError, match="backreference"):
+        match_events(None, r"(v)\1", EVENT_CODES)
+    with pytest.raises(ValueError, match="not registered"):
+        match_events(None, "v[^ep]*x", EVENT_CODES)
+    with pytest.raises(ValueError, match="compile"):
+        match_events(None, "v[", EVENT_CODES)
+    with pytest.raises(ValueError, match="max_events"):
+        match_events(None, "v", EVENT_CODES, max_events=0)
+
+
+def test_abandoned_cart_planted_sequences(spark, tmp_path):
+    """Planted abandoned-cart semantics: end-of-stream and next-view
+    both close an unconverted cart; a purchase converts it; an error
+    between view and click voids the cart."""
+    from datetime import datetime
+
+    from wd2duckdb_spark.operators.analytics import q_abandoned_cart
+
+    seqs = {
+        1: "vc",  # abandoned at end of stream
+        2: "vcp",  # converted
+        3: "vcvcp",  # first cart abandoned at the second view
+        4: "vec",  # error voids the view->click funnel
+        5: "c",  # click with no view
+    }
+    names = {"v": "view", "c": "click", "p": "purchase", "e": "error"}
+    rows = [
+        (u * 100 + i, datetime(2024, 1, 1, 0, 0, i), u, names[ch], 1.0, "{}")
+        for u, s in seqs.items()
+        for i, ch in enumerate(s)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    out = {
+        r["user_id"]: r["n_abandoned"]
+        for r in q_abandoned_cart(spark, str(tmp_path)).collect()
+    }
+    assert out == {1: 1, 3: 1}
+
+
+def test_match_events_hot_user_cap(spark):
+    """VERDICT r8 item 5: a 120k-event bot user is processed with
+    bounded task state — the sequence is capped at max_events IN
+    STREAM ORDER and the overflow is flagged, never silent."""
+    from wd2duckdb_spark.operators.analytics import (
+        EVENT_CODES,
+        FUNNEL_PATTERN,
+        MAX_SEQ_EVENTS,
+        match_events,
+    )
+
+    n = 120_000
+    e = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.col("id") + 1_600_000_000).alias("ts"),
+        F.lit(7).alias("user_id"),
+        F.when(F.col("id") % 3 == 0, "view")
+        .when(F.col("id") % 3 == 1, "click")
+        .otherwise("purchase")
+        .alias("event_type"),
+    )
+    capped = match_events(e, FUNNEL_PATTERN, EVENT_CODES).collect()[0]
+    assert capped["truncated"] and capped["n_events"] == n
+    # seq is "vcpvcp…": the first MAX_SEQ_EVENTS chars hold
+    # floor(MAX/3) complete funnels — the cap bound, not the full 40k
+    assert capped["n_matches"] == MAX_SEQ_EVENTS // 3
+    full = match_events(
+        e, FUNNEL_PATTERN, EVENT_CODES, max_events=n
+    ).collect()[0]
+    assert not full["truncated"] and full["n_matches"] == n // 3
+
+
+def test_match_events_plan_stays_jvm_side(spark):
+    from wd2duckdb_spark.operators.analytics import q_abandoned_cart
+
+    s = plan_summary(q_abandoned_cart(spark, SF_DIR))
+    assert (
+        s["broadcast_hash_join"]
+        + s["sort_merge_join"]
+        + s["shuffled_hash_join"]
+        + s["nested_loop_join"]
+        == 0
+    )
+    assert s["python_udf"] == 0 and s["map_in_pandas"] == 0

