@@ -261,3 +261,73 @@ def test_match_events_plan_stays_jvm_side(spark):
         == 0
     )
     assert s["python_udf"] == 0 and s["map_in_pandas"] == 0
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment join (VERDICT r8 item 4)
+# ---------------------------------------------------------------------------
+
+
+def test_containment_join_finds_planted_embedded_doc(spark, tmp_path):
+    """The mode Jaccard misses: a small document embedded verbatim in
+    a much larger one has containment 1.0 but tiny Jaccard. The
+    prefix-bounded plan must find the planted directed pair, and the
+    Jaccard-0.8 join must NOT (that asymmetry is the reason the
+    operator exists)."""
+    import random
+
+    from wd2duckdb_spark.functions.dedup import (
+        q_containment_join,
+        q_jaccard_prefix_join,
+    )
+
+    rng = random.Random(9)
+    vocab = [f"w{i}" for i in range(500)]
+    small = " ".join(rng.choice(vocab) for _ in range(30))
+    big = (
+        " ".join(rng.choice(vocab) for _ in range(800))
+        + " " + small + " "
+        + " ".join(rng.choice(vocab) for _ in range(800))
+    )
+    fillers = [
+        " ".join(rng.choice(vocab) for _ in range(60)) for _ in range(20)
+    ]
+    rows = [(0, small, "en", "s", len(small)), (1, big, "en", "s", len(big))]
+    rows += [
+        (i + 2, t, "en", "s", len(t)) for i, t in enumerate(fillers)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    cont = {
+        (r["a_id"], r["b_id"]): r["containment"]
+        for r in q_containment_join(spark, str(tmp_path)).collect()
+    }
+    assert (0, 1) in cont and cont[(0, 1)] >= 0.9
+    # directional: the big doc is NOT contained in the small one
+    assert (1, 0) not in cont
+    jac = {
+        (r["a_id"], r["b_id"])
+        for r in q_jaccard_prefix_join(spark, str(tmp_path)).collect()
+    }
+    assert (0, 1) not in jac and (1, 0) not in jac
+
+
+def test_containment_prefix_bound_integer_exact():
+    """ceil(9n/10) = (9n+9) DIV 10 for every n — the integer prefix
+    bound can never under-shoot (an FP ceil rounding
+    27.000000000000004 up would silently shorten a prefix)."""
+    from wd2duckdb_spark.functions.dedup import CONTAIN_DEN, CONTAIN_NUM
+
+    for n in range(1, 5000):
+        exact_ceil = -((-CONTAIN_NUM * n) // CONTAIN_DEN)
+        assert (CONTAIN_NUM * n + CONTAIN_NUM) // CONTAIN_DEN == exact_ceil
+
+
+def test_containment_join_plan_no_nested_loop(spark):
+    from wd2duckdb_spark.functions.dedup import q_containment_join
+
+    s = plan_summary(q_containment_join(spark, SF_DIR))
+    assert s["nested_loop_join"] == 0
+    assert s["python_udf"] == 0 and s["map_in_pandas"] == 0

@@ -1789,6 +1789,100 @@ def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a_id", "b_id")
 
 
+#: Containment threshold t = |A∩B|/|A| ≥ 9/10 as an exact integer
+#: ratio, so bounds and the accept test never touch floating point.
+CONTAIN_NUM, CONTAIN_DEN = 9, 10
+
+
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT self-join (VERDICT r8 item 4): directed
+    pairs (a → b) where ≥ 90% of a's word-3-gram shingles appear in b
+    — the doc-IN-doc contamination mode Jaccard misses by
+    construction: a 50-gram document embedded verbatim in a
+    5,000-gram one has containment 1.0 but Jaccard ≈ 0.01, far below
+    any sane near-dup threshold (the planted-pair test in
+    tests/test_round9_ops.py pins exactly this case).
+
+    Prefix filter, adapted from PPJoin to the asymmetric measure: if
+    |A∩B| ≥ ⌈t·|A|⌉ then A can miss at most |A| − ⌈t·|A|⌉ of its own
+    shingles, so among A's FIRST |A| − ⌈t·|A|⌉ + 1 shingles in global
+    document-frequency order (rarest first) at least one is shared
+    with B. Unlike the symmetric Jaccard bound, only the CONTAINED
+    side can be prefix-pruned — the container must be probe-able on
+    any of its shingles — so candidates come from joining A-prefixes
+    (at t = 0.9, ~|A|/10 rare shingles per doc) against the full
+    (doc, shingle) inverted list of the corpus. Prefix shingles are
+    globally rare by the ordering, which is what bounds the join
+    fan-out; verification is exact via array_intersect, and the
+    threshold test is integer cross-multiplication (10·|A∩B| ≥
+    9·|A|). ⌈9n/10⌉ = (9n+9) DIV 10 — integer, so an FP ceil can
+    never silently shorten a prefix into missed pairs.
+
+    Scale: one shingle-DF shuffle, one per-doc window sort for prefix
+    positions (both shared shapes with `jaccard_prefix_join`), then
+    the prefix-probe join. 100 TB posture: the inverted list is
+    linear in corpus shingles; candidate volume is Σ_prefix-shingle
+    df(s) — controlled by prefix rarity, never all-pairs.
+    """
+    from pyspark.sql import Window
+
+    d = tbl(spark, sf_dir, "documents")
+    sets = (
+        _with_shingles(d)
+        .select("doc_id", F.array_sort("sh").alias("ts"))
+        .persist()
+    )
+    toks = sets.select(
+        "doc_id", F.size("ts").alias("n"), F.explode("ts").alias("tok")
+    )
+    dfc = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    plen = (
+        F.col("n")
+        - F.expr(f"({CONTAIN_NUM} * n + {CONTAIN_NUM}) DIV {CONTAIN_DEN}")
+        + F.lit(1)
+    )
+    prefix = (
+        toks.join(F.broadcast(dfc), "tok")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= plen)
+        .select("doc_id", "tok")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(toks.alias("b"), "tok")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("a_id"), F.col("ts").alias("ta"))
+    sb = sets.select(F.col("doc_id").alias("b_id"), F.col("ts").alias("tb"))
+    scored = (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.size(F.array_intersect("ta", "tb")).alias("ni"),
+            F.size("ta").alias("na"),
+        )
+        .filter(
+            F.lit(CONTAIN_DEN) * F.col("ni")
+            >= F.lit(CONTAIN_NUM) * F.col("na")
+        )
+    )
+    return scored.select(
+        "a_id",
+        "b_id",
+        "na",
+        (F.floor(F.col("ni") / F.col("na") * 1e4 + F.lit(0.5)) / 1e4).alias(
+            "containment"
+        ),
+    ).orderBy("a_id", "b_id")
+
+
 def q_lsh_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-generation quality eval (round 8): precision/recall
     of the MinHash-LSH candidate pairs against EXACT ground truth —
@@ -1938,6 +2032,26 @@ ORACLES: dict[str, str] = {
                    AS jaccard
         FROM inter
         WHERE {JACCARD_DEN} * ni >= {JACCARD_NUM} * (na + nb - ni)
+        ORDER BY a_id, b_id
+    """,
+    "containment_join": f"""
+        WITH s AS (
+            SELECT doc_id, {word_shingles_expr(3)} AS ts
+            FROM documents
+        ), tok AS (
+            SELECT doc_id, len(ts) AS n, unnest(ts) AS shingle FROM s
+        ), inter AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   count(*) AS ni, min(a.n) AS na
+            FROM tok a
+            JOIN tok b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT a_id, b_id, CAST(na AS INT) AS na,
+               floor(ni / CAST(na AS DOUBLE) * 1e4 + 0.5) / 1e4
+                   AS containment
+        FROM inter
+        WHERE {CONTAIN_DEN} * ni >= {CONTAIN_NUM} * na
         ORDER BY a_id, b_id
     """,
     "fuzzy_name_pairs": """
@@ -2197,6 +2311,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "jaccard_prefix_join": q_jaccard_prefix_join,
+    "containment_join": q_containment_join,
     "lsh_candidate_eval": q_lsh_candidate_eval,
 }
 
