@@ -472,3 +472,66 @@ def test_bpe_validation():
         bpe_word_freqs(None, top_k=0)
     with pytest.raises(ValueError, match="output"):
         bpe_encode(None, [], output="words")
+
+# ---------------------------------------------------------------------------
+# ADVICE r8 determinism/completeness fixes
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_divergence_reports_disjoint_sources(spark, tmp_path):
+    """ADVICE r8: two sources with fully disjoint vocabularies — the
+    most-divergent pairs a drift audit exists to find — now appear
+    with exactly JS = ln 2 (floor-4dp) and n_shared_words = 0."""
+    from wd2duckdb_spark.functions.text import q_vocab_divergence
+
+    rows = [
+        (1, "alpha bravo charlie alpha", "en", "s1", 0),
+        (2, "delta echo foxtrot delta echo", "en", "s2", 0),
+        (3, "alpha zulu bravo", "en", "s3", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in q_vocab_divergence(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    assert out[("s1", "s2")]["n_shared_words"] == 0
+    assert out[("s1", "s2")]["js_divergence"] == 0.6931
+    assert out[("s2", "s3")]["n_shared_words"] == 0
+    assert out[("s2", "s3")]["js_divergence"] == 0.6931
+    # s1/s3 share alpha+bravo: strictly inside (0, ln 2)
+    assert out[("s1", "s3")]["n_shared_words"] == 2
+    assert 0 < out[("s1", "s3")]["js_divergence"] < 0.6931
+
+
+def test_perplexity_stats_integer_micro_sums(spark):
+    """ADVICE r8: mu/sigma now derive from exact integer micro-unit
+    sums — recompute them in Python from the per-doc frame and check
+    the bucket boundaries agree with the query's own output."""
+    import math
+
+    from wd2duckdb_spark.functions.text import (
+        doc_surprisal,
+        q_perplexity_bucket_sample,
+    )
+
+    per_doc = doc_surprisal(spark, SF_DIR).collect()
+    micro = [int(math.floor(r["doc_surprisal"] * 1e4 + 0.5)) for r in per_doc]
+    n, s, ssq = len(micro), sum(micro), sum(m * m for m in micro)
+    var = (ssq - s * s / n) / (n - 1)
+    sigma = math.sqrt(var)
+    buckets = {}
+    for r, m in zip(per_doc, micro):
+        z = math.floor((m - s / n) / sigma * 1e4 + 0.5) / 1e4
+        b = "head" if z < -0.5 else ("middle" if z <= 0.5 else "tail")
+        key = (b, r["source"])
+        buckets[key] = buckets.get(key, 0) + 1
+    got = {
+        (r["bucket"], r["source"]): r["n_docs"]
+        for r in q_perplexity_bucket_sample(spark, SF_DIR).collect()
+    }
+    assert got == buckets

@@ -1206,13 +1206,27 @@ def q_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     private to one side contribute exactly ½·p·ln2, so summing ONLY
     the inner-joined shared vocabulary plus the two residual masses is
     the full JS with no outer join and no per-pair full-vocabulary
-    frame.
+    frame. Pairs with FULLY DISJOINT vocabularies are seeded from the
+    tiny totals frame and report exactly JS = ln 2 with
+    n_shared_words = 0 (ADVICE r8: the most-divergent pairs are the
+    ones a drift audit most wants to see — the inner join alone would
+    silently drop them).
+
+    Cross-engine determinism (ADVICE r8): the per-word js/mass terms
+    are deterministic doubles of the integer (c, tot) inputs, but
+    their SUM is accumulation-order-dependent — so each term is
+    floor-snapped to integer 1e-12 micro-units per row and summed as
+    exact integers (decimal(38,0) in Spark, HUGEINT in DuckDB — no
+    overflow at any corpus size); the final divide and 4-dp floor are
+    single IEEE ops on identical integers. Worst-case snap error is
+    5e-13 per shared word — invisible at the 4-dp output precision.
 
     Plan: one (source, word) aggregate, a broadcast of the ≤|sources|
     totals row set, then a word-keyed self-join whose per-word fan-out
-    is bounded by |sources|² — never corpus×corpus — and a
-    |sources|²-group aggregate. At 100 TB the only big exchange is the
-    unigram count, which partial-aggregates map-side.
+    is bounded by |sources|² — never corpus×corpus — a
+    |sources|²-group aggregate, and a broadcast left join back onto
+    the |sources|² all-pairs seed. At 100 TB the only big exchange is
+    the unigram count, which partial-aggregates map-side.
     """
     d = tbl(spark, sf_dir, "documents")
     words = d.select(
@@ -1220,7 +1234,7 @@ def q_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower(F.trim("text")), " ")).alias("word"),
     )
     counts = words.groupBy("source", "word").agg(F.count("*").alias("c"))
-    totals = counts.groupBy("source").agg(F.sum("c").alias("tot"))
+    totals = counts.groupBy("source").agg(F.sum("c").alias("tot")).persist()
     dist = counts.join(F.broadcast(totals), "source").select(
         "source", "word", (F.col("c") / F.col("tot")).alias("p")
     )
@@ -1240,31 +1254,38 @@ def q_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p") * F.log(2 * F.col("p") / (F.col("p") + F.col("q")))
         + F.col("q") * F.log(2 * F.col("q") / (F.col("p") + F.col("q")))
     )
-    return (
-        shared.groupBy("source_a", "source_b")
-        .agg(
-            F.count("*").alias("n_shared_words"),
-            F.sum(term).alias("js_shared"),
-            F.sum("p").alias("mass_a"),
-            F.sum("q").alias("mass_b"),
+    dec = "decimal(38,0)"
+    m12 = lambda c: F.floor(c * 1e12 + F.lit(0.5)).cast(dec)  # noqa: E731
+    agg = shared.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("nw"),
+        F.sum(m12(term)).alias("js_micro"),
+        F.sum(m12(F.col("p"))).alias("ma_micro"),
+        F.sum(m12(F.col("q"))).alias("mb_micro"),
+    )
+    pairs = (
+        totals.select(F.col("source").alias("source_a"))
+        .crossJoin(
+            F.broadcast(totals.select(F.col("source").alias("source_b")))
         )
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    z = F.lit(0).cast("bigint")
+    js = (
+        F.coalesce(F.col("js_micro"), F.lit(0)).cast("double") / 1e12
+        + 0.5
+        * ln2
+        * (
+            (1 - F.coalesce(F.col("ma_micro"), F.lit(0)).cast("double") / 1e12)
+            + (1 - F.coalesce(F.col("mb_micro"), F.lit(0)).cast("double") / 1e12)
+        )
+    )
+    return (
+        pairs.join(F.broadcast(agg), ["source_a", "source_b"], "left")
         .select(
             "source_a",
             "source_b",
-            "n_shared_words",
-            (
-                F.floor(
-                    (
-                        F.col("js_shared")
-                        + 0.5
-                        * ln2
-                        * ((1 - F.col("mass_a")) + (1 - F.col("mass_b")))
-                    )
-                    * 1e4
-                    + F.lit(0.5)
-                )
-                / 1e4
-            ).alias("js_divergence"),
+            F.coalesce(F.col("nw"), z).alias("n_shared_words"),
+            (F.floor(js * 1e4 + F.lit(0.5)) / 1e4).alias("js_divergence"),
         )
         .orderBy("source_a", "source_b")
     )
@@ -1291,9 +1312,16 @@ def q_perplexity_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     or a second histogram pass at 100 TB, while mean/std partial-agg
     in one reduction), then one ≤(3×sources)-group aggregate.
 
-    Determinism: doc_surprisal is floored to 4 dp upstream; z is
-    floored to 4 dp before the ±0.5 comparisons (PLANS.md "rounding
-    ties"); the keep decision hashes ids, never floats.
+    Determinism: doc_surprisal is floored to 4 dp upstream; the
+    global mean/stddev are derived from EXACT INTEGER sums of its
+    1e-4 micro-units (Σx and Σx² as decimal(38,0) / HUGEINT — ADVICE
+    r8: avg/stddev_samp over doubles accumulate in engine-specific
+    order, so a doc whose 4-dp z lands exactly on a ±0.5 boundary
+    could bucket differently across engines; with order-free integer
+    sums the z inputs are bit-identical and the boundary comparison
+    cannot flake); z is floored to 4 dp before the ±0.5 comparisons
+    (PLANS.md "rounding ties"); the keep decision hashes ids, never
+    floats.
     """
     from wd2duckdb_spark.functions.training import md5_bucket
 
@@ -1304,17 +1332,29 @@ def q_perplexity_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (min-of-3 2.15 s → 1.74 s at sf0.1), but at 100 TB it is a
     # straight 2× of the heaviest stage; same rationale as
     # ngram_decontaminate's barrier.
-    per_doc = doc_surprisal(spark, sf_dir).persist()
-    stats = per_doc.agg(
-        F.avg("doc_surprisal").alias("mu"),
-        F.stddev_samp("doc_surprisal").alias("sigma"),
+    per_doc = (
+        doc_surprisal(spark, sf_dir)
+        .withColumn(
+            "micro", F.floor(F.col("doc_surprisal") * 1e4 + F.lit(0.5))
+        )
+        .persist()
     )
+    dec = "decimal(38,0)"
+    stats = per_doc.agg(
+        F.count("*").alias("n_all"),
+        F.sum(F.col("micro").cast(dec)).alias("s_micro"),
+        F.sum((F.col("micro") * F.col("micro")).cast(dec)).alias("ssq_micro"),
+    )
+    n_d = F.col("n_all").cast("double")
+    s_d = F.col("s_micro").cast("double")
+    ssq_d = F.col("ssq_micro").cast("double")
+    var = (ssq_d - s_d * s_d / n_d) / (n_d - 1)
     z = (
-        F.when(F.col("sigma").isNull() | (F.col("sigma") == 0), F.lit(0.0))
+        F.when((F.col("n_all") < 2) | (var <= 0), F.lit(0.0))
         .otherwise(
             F.floor(
-                (F.col("doc_surprisal") - F.col("mu"))
-                / F.col("sigma")
+                (F.col("micro").cast("double") - s_d / n_d)
+                / F.sqrt(var)
                 * 1e4
                 + F.lit(0.5)
             )
@@ -1345,11 +1385,7 @@ def q_perplexity_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             # integer micro-units (doc_surprisal is already 4-dp): the
             # sum is exact, the single division is one IEEE op — no
             # accumulation-order ulp for the floor to amplify
-            F.sum(
-                F.floor(F.col("doc_surprisal") * 1e4 + F.lit(0.5)).cast(
-                    "long"
-                )
-            ).alias("sum_micro"),
+            F.sum(F.col("micro").cast("long")).alias("sum_micro"),
         )
         .select(
             "bucket",
@@ -1417,16 +1453,38 @@ def _perplexity_bucket_oracle() -> str:
     from wd2duckdb_spark.functions.training import md5_bucket_sql
 
     return f"""
-        WITH {_surprisal_sql_cte()}, stats AS (
-            SELECT avg(doc_surprisal) AS mu,
-                   stddev_samp(doc_surprisal) AS sigma
+        WITH {_surprisal_sql_cte()}, pm AS (
+            SELECT doc_id, source, doc_surprisal,
+                   CAST(floor(doc_surprisal * 1e4 + 0.5) AS BIGINT) AS micro
             FROM per_doc
+        ), stats AS (
+            -- exact integer sums of the 4-dp micro-units (HUGEINT;
+            -- the Spark twin sums decimal(38,0)) — order-free, so
+            -- the z inputs are bit-identical across engines
+            SELECT count(*) AS n_all,
+                   sum(micro) AS s_micro,
+                   sum(micro * micro) AS ssq_micro
+            FROM pm
         ), scored AS (
             SELECT doc_id, source, doc_surprisal,
-                   CASE WHEN sigma IS NULL OR sigma = 0 THEN 0.0
-                        ELSE floor((doc_surprisal - mu) / sigma * 1e4 + 0.5)
+                   CASE WHEN n_all < 2 OR
+                             (CAST(ssq_micro AS DOUBLE)
+                              - CAST(s_micro AS DOUBLE)
+                                * CAST(s_micro AS DOUBLE)
+                                / CAST(n_all AS DOUBLE))
+                             / (CAST(n_all AS DOUBLE) - 1) <= 0
+                        THEN 0.0
+                        ELSE floor((CAST(micro AS DOUBLE)
+                                    - CAST(s_micro AS DOUBLE)
+                                      / CAST(n_all AS DOUBLE))
+                                   / sqrt((CAST(ssq_micro AS DOUBLE)
+                                           - CAST(s_micro AS DOUBLE)
+                                             * CAST(s_micro AS DOUBLE)
+                                             / CAST(n_all AS DOUBLE))
+                                          / (CAST(n_all AS DOUBLE) - 1))
+                                   * 1e4 + 0.5)
                              / 1e4 END AS z
-            FROM per_doc CROSS JOIN stats
+            FROM pm CROSS JOIN stats
         ), b AS (
             SELECT doc_id, source, doc_surprisal,
                    CASE WHEN z < -0.5 THEN 'head'
@@ -1469,15 +1527,32 @@ ORACLES["vocab_divergence"] = """
                a.p AS p, b.p AS q
         FROM dist a JOIN dist b
           ON a.word = b.word AND a.source < b.source
+    ), agg AS (
+        -- per-word terms snapped to integer 1e-12 micro-units before
+        -- summing (exact HUGEINT sums — accumulation-order-free, the
+        -- Spark twin sums decimal(38,0) of the identical per-row
+        -- doubles)
+        SELECT source_a, source_b,
+               CAST(count(*) AS BIGINT) AS nw,
+               sum(CAST(floor(0.5 * (p * ln(2 * p / (p + q))
+                                     + q * ln(2 * q / (p + q)))
+                              * 1e12 + 0.5) AS BIGINT)) AS js_micro,
+               sum(CAST(floor(p * 1e12 + 0.5) AS BIGINT)) AS ma_micro,
+               sum(CAST(floor(q * 1e12 + 0.5) AS BIGINT)) AS mb_micro
+        FROM shared
+        GROUP BY source_a, source_b
+    ), pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b
+        FROM totals a JOIN totals b ON a.source < b.source
     )
     SELECT source_a, source_b,
-           CAST(count(*) AS BIGINT) AS n_shared_words,
-           floor((sum(0.5 * (p * ln(2 * p / (p + q))
-                             + q * ln(2 * q / (p + q))))
-                  + 0.5 * ln(2) * ((1 - sum(p)) + (1 - sum(q))))
+           coalesce(nw, 0) AS n_shared_words,
+           floor((coalesce(js_micro, 0) / 1e12
+                  + 0.5 * ln(2)
+                    * ((1 - coalesce(ma_micro, 0) / 1e12)
+                       + (1 - coalesce(mb_micro, 0) / 1e12)))
                  * 1e4 + 0.5) / 1e4 AS js_divergence
-    FROM shared
-    GROUP BY source_a, source_b
+    FROM pairs LEFT JOIN agg USING (source_a, source_b)
     ORDER BY source_a, source_b
 """
 
