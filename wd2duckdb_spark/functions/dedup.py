@@ -677,18 +677,19 @@ def _validate_simhash_banding(bits: int, blocks: int, hamming: int) -> None:
         )
 
 
-def simhash_signatures(
+def simhash_bit_counts(
     docs: DataFrame,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    """Per-document SimHash: majority vote per bit over the md5
-    hashes of the document's DISTINCT whitespace tokens → one
-    ``bits``-wide signature (``(id_col, sim)``). One doc-keyed
-    aggregate with ``bits`` partial bit counters, map-side combined —
-    the 100 TB cost is one shuffle of (doc, 61 longs)."""
+    """The MERGEABLE half of SimHash: per-document per-bit counters
+    ``(id_col, n, c0..c{bits-1})`` over the document's DISTINCT
+    whitespace tokens. Counters are sums, so partials over disjoint
+    row sets ADD — the property the streaming signature maintenance
+    (streaming/simhash_sig.py) is built on. One doc-keyed aggregate,
+    map-side combined."""
     if not 1 <= bits <= 60:
         raise ValueError(f"bits must be in [1, 60] (15 md5 hex chars), got {bits}")
     toks = (
@@ -708,14 +709,40 @@ def simhash_signatures(
         F.sum(F.shiftright(h, j).bitwiseAND(1)).alias(f"c{j}")
         for j in range(bits)
     ]
-    agg = toks.groupBy(id_col).agg(F.count("*").alias("n"), *bit_sums)
+    return toks.groupBy(id_col).agg(F.count("*").alias("n"), *bit_sums)
+
+
+def counters_to_signature(
+    counters: DataFrame, *, id_col: str = "doc_id", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """Finalize bit counters into signatures: bit j set iff the
+    majority of counted tokens had it set (``2·c_j > n``)."""
     sim = None
     for j in range(bits):
         term = F.when(
             F.col(f"c{j}") * 2 > F.col("n"), F.lit(1 << j)
         ).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
-    return agg.select(id_col, sim.cast("long").alias("sim"))
+    return counters.select(id_col, sim.cast("long").alias("sim"))
+
+
+def simhash_signatures(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Per-document SimHash: majority vote per bit over the md5
+    hashes of the document's DISTINCT whitespace tokens → one
+    ``bits``-wide signature (``(id_col, sim)``). One doc-keyed
+    aggregate with ``bits`` partial bit counters, map-side combined —
+    the 100 TB cost is one shuffle of (doc, 61 longs)."""
+    return counters_to_signature(
+        simhash_bit_counts(docs, id_col=id_col, text_col=text_col, bits=bits),
+        id_col=id_col,
+        bits=bits,
+    )
 
 
 def simhash_candidates(
