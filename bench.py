@@ -86,6 +86,12 @@ HEADLINE = (
     "simhash_hamming_pairs",
     "leakage_safe_split",
     "event_pattern_match",
+    # round-9 additions: wide-key SimHash banding, the asymmetric
+    # containment join, the second CEP pattern, real BPE counts
+    "simhash_wide_pairs",
+    "containment_join",
+    "abandoned_cart",
+    "token_count_real_bpe",
 )
 
 

@@ -55,6 +55,13 @@ BENCH_QUERIES = (
     "repeated_ngram_spans",
     "dedup_span_removal",
     "ngram_novelty",
+    # round-9: real BPE counting — training is a vocabulary-bounded
+    # collect (flat in corpus size), encoding is a linear mapInPandas
+    # pass. The pair generators added this round (simhash_wide_pairs,
+    # containment_join) stay excluded like every other pair generator;
+    # their scale story is measured by tools/bench_simhash_bands.py
+    # (candidate volume) instead.
+    "token_count_real_bpe",
 )
 
 #: Embeddings-tier queries, scaled by duplicating vectors under fresh
