@@ -92,6 +92,10 @@ HEADLINE = (
     "containment_join",
     "abandoned_cart",
     "token_count_real_bpe",
+    # round-9: the formerly fixture-blocked TPC-H tier over derived
+    # views (the join-heavy two)
+    "q12_shipmode_priority",
+    "q21_late_suppliers",
 )
 
 

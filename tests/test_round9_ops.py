@@ -535,3 +535,118 @@ def test_perplexity_stats_integer_micro_sums(spark):
         for r in q_perplexity_bucket_sample(spark, SF_DIR).collect()
     }
     assert got == buckets
+
+# ---------------------------------------------------------------------------
+# Derived-view TPC-H queries (VERDICT r8 "What's missing" item 2)
+# ---------------------------------------------------------------------------
+
+
+def test_partsupp_derivation_shape(spark):
+    """Every part gets exactly PS_PER_PART distinct suppliers, all
+    inside the supplier key range, with positive integer qty/cost."""
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.operators.tpch_derived import PS_PER_PART, partsupp
+
+    ps = partsupp(spark, SF_DIR)
+    n_parts = tbl(spark, SF_DIR, "part").count()
+    n_supp = tbl(spark, SF_DIR, "supplier").count()
+    assert ps.count() == n_parts * PS_PER_PART
+    bad = (
+        ps.groupBy("ps_partkey")
+        .agg(F.countDistinct("ps_suppkey").alias("d"))
+        .filter(F.col("d") != PS_PER_PART)
+        .count()
+    )
+    assert bad == 0
+    assert (
+        ps.filter(
+            (F.col("ps_suppkey") < 0)
+            | (F.col("ps_suppkey") >= n_supp)
+            | (F.col("ps_availqty") < 1)
+            | (F.col("ps_supplycost_cents") < 100)
+        ).count()
+        == 0
+    )
+
+
+def test_q2_window_rewrite_plan(spark):
+    """The Spark side replaces the spec's correlated scalar subquery
+    with ONE window min — no second partsupp join, no nested loop."""
+    from wd2duckdb_spark.operators.tpch_derived import q_q2_min_cost_supplier
+
+    s = plan_summary(q_q2_min_cost_supplier(spark, SF_DIR))
+    # the one BNLJ is the 1-row supplier-count broadcast inside the
+    # partsupp derivation (the engine's blessed global-stats shape)
+    assert s["nested_loop_join"] <= 1
+    # part/supplier/nation/region all broadcast
+    assert s["broadcast_hash_join"] >= 3
+    assert s["sort_merge_join"] == 0 and s["shuffled_hash_join"] == 0
+
+
+def test_q21_decorrelated_aggregate_plan_and_semantics(spark, tmp_path):
+    """The de-correlated Q21: one order-keyed aggregate instead of
+    EXISTS + NOT EXISTS self-joins, and the per-LINE counting
+    semantics hold (a supplier with two late lines in a qualifying
+    order contributes 2)."""
+    from datetime import datetime
+
+    from wd2duckdb_spark.operators.tpch_derived import q_q21_late_suppliers
+
+    s = plan_summary(q_q21_late_suppliers(spark, SF_DIR))
+    assert s["nested_loop_join"] == 0
+
+    # planted: order 100 has supplier 0 late twice, supplier 1 on time
+    # -> numwait 2 for supplier 0; order 200 has BOTH suppliers late ->
+    # excluded; order 300 single-supplier late -> excluded
+    def li(ok, ln, sk):
+        # l_orderkey, l_partkey, l_suppkey, l_linenumber, qty, price,
+        # disc, tax, rf, ls, shipdate
+        return (ok, 1, sk, ln, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                datetime(1996, 3, 1))
+
+    # choose (orderkey, linenumber) so the derived commit/receipt make
+    # the line late iff we want: late <=> (ok + 5*ln) % 30 + 1 >
+    # (3*ok + 7*ln) % 61 - 30
+    def is_late(ok, ln):
+        return (ok + 5 * ln) % 30 + 1 > (3 * ok + 7 * ln) % 61 - 30
+
+    # find concrete line numbers with the desired lateness
+    def pick(ok, want_late, n, start=1):
+        out, ln = [], start
+        while len(out) < n:
+            if is_late(ok, ln) == want_late:
+                out.append(ln)
+            ln += 1
+        return out
+
+    rows = []
+    l1, l2 = pick(100, True, 2)
+    rows += [li(100, l1, 0), li(100, l2, 0)]
+    rows += [li(100, pick(100, False, 1, l2 + 1)[0], 1)]
+    a, b = pick(200, True, 2)
+    rows += [li(200, a, 0), li(200, b, 1)]
+    rows += [li(300, pick(300, True, 1)[0], 0)]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber long, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(100, 1, "F", 1.0, datetime(1996, 1, 1), "1-URGENT"),
+         (200, 1, "F", 1.0, datetime(1996, 1, 1), "1-URGENT"),
+         (300, 1, "F", 1.0, datetime(1996, 1, 1), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(0, "Supplier#0", 0, 100.0), (1, "Supplier#1", 0, 100.0)],
+        "s_suppkey long, s_name string, s_nationkey long,"
+        " s_acctbal double",
+    ).write.parquet(str(tmp_path / "supplier.parquet"))
+
+    out = {r["s_name"]: r["numwait"]
+           for r in q_q21_late_suppliers(spark, str(tmp_path)).collect()}
+    assert out == {"Supplier#0": 2}

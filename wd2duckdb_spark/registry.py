@@ -29,11 +29,13 @@ from wd2duckdb_spark.operators import (
     sketches,
     skew,
     temporal,
+    tpch_derived,
 )
 from wd2duckdb_spark.streaming import sessionize, transform_state, typed_state
 
 _MODULES = (
     relational,
+    tpch_derived,
     graph,
     analytics,
     temporal,
