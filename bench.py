@@ -91,6 +91,7 @@ HEADLINE = (
     "simhash_wide_pairs",
     "containment_join",
     "abandoned_cart",
+    "session_funnel",
     "token_count_real_bpe",
     # round-9: the formerly fixture-blocked TPC-H tier over derived
     # views (the join-heavy two)

@@ -650,3 +650,85 @@ def test_q21_decorrelated_aggregate_plan_and_semantics(spark, tmp_path):
     out = {r["s_name"]: r["numwait"]
            for r in q_q21_late_suppliers(spark, str(tmp_path)).collect()}
     assert out == {"Supplier#0": 2}
+
+# ---------------------------------------------------------------------------
+# Session-scoped CEP (WITHIN semantics via gap markers)
+# ---------------------------------------------------------------------------
+
+
+def test_session_gap_validation():
+    from wd2duckdb_spark.operators.analytics import EVENT_CODES, match_events
+
+    with pytest.raises(ValueError, match="session-gap marker"):
+        match_events(None, "v", {"gap": "g"})
+    with pytest.raises(ValueError, match="positive"):
+        match_events(None, "v", EVENT_CODES, session_gap_seconds=0)
+    with pytest.raises(ValueError, match="session_gap_seconds is not set"):
+        match_events(None, "v[^g]*p", EVENT_CODES)
+
+
+def test_session_funnel_gap_breaks_pattern(spark, tmp_path):
+    """Planted WITHIN semantics: the same v→c→p triple matches the
+    unscoped funnel but NOT the session-scoped one when a gap larger
+    than the threshold separates click from purchase; a within-gap
+    triple matches both."""
+    from datetime import datetime, timedelta
+
+    from wd2duckdb_spark.operators.analytics import (
+        EVENT_CODES,
+        FUNNEL_PATTERN,
+        SESSION_FUNNEL_PATTERN,
+        match_events,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1: v, c, then purchase 2h later -> gap breaks session
+        (1, t0, 1, "view"),
+        (2, t0 + timedelta(minutes=5), 1, "click"),
+        (3, t0 + timedelta(hours=2, minutes=5), 1, "purchase"),
+        # user 2: all within minutes -> clean in both
+        (11, t0, 2, "view"),
+        (12, t0 + timedelta(minutes=3), 2, "click"),
+        (13, t0 + timedelta(minutes=6), 2, "purchase"),
+    ]
+    e = spark.createDataFrame(
+        [(i, ts, u, t, 1.0, "{}") for (i, ts, u, t) in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    unscoped = {
+        r["user_id"]: r["n_matches"]
+        for r in match_events(e, FUNNEL_PATTERN, EVENT_CODES).collect()
+    }
+    scoped = {
+        r["user_id"]: r["n_matches"]
+        for r in match_events(
+            e,
+            SESSION_FUNNEL_PATTERN,
+            EVENT_CODES,
+            session_gap_seconds=1800,
+        ).collect()
+    }
+    assert unscoped == {1: 1, 2: 1}
+    assert scoped == {1: 0, 2: 1}
+
+
+def test_session_funnel_bounded_by_unscoped(spark):
+    """On the fixture: every user's session-scoped funnel count is <=
+    their unscoped count (gap markers only remove matches)."""
+    from wd2duckdb_spark.operators.analytics import (
+        q_event_pattern_match,
+        q_session_funnel,
+    )
+
+    unscoped = {
+        r["user_id"]: r["n_clean_funnels"]
+        for r in q_event_pattern_match(spark, SF_DIR).collect()
+    }
+    scoped = {
+        r["user_id"]: r["n_session_funnels"]
+        for r in q_session_funnel(spark, SF_DIR).collect()
+    }
+    assert scoped and set(scoped) <= set(unscoped)
+    assert all(scoped[u] <= unscoped[u] for u in scoped)
