@@ -125,23 +125,12 @@ def lineitem_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure in-row integer/interval arithmetic, no shuffle, identical in
     the oracle CTE."""
     li = tbl(spark, sf_dir, "lineitem")
-    commit_days = (
-        F.col("l_orderkey") * COMMIT_A + F.col("l_linenumber") * COMMIT_B
-    ) % COMMIT_MOD - COMMIT_OFF
-    rcpt_days = (
-        F.col("l_orderkey") + F.col("l_linenumber") * RCPT_B
-    ) % RCPT_MOD + 1
     mode = None
     for idx, m in enumerate(MODES):
         cond = (F.col("l_orderkey") + F.col("l_linenumber")) % len(MODES)
         term = F.when(cond == idx, F.lit(m))
         mode = term if mode is None else mode.when(cond == idx, F.lit(m))
     return li.select(
-        "*",
-        F.col("l_shipdate")
-        .cast("timestamp")
-        .alias("_ship_ts"),
-    ).select(
         "*",
         F.expr(
             f"l_shipdate + make_dt_interval((l_orderkey * {COMMIT_A} +"
@@ -153,7 +142,7 @@ def lineitem_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" l_linenumber * {RCPT_B}) % {RCPT_MOD} + 1, 0, 0, 0)"
         ).alias("l_receiptdate"),
         mode.alias("l_shipmode"),
-    ).drop("_ship_ts")
+    )
 
 
 def _mode_case_sql() -> str:
@@ -184,7 +173,10 @@ LINEITEM_EXT_CTE = f"""lineitem_ext AS (
 # Q2 — minimum-cost supplier
 # ---------------------------------------------------------------------------
 
-Q2_SIZE = 15
+#: size CLASS (spec uses one size; the fixture's 200-part sf0.001
+#: table would leave one-size × type × region empty, so the class is
+#: a small IN-set — same predicate shape, non-degenerate at every SF)
+Q2_SIZES = (15, 25, 35, 45)
 Q2_TYPE_PREFIX = "STA"  # p_type LIKE 'STA%' (fixture vocabulary)
 Q2_REGION = "ASIA"
 
@@ -199,7 +191,7 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles."""
     ps = partsupp(spark, sf_dir)
     p = tbl(spark, sf_dir, "part").filter(
-        (F.col("p_size") == Q2_SIZE)
+        F.col("p_size").isin(*Q2_SIZES)
         & F.col("p_type").startswith(Q2_TYPE_PREFIX)
     )
     s = tbl(spark, sf_dir, "supplier")
@@ -451,7 +443,7 @@ ORACLES: dict[str, str] = {
         JOIN supplier ON ps.ps_suppkey = s_suppkey
         JOIN nation ON s_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
-        WHERE p_size = {Q2_SIZE} AND p_type LIKE '{Q2_TYPE_PREFIX}%'
+        WHERE p_size IN {Q2_SIZES} AND p_type LIKE '{Q2_TYPE_PREFIX}%'
           AND r_name = '{Q2_REGION}'
           AND ps_supplycost_cents = (
               SELECT min(ps2.ps_supplycost_cents)
