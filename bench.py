@@ -97,6 +97,9 @@ HEADLINE = (
     # views (the join-heavy two)
     "q12_shipmode_priority",
     "q21_late_suppliers",
+    # round-9 wave 2: content-defined chunking + per-domain cap
+    "cdc_chunk_dedup",
+    "domain_cap_sample",
 )
 
 

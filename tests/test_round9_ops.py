@@ -732,3 +732,132 @@ def test_session_funnel_bounded_by_unscoped(spark):
     }
     assert scoped and set(scoped) <= set(unscoped)
     assert all(scoped[u] <= unscoped[u] for u in scoped)
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking + domain cap (round-9 wave 2)
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_chunks_resynchronize_after_insertion(spark, tmp_path):
+    """The reason CDC exists: prepending one token to a document
+    shifts EVERY fixed-grid chunk (zero shared 32-token grid chunks),
+    but content-defined boundaries re-synchronize, so the pair shares
+    most of its CDC chunks."""
+    import random
+
+    from wd2duckdb_spark.functions.dedup import q_cdc_chunk_dedup
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(300)]
+    base = [rng.choice(vocab) for _ in range(320)]
+    edited = ["inserted"] + base
+    rows = [
+        (0, " ".join(base), "en", "s", 0),
+        (1, " ".join(edited), "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    shared = [
+        r
+        for r in q_cdc_chunk_dedup(spark, str(tmp_path)).collect()
+        if r["n_docs"] == 2
+    ]
+    assert len(shared) >= 3, "CDC failed to re-synchronize"
+
+    # fixed 32-token grid on the same pair shares NOTHING: the
+    # 1-token prepend shifts every grid boundary
+    def grid(toks):
+        return {
+            " ".join(toks[i : i + 32]) for i in range(0, len(toks), 32)
+        }
+
+    assert not (grid(base) & grid(edited))
+
+
+def test_cdc_chunks_reconstruct_document(spark):
+    """Losslessness: concatenating a document's CDC chunks in order
+    reproduces its token stream exactly (checked corpus-wide via
+    token counts and per-doc md5 of the rejoined stream)."""
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.functions.dedup import (
+        _cdc_chunks_col,
+        _cdc_cuts_col,
+    )
+
+    d = tbl(spark, SF_DIR, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr("filter(split(lower(trim(text)), ' '), x -> x <> '')").alias(
+            "tk"
+        ),
+    ).filter(F.size("tk") >= 1)
+    hashed = toks.withColumn(
+        "th",
+        F.expr(
+            "transform(tk, t -> cast(conv(substr(md5(t), 1, 8), 16, 10)"
+            " as bigint))"
+        ),
+    ).withColumn("cuts", _cdc_cuts_col())
+    bad = (
+        hashed.withColumn("chunks", _cdc_chunks_col())
+        .select(
+            F.md5(F.concat_ws(" ", "tk")).alias("orig"),
+            F.md5(F.array_join(F.col("chunks"), " ")).alias("rejoined"),
+        )
+        .filter(F.col("orig") != F.col("rejoined"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_domain_cap_sample_semantics(spark):
+    """Per-source keep counts are min(n_source, CAP), and the kept
+    set is deterministic across reruns (md5 order, not rand)."""
+    from wd2duckdb_spark.functions.training import (
+        DOMAIN_CAP,
+        q_domain_cap_sample,
+    )
+
+    rows = q_domain_cap_sample(spark, SF_DIR).collect()
+    per_src: dict = {}
+    for r in rows:
+        tot, kept = per_src.setdefault(r["source"], [0, 0])
+        per_src[r["source"]][0] += 1
+        per_src[r["source"]][1] += int(r["kept"])
+    for src, (tot, kept) in per_src.items():
+        assert kept == min(tot, DOMAIN_CAP), src
+    again = {
+        (r["doc_id"], r["kept"])
+        for r in q_domain_cap_sample(spark, SF_DIR).collect()
+    }
+    assert again == {(r["doc_id"], r["kept"]) for r in rows}
+
+
+def test_domain_cap_keep_plan_uses_window_group_limit(spark):
+    """The PRUNING form's rank<=K filter must plan as
+    WindowGroupLimit (map-side per-source top-K before the exchange)
+    — the property that bounds a hot domain's shuffle at K rows per
+    task. (The registered flag-output form keeps every row by design,
+    so group-limit pruning is impossible there — that's why the two
+    forms exist.) The kept set must equal the flag form's."""
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.functions.training import (
+        domain_cap_keep,
+        q_domain_cap_sample,
+    )
+    from wd2duckdb_spark.plans import explain_str
+
+    kept = domain_cap_keep(tbl(spark, SF_DIR, "documents"))
+    assert "WindowGroupLimit" in explain_str(kept, "simple")
+    got = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    want = {
+        r["doc_id"]
+        for r in q_domain_cap_sample(spark, SF_DIR).collect()
+        if r["kept"]
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="cap"):
+        domain_cap_keep(None, cap=0)

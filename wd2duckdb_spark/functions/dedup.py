@@ -1816,6 +1816,106 @@ def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a_id", "b_id")
 
 
+#: Content-defined chunking (CDC) parameters: a chunk boundary falls
+#: AFTER token e = i+W−1 wherever the W-token window hash at i is
+#: ≡ 0 (mod CDC_MOD) — so boundaries are functions of CONTENT, not
+#: position, and an insertion re-synchronizes within ~W tokens
+#: instead of shifting every later fixed-grid chunk (FastCDC/LBFS
+#: gear-hash idea, expressed over word tokens).
+CDC_W = 4
+CDC_MOD = 32  # expected chunk length ≈ 32 tokens
+CDC_B = 131
+CDC_M = 2147483647  # 2^31−1; th < 2^32, th·131³ < 2^54 — fits int64
+
+
+def _cdc_chunks_col() -> Column:
+    """array<string> of CDC chunks over the ``cuts`` column (the
+    boundary positions) — pure higher-order Column expression (no
+    UDF), 1-based element_at/slice so the arithmetic is line-for-line
+    the DuckDB oracle's."""
+    ends = "concat(cuts, array(size(tk)))"
+    starts = "concat(array(1), transform(cuts, c -> c + 1))"
+    return F.expr(
+        f"""transform(
+              sequence(1, size({ends})),
+              j -> concat_ws(' ',
+                     slice(tk, element_at({starts}, j),
+                           element_at({ends}, j)
+                             - element_at({starts}, j) + 1)))"""
+    )
+
+
+def _cdc_cuts_col() -> Column:
+    """Boundary positions: token index e = i+W−1 for every window
+    start i whose W-token rolling hash is ≡ 0 (mod CDC_MOD); the
+    implicit final boundary at n is excluded (added by the chunk
+    assembler)."""
+    b3, b2, b1 = CDC_B**3, CDC_B**2, CDC_B
+    wh = (
+        f"(element_at(th, i) * {b3}L + element_at(th, i + 1) * {b2}L"
+        f" + element_at(th, i + 2) * {b1}L + element_at(th, i + 3))"
+        f" % {CDC_M}L"
+    )
+    return F.expr(
+        f"""filter(
+              CASE WHEN size(tk) >= {CDC_W}
+                   THEN transform(sequence(1, size(tk) - {CDC_W - 1}),
+                                  i -> IF({wh} % {CDC_MOD} = 0,
+                                          i + {CDC_W - 1}, -1))
+                   ELSE array() END,
+              e -> e > 0 AND e < size(tk))"""
+    )
+
+
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup on CONTENT-DEFINED chunks: split every
+    document at rolling-hash-chosen token boundaries (see CDC_*), and
+    report every chunk fingerprint that occurs ≥ 2 times anywhere in
+    the corpus with its occurrence and document counts. The
+    insertion-robust complement to `chunk_dedup` (fixed 32-token
+    grid): one inserted token shifts EVERY later fixed-grid chunk of
+    a document (so a near-identical pair shares almost no grid
+    chunks), while CDC boundaries re-synchronize within ~W tokens of
+    the edit — pinned by a planted-insertion test in
+    tests/test_round9_ops.py where CDC finds the shared tail and the
+    fixed grid finds nothing after the edit point.
+
+    Plan: tokenize + window-hash + boundary selection + chunk
+    assembly are ONE in-row higher-order expression (zero UDFs, zero
+    shuffles); the only exchange is the chunk-fingerprint groupBy on
+    a uniform md5 key. 100 TB cost = the same one shuffle
+    `dedup_exact` pays, at chunk granularity.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(trim(text)), ' '), x -> x <> '')"
+        ).alias("tk"),
+    ).filter(F.size("tk") >= 1)
+    hashed = toks.withColumn(
+        "th",
+        F.expr(
+            "transform(tk, t -> cast(conv(substr(md5(t), 1, 8), 16, 10)"
+            " as bigint))"
+        ),
+    ).withColumn("cuts", _cdc_cuts_col())
+    chunks = hashed.select(
+        "doc_id", F.explode(_cdc_chunks_col()).alias("chunk")
+    )
+    return (
+        chunks.groupBy(F.md5("chunk").alias("chunk_md5"))
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occ") >= 2)
+        .orderBy("chunk_md5")
+    )
+
+
 #: Containment threshold t = |A∩B|/|A| ≥ 9/10 as an exact integer
 #: ratio, so bounds and the accept test never touch floating point.
 CONTAIN_NUM, CONTAIN_DEN = 9, 10
@@ -2339,6 +2439,7 @@ QUERIES = {
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "jaccard_prefix_join": q_jaccard_prefix_join,
     "containment_join": q_containment_join,
+    "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "lsh_candidate_eval": q_lsh_candidate_eval,
 }
 
@@ -2430,6 +2531,55 @@ ORACLES["simhash_hamming_pairs"] = f"""
 #: set, so it shares the narrow-banded oracle — any wide-path false
 #: negative breaks the hash match.
 ORACLES["simhash_wide_pairs"] = ORACLES["simhash_hamming_pairs"]
+
+ORACLES["cdc_chunk_dedup"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           x -> x <> '') AS tk
+        FROM documents
+    ), h AS (
+        SELECT doc_id, tk,
+               list_transform(
+                   tk, tok -> ('0x' || substr(md5(tok), 1, 8))::BIGINT)
+                   AS th
+        FROM t WHERE len(tk) >= 1
+    ), c AS (
+        SELECT doc_id, tk,
+               list_filter(
+                   CASE WHEN len(tk) >= {CDC_W}
+                        THEN list_transform(
+                                 range(1, len(tk) - {CDC_W - 2}),
+                                 i -> CASE WHEN (th[i] * {CDC_B**3}
+                                                 + th[i + 1] * {CDC_B**2}
+                                                 + th[i + 2] * {CDC_B}
+                                                 + th[i + 3])
+                                                % {CDC_M} % {CDC_MOD} = 0
+                                           THEN i + {CDC_W - 1}
+                                           ELSE -1 END)
+                        ELSE [] END,
+                   e -> e > 0 AND e < len(tk)) AS cuts
+        FROM h
+    ), ch AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(cuts) + 2),
+                   j -> array_to_string(
+                            tk[(CASE WHEN j = 1 THEN 1
+                                     ELSE cuts[j - 1] + 1 END):
+                               (CASE WHEN j = len(cuts) + 1 THEN len(tk)
+                                     ELSE cuts[j] END)],
+                            ' '))) AS chunk
+        FROM c
+    )
+    SELECT md5(chunk) AS chunk_md5,
+           CAST(count(*) AS BIGINT) AS n_occ,
+           count(DISTINCT doc_id) AS n_docs
+    FROM ch
+    GROUP BY chunk_md5
+    HAVING count(*) >= 2
+    ORDER BY chunk_md5
+"""
 
 
 ORACLES["ngram_novelty"] = f"""

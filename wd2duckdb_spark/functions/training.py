@@ -889,7 +889,78 @@ def _lr_calibration_oracle() -> str:
     )
 
 
+#: Per-source document cap for the registered query — sized to cut at
+#: every fixture SF (≈25 docs/source at sf0.001, ≈250 at sf0.1).
+DOMAIN_CAP = 15
+
+
+def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style PER-DOMAIN document cap: keep at most
+    :data:`DOMAIN_CAP` documents per source, chosen in deterministic
+    md5 order (salted id hash, doc_id tie-break — the engine's
+    standard content-stable selection rule, so re-ingest never flips
+    a document's fate), and flag the rest. The anti-overfitting /
+    anti-domination step a web-scale corpus mixer runs before
+    training: without it one crawl-heavy domain swamps the mix.
+
+    Plan: ONE source-keyed exchange. This registered form outputs a
+    per-document KEPT FLAG (so downstream filters compose without a
+    join back), which by construction keeps every row — when only the
+    surviving set is needed, use :func:`domain_cap_keep`, whose
+    rank-filter form plans as WindowGroupLimit (map-side per-source
+    top-K before the exchange, so a hot domain ships K rows per task,
+    never its full row count — plan-pinned in
+    tests/test_round9_ops.py).
+    """
+    d = tbl(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            (F.row_number().over(_domain_cap_window()) <= DOMAIN_CAP).alias(
+                "kept"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _domain_cap_window() -> Window:
+    return Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("domaincap|"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+
+
+def domain_cap_keep(docs: DataFrame, cap: int = DOMAIN_CAP) -> DataFrame:
+    """The pruning form of the per-domain cap: only the ≤``cap``
+    surviving documents per source. The ``rank ≤ cap`` FILTER (not a
+    projected flag) lets Catalyst plan WindowGroupLimit — each map
+    task pre-prunes to its local per-source top-``cap`` before the
+    shuffle, which is what bounds a crawl-heavy hot domain's exchange
+    at cap·n_tasks rows."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    return (
+        docs.withColumn("_rn", F.row_number().over(_domain_cap_window()))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+ORACLES_DOMAIN_CAP = f"""
+    SELECT doc_id, source,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('domaincap|' || CAST(doc_id AS VARCHAR)),
+                        doc_id
+           ) <= {DOMAIN_CAP} AS kept
+    FROM documents
+    ORDER BY doc_id
+"""
+
 QUERIES = {
+    "domain_cap_sample": q_domain_cap_sample,
     "quality_calibration": q_quality_calibration,
     "quality_lr_score": q_quality_lr_score,
     "shard_manifest": q_shard_manifest,
@@ -973,6 +1044,7 @@ def _leakage_safe_split_oracle() -> str:
 
 
 ORACLES: dict[str, str] = {
+    "domain_cap_sample": ORACLES_DOMAIN_CAP,
     "split_leakage_audit": _split_leakage_oracle(),
     "leakage_safe_split": _leakage_safe_split_oracle(),
     "quality_calibration": _lr_calibration_oracle(),

@@ -1284,30 +1284,37 @@ ORACLES: dict[str, str] = {
 #: Equi-width histogram bucket count.
 HIST_BUCKETS = 8
 
-def _match_events_oracle(
-    pattern: str, out_col: str, gap_seconds: float | None = None
+def match_events_oracle_sql(
+    pattern: str,
+    out_col: str,
+    gap_seconds: float | None = None,
+    codes: dict[str, str] | None = None,
+    max_events: int = MAX_SEQ_EVENTS,
 ) -> str:
-    """DuckDB twin of :func:`match_events` + the registered >0 filter:
-    same codes, same (ts, event_id) order, same FIRST-``max`` cap
+    """DuckDB twin of :func:`match_events` + the registered >0 filter
+    — PUBLIC so a user-registered pattern/code-set gets its oracle
+    generated from the same template as the built-in queries: same
+    codes, same (ts, event_id) order, same FIRST-``max`` cap
     (``left(seq, max)`` — one char per event — in the plain form; a
     row_number cutoff in the gap-marker form, whose marker chars
     break the one-char-per-event alignment), same overflow flag, same
     lag-based 'g' injection rule."""
     case = "\n                        ".join(
-        f"WHEN '{k}' THEN '{v}'" for k, v in sorted(EVENT_CODES.items())
+        f"WHEN '{k}' THEN '{v}'"
+        for k, v in sorted((codes or EVENT_CODES).items())
     )
     if gap_seconds is None:
         per_user = f"""per_user AS (
             SELECT user_id,
                    CAST(count(*) AS BIGINT) AS n_events,
                    left(string_agg(code, '' ORDER BY ts, event_id),
-                        {MAX_SEQ_EVENTS}) AS seq
+                        {max_events}) AS seq
             FROM coded GROUP BY user_id
         )"""
     else:
         per_user = f"""marked AS (
             SELECT user_id, ts, event_id,
-                   CASE WHEN rn <= {MAX_SEQ_EVENTS} THEN
+                   CASE WHEN rn <= {max_events} THEN
                         (CASE WHEN pt IS NOT NULL
                                    AND epoch(ts) - epoch(pt)
                                        > {float(gap_seconds)}
@@ -1342,20 +1349,20 @@ def _match_events_oracle(
         SELECT user_id, n_events,
                CAST(len(regexp_extract_all(seq, '{pattern}'))
                     AS INT) AS {out_col},
-               n_events > {MAX_SEQ_EVENTS} AS truncated
+               n_events > {max_events} AS truncated
         FROM per_user
         WHERE len(regexp_extract_all(seq, '{pattern}')) > 0
         ORDER BY user_id
     """
 
 
-ORACLES["event_pattern_match"] = _match_events_oracle(
+ORACLES["event_pattern_match"] = match_events_oracle_sql(
     FUNNEL_PATTERN, "n_clean_funnels"
 )
-ORACLES["abandoned_cart"] = _match_events_oracle(
+ORACLES["abandoned_cart"] = match_events_oracle_sql(
     ABANDON_PATTERN, "n_abandoned"
 )
-ORACLES["session_funnel"] = _match_events_oracle(
+ORACLES["session_funnel"] = match_events_oracle_sql(
     SESSION_FUNNEL_PATTERN, "n_session_funnels", gap_seconds=SESSION_GAP_SECONDS
 )
 
