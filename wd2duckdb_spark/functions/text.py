@@ -1109,8 +1109,14 @@ def doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc. At 100 TB: identical shape — the LM table is the only reused
     state, and it is data-bounded, not corpus-bounded.
 
-    Determinism: per-doc mean surprisal is floor-normalized to 4 dp
-    (log/avg accumulate ulp noise), then per-source means are floored
+    Determinism (round 9 — the ADVICE-r8 accumulation-order class,
+    applied one level deeper): each bigram's surprisal is a
+    deterministic double of the integer (c12, c1, v) inputs, but the
+    per-doc MEAN used to sum those doubles in engine-specific order —
+    so every per-bigram surprisal is floor-snapped to integer 1e-12
+    micro-units in the LM table and the per-doc mean is an exact
+    decimal(38,0)/HUGEINT sum divided once; the 4-dp floor then sees
+    bit-identical inputs on both engines. Per-source means are floored
     again; the argmax doc ties break on doc_id via min-struct.
     """
     d = tbl(spark, sf_dir, "documents")
@@ -1141,12 +1147,16 @@ def doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(vocab))
         .select(
             "bg",
-            (
+            F.floor(
                 -F.log(
                     (F.col("c12") + F.lit(BIGRAM_K))
                     / (F.col("c1") + F.lit(BIGRAM_K) * F.col("v"))
                 )
-            ).alias("surprisal"),
+                * 1e12
+                + F.lit(0.5)
+            )
+            .cast("decimal(38,0)")
+            .alias("smicro"),
         )
     )
     per_doc = (
@@ -1154,7 +1164,14 @@ def doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "source")
         .agg(
             (
-                F.floor(F.avg("surprisal") * 1e4 + F.lit(0.5)) / 1e4
+                F.floor(
+                    F.sum("smicro").cast("double")
+                    / F.count("*").cast("double")
+                    / 1e12
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
             ).alias("doc_surprisal")
         )
     )
@@ -1169,8 +1186,19 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_doc.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
+            # exact integer micro-unit sum of the 4-dp doc scores
+            # (same order-free discipline as perplexity_bucket_sample)
             (
-                F.floor(F.avg("doc_surprisal") * 1e4 + F.lit(0.5)) / 1e4
+                F.floor(
+                    F.sum(
+                        F.floor(
+                            F.col("doc_surprisal") * 1e4 + F.lit(0.5)
+                        ).cast("long")
+                    ).cast("double")
+                    / F.count("*").cast("double")
+                    + F.lit(0.5)
+                )
+                / 1e4
             ).alias("avg_surprisal"),
             F.max(
                 F.struct(
@@ -1423,13 +1451,20 @@ def _surprisal_sql_cte() -> str:
     ), vocab AS (
         SELECT count(*) AS v FROM uni
     ), lm AS (
+        -- per-bigram surprisal snapped to integer 1e-12 micro-units:
+        -- the per-doc mean below sums EXACT integers (HUGEINT; the
+        -- Spark twin sums decimal(38,0)), so accumulation order
+        -- cannot move the 4-dp floor (ADVICE-r8 class, round 9)
         SELECT bg,
-               -ln((c12 + {BIGRAM_K}) / (c1 + {BIGRAM_K} * v)) AS surprisal
+               CAST(floor(-ln((c12 + {BIGRAM_K}) / (c1 + {BIGRAM_K} * v))
+                          * 1e12 + 0.5) AS BIGINT) AS smicro
         FROM bgc JOIN uni ON string_split(bg, ' ')[1] = uni.w1
         CROSS JOIN vocab
     ), per_doc AS (
         SELECT doc_id, source,
-               floor(avg(surprisal) * 1e4 + 0.5) / 1e4 AS doc_surprisal
+               floor(CAST(sum(smicro) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) / 1e12 * 1e4 + 0.5)
+                   / 1e4 AS doc_surprisal
         FROM base JOIN lm USING (bg)
         GROUP BY doc_id, source
     )"""
@@ -1439,7 +1474,9 @@ ORACLES["bigram_surprisal"] = f"""
     WITH {_surprisal_sql_cte()}
     SELECT source,
            count(*) AS n_docs,
-           floor(avg(doc_surprisal) * 1e4 + 0.5) / 1e4 AS avg_surprisal,
+           floor(CAST(sum(CAST(floor(doc_surprisal * 1e4 + 0.5) AS BIGINT))
+                      AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) + 0.5) / 1e4 AS avg_surprisal,
            max(ROW(doc_surprisal, -doc_id))[1] AS max_surprisal,
            -max(ROW(doc_surprisal, -doc_id))[2] AS most_surprising_doc
     FROM per_doc

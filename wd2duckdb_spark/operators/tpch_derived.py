@@ -396,24 +396,37 @@ def q_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 over the derived dates: for finalized orders with
     ≥ 2 distinct suppliers where EXACTLY ONE supplier delivered late
-    (receipt > commit), count that supplier's late lines. Spark: ONE
-    order-keyed aggregate (distinct suppliers, distinct late
-    suppliers, the lone late supplier via max-over-when, late-line
-    count) — the de-correlated rewrite of the spec's EXISTS + NOT
-    EXISTS pair, which the oracle keeps verbatim; the hash match
-    proves the rewrite, including the per-LINE counting semantics
-    (a supplier with two late lines in one order contributes 2)."""
+    (receipt > commit), count that supplier's late lines — the
+    de-correlated rewrite of the spec's EXISTS + NOT EXISTS pair,
+    which the oracle keeps verbatim; the hash match proves the
+    rewrite, including the per-LINE counting semantics (a supplier
+    with two late lines in one order contributes 2).
+
+    Plan: TWO plain hash aggregates — (order, supplier) first, then
+    order — instead of one aggregate with two COUNT(DISTINCT)s,
+    whose Expand triples every lineitem row before the shuffle; the
+    pre-aggregate also makes the distinct counts plain COUNT(*)s.
+    """
     li = lineitem_ext(spark, sf_dir)
     o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     late = F.col("l_receiptdate") > F.col("l_commitdate")
+    per_os = (
+        li.join(
+            F.broadcast(o.select("o_orderkey")),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(F.when(late, 1).otherwise(0)).alias("n_late_rows"))
+    )
     per_order = (
-        li.join(F.broadcast(o.select("o_orderkey")), li.l_orderkey == F.col("o_orderkey"))
-        .groupBy("l_orderkey")
+        per_os.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("ns"),
-            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("nl"),
-            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
-            F.sum(F.when(late, 1).otherwise(0)).alias("late_lines"),
+            F.count("*").alias("ns"),
+            F.sum((F.col("n_late_rows") > 0).cast("int")).alias("nl"),
+            F.max(
+                F.when(F.col("n_late_rows") > 0, F.col("l_suppkey"))
+            ).alias("late_supp"),
+            F.sum("n_late_rows").alias("late_lines"),
         )
         .filter((F.col("ns") >= 2) & (F.col("nl") == 1))
     )
