@@ -777,7 +777,15 @@ def q_vocab_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("n").alias("n_tokens"),
             F.count("*").alias("vocab"),
-            F.sum(F.col("n") * F.log2("n")).alias("_nlogn"),
+            # per-word n·log2(n) snapped to integer 1e-12 micro-units
+            # before the exact decimal sum — order-free, so the 4-dp
+            # floor below sees bit-identical inputs on both engines
+            # (the ADVICE-r8 accumulation class; round 9)
+            F.sum(
+                F.floor(
+                    F.col("n") * F.log2("n") * 1e12 + F.lit(0.5)
+                ).cast("decimal(38,0)")
+            ).alias("_nlogn_micro"),
         )
         .select(
             "source",
@@ -788,7 +796,12 @@ def q_vocab_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             # round() disagree (PLANS.md "rounding ties")
             (
                 F.floor(
-                    (F.log2("n_tokens") - F.col("_nlogn") / F.col("n_tokens"))
+                    (
+                        F.log2("n_tokens")
+                        - F.col("_nlogn_micro").cast("double")
+                        / 1e12
+                        / F.col("n_tokens")
+                    )
                     * 10000
                     + F.lit(0.5)
                 )
@@ -815,7 +828,10 @@ ORACLES: dict[str, str] = {
         SELECT source,
                sum(n) AS n_tokens,
                count(*) AS vocab,
-               floor((log2(sum(n)) - sum(n * log2(n)) / sum(n))
+               floor((log2(sum(n))
+                      - CAST(sum(CAST(floor(n * log2(n) * 1e12 + 0.5)
+                                      AS HUGEINT)) AS DOUBLE)
+                        / 1e12 / sum(n))
                      * 10000 + 0.5) / 10000 AS entropy_bits,
                floor(CAST(count(*) AS DOUBLE) / sum(n)
                      * 10000 + 0.5) / 10000 AS type_token_ratio
