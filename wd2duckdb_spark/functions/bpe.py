@@ -159,7 +159,15 @@ def bpe_encode(
     Per-task word memo: each task caches word → encoding, so the
     per-token cost after warm-up is one dict hit (Zipf). The memo is
     per ``mapInPandas`` task — bounded by the task's distinct-word
-    count, freed with the task."""
+    count, freed with the task.
+
+    Lowercasing and tokenization happen JVM-SIDE (the same
+    ``lower(trim(split))`` expression the word-frequency trainer
+    uses), and the Pandas stage receives the pre-split word array —
+    Python ``str.lower()`` disagrees with the JVM on some Unicode
+    case mappings (e.g. U+0130), so an encode-side Python lowercase
+    could miss the trained vocabulary on non-ASCII corpora
+    (ADVICE-r9); sharing one JVM expression removes the class."""
     if output not in ("count", "tokens"):
         raise ValueError(f"output must be 'count' or 'tokens', got {output!r}")
     ranks = merge_ranks(merges)
@@ -171,15 +179,10 @@ def bpe_encode(
         memo: dict[str, list[str]] = {}
         for pdf in batches:
             out = []
-            for text in pdf[text_col]:
+            for words in pdf["_words"]:
                 toks: list[str] = []
                 n = 0
-                # mirror F.split(F.lower(F.trim(text)), " "): trim
-                # strips SPACES only, split on single space keeps
-                # empty strings (filtered like the word-freq frame)
-                for w in (text or "").lower().strip(" ").split(" "):
-                    if not w:
-                        continue
+                for w in words if words is not None else ():
                     enc = memo.get(w)
                     if enc is None:
                         enc = encode_word(w, ranks)
@@ -196,7 +199,12 @@ def bpe_encode(
         if want_tokens
         else f"{id_col} long, n_bpe_tokens long"
     )
-    return docs.select(id_col, text_col).mapInPandas(run, schema=schema)
+    words_col = F.expr(
+        f"filter(split(lower(trim({text_col})), ' '), x -> x <> '')"
+    )
+    return docs.select(id_col, words_col.alias("_words")).mapInPandas(
+        run, schema=schema
+    )
 
 
 #: Memoized merge list per (app, sf): training reads the corpus once

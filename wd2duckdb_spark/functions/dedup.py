@@ -1773,8 +1773,15 @@ def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + F.lit(1)
     )
+    # dfc is the distinct-shingle DF table — CORPUS-LINEAR, so it must
+    # NOT be force-broadcast (at 100 TB that pins a vocabulary-sized
+    # table to the driver and every executor). Both sides are keyed by
+    # `tok`; a shuffle join is the scale-safe plan, and AQE will still
+    # downgrade to broadcast at runtime when dfc is genuinely small.
+    # Plan-pinned in tests/test_round10_ops.py: no BroadcastExchange
+    # feeds the prefix-rank join once dfc exceeds the AQE threshold.
     prefix = (
-        toks.join(F.broadcast(dfc), "tok")
+        toks.join(dfc, "tok")
         .withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= plen)
         .select("doc_id", "tok")
@@ -1969,8 +1976,11 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.expr(f"({CONTAIN_NUM} * n + {CONTAIN_NUM}) DIV {CONTAIN_DEN}")
         + F.lit(1)
     )
+    # Same corpus-linear-broadcast hazard as q_jaccard_prefix_join:
+    # dfc grows with the corpus vocabulary, so shuffle-join it on
+    # `tok` and let AQE broadcast only when it is actually small.
     prefix = (
-        toks.join(F.broadcast(dfc), "tok")
+        toks.join(dfc, "tok")
         .withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= plen)
         .select("doc_id", "tok")

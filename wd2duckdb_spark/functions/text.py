@@ -777,15 +777,21 @@ def q_vocab_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("n").alias("n_tokens"),
             F.count("*").alias("vocab"),
-            # per-word n·log2(n) snapped to integer 1e-12 micro-units
-            # before the exact decimal sum — order-free, so the 4-dp
-            # floor below sees bit-identical inputs on both engines
-            # (the ADVICE-r8 accumulation class; round 9)
+            # per-word n·log2(n) in integer 1e-12 micro-units via an
+            # exact decimal product: snap the BOUNDED factor log2(n)
+            # (< 64, so log2(n)·1e12 < 6.4e13 — exactly representable
+            # in a double AND far from the 2^63 long clamp) and
+            # multiply by n as decimal(38,0). Snapping the PRODUCT
+            # would floor a long that clamps at 2^63 for any word with
+            # n ≳ 4.4e5 while DuckDB's HUGEINT doesn't (ADVICE-r9);
+            # this form has no long intermediate at any corpus size,
+            # and stays order-free (ADVICE-r8 accumulation class).
             F.sum(
-                F.floor(
-                    F.col("n") * F.log2("n") * 1e12 + F.lit(0.5)
-                ).cast("decimal(38,0)")
-            ).alias("_nlogn_micro"),
+                F.col("n").cast("decimal(19,0)")
+                * F.floor(F.log2("n") * 1e12 + F.lit(0.5)).cast(
+                    "decimal(19,0)"
+                )
+            ).cast("decimal(38,0)").alias("_nlogn_micro"),
         )
         .select(
             "source",
@@ -829,8 +835,9 @@ ORACLES: dict[str, str] = {
                sum(n) AS n_tokens,
                count(*) AS vocab,
                floor((log2(sum(n))
-                      - CAST(sum(CAST(floor(n * log2(n) * 1e12 + 0.5)
-                                      AS HUGEINT)) AS DOUBLE)
+                      - CAST(sum(CAST(n AS HUGEINT)
+                                 * CAST(floor(log2(n) * 1e12 + 0.5)
+                                        AS HUGEINT)) AS DOUBLE)
                         / 1e12 / sum(n))
                      * 10000 + 0.5) / 10000 AS entropy_bits,
                floor(CAST(count(*) AS DOUBLE) / sum(n)

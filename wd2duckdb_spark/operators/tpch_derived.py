@@ -13,9 +13,11 @@ Derivations (all integer arithmetic; money is integer CENTS so no
 float touches any predicate or aggregate):
 
 - ``partsupp``: 4 suppliers per part, spread
-  ``(p_partkey + i·(S div 4 + 1)) mod S`` (distinct for i = 0..3 —
-  the classic TPC-H supplier spread adapted to the fixture's 0-based
-  contiguous keys); ``ps_availqty = (p·7 + s·11) mod 9999 + 1``;
+  ``(p_partkey + i·step) mod S`` with ``step = S div 4 + 1`` unless
+  ``S mod step = 0`` (the only collision cases, S ∈ {4,6,9,12}),
+  where ``step = 1`` — so the four ps_suppkeys are distinct for
+  EVERY supplier count and (ps_partkey, ps_suppkey) is a true PK;
+  ``ps_availqty = (p·7 + s·11) mod 9999 + 1``;
   ``ps_supplycost_cents = (p·13 + s·17) mod 100000 + 100``.
 - ``lineitem_ext``: ``l_commitdate = l_shipdate + ((3o+7l) mod 61 −
   30) days`` (so ship < commit holds for about half the rows, as Q12
@@ -63,7 +65,16 @@ def partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_cnt = tbl(spark, sf_dir, "supplier").agg(
         F.count("*").alias("s_cnt")
     )
-    step = F.expr(f"s_cnt DIV {PS_PER_PART} + 1")
+    # (p + i*step) mod s collides for i≠j iff s | (i−j)*step; since
+    # step = s DIV 4 + 1 > s/4, that needs (i−j)*step = s exactly,
+    # i.e. s mod step = 0 (only s ∈ {4,6,9,12}). Guard: fall back to
+    # step = 1 there — (p+i) mod s is distinct for any s ≥ 4 — so the
+    # (ps_partkey, ps_suppkey) PK holds for EVERY supplier count, not
+    # just the fixtures'. Same guard in PARTSUPP_CTE (shared truth).
+    step = F.expr(
+        f"IF(s_cnt % (s_cnt DIV {PS_PER_PART} + 1) = 0, 1,"
+        f" s_cnt DIV {PS_PER_PART} + 1)"
+    )
     base = (
         p.crossJoin(F.broadcast(s_cnt))
         .select(
@@ -111,8 +122,10 @@ PARTSUPP_CTE = f"""partsupp AS (
                    % {COST_MOD} + {COST_MIN} AS ps_supplycost_cents
         FROM (
             SELECT p_partkey AS ps_partkey,
-                   (p_partkey + i * (s_cnt // {PS_PER_PART} + 1)) % s_cnt
-                       AS ps_suppkey
+                   (p_partkey + i * (CASE
+                        WHEN s_cnt % (s_cnt // {PS_PER_PART} + 1) = 0
+                        THEN 1 ELSE s_cnt // {PS_PER_PART} + 1 END))
+                       % s_cnt AS ps_suppkey
             FROM part,
                  (SELECT unnest(range({PS_PER_PART})) AS i),
                  (SELECT count(*) AS s_cnt FROM supplier)
@@ -410,10 +423,16 @@ def q_q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = lineitem_ext(spark, sf_dir)
     o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     late = F.col("l_receiptdate") > F.col("l_commitdate")
+    # orders is a FACT table (corpus-scale), so it must not be
+    # force-broadcast; a left-semi shuffle join on the order key is
+    # the scale-safe finalized-order filter (AQE still broadcasts at
+    # runtime when the filtered side is genuinely small), and it is
+    # row-identical to the inner join because o_orderkey is unique.
     per_os = (
         li.join(
-            F.broadcast(o.select("o_orderkey")),
+            o.select("o_orderkey"),
             li.l_orderkey == F.col("o_orderkey"),
+            "left_semi",
         )
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.sum(F.when(late, 1).otherwise(0)).alias("n_late_rows"))
