@@ -194,6 +194,124 @@ def test_vocab_entropy_no_long_clamp(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# VERDICT r9 item 3 — FastCDC min/max chunk clamps
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_chunk_lengths_clamped_on_low_entropy_doc(spark, tmp_path):
+    """The degenerate corpora the clamps exist for: an all-same-token
+    document either hash-cuts at EVERY eligible position (1-token
+    chunks) or never (one document-sized chunk) without
+    normalization. With clamps every chunk must have between CDC_MIN
+    and CDC_MAX tokens (final chunk may be shorter than CDC_MIN, never
+    longer than CDC_MAX)."""
+    from wd2duckdb_spark.functions.dedup import (
+        CDC_MAX,
+        CDC_MIN,
+        _cdc_chunks_col,
+        _cdc_cuts_col,
+    )
+
+    rows = [
+        (0, " ".join(["boiler"] * 1000), "en", "s", 0),
+        (1, " ".join(["plate"] * 500), "en", "s", 0),
+        (2, "short doc", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    toks = df.select(
+        "doc_id",
+        F.expr("filter(split(lower(trim(text)), ' '), x -> x <> '')").alias(
+            "tk"
+        ),
+    )
+    hashed = toks.withColumn(
+        "th",
+        F.expr(
+            "transform(tk, t -> cast(conv(substr(md5(t), 1, 8), 16, 10)"
+            " as bigint))"
+        ),
+    ).withColumn("cuts", _cdc_cuts_col())
+    out = hashed.select(
+        "doc_id", F.explode(_cdc_chunks_col()).alias("chunk")
+    ).select("doc_id", F.size(F.split("chunk", " ")).alias("n_tok"))
+    lens: dict[int, list[int]] = {}
+    for r in out.collect():
+        lens.setdefault(r["doc_id"], []).append(r["n_tok"])
+    for doc_id in (0, 1):
+        body, tail = lens[doc_id][:-1], lens[doc_id][-1]
+        assert body, "clamps failed: one document-sized chunk"
+        assert all(CDC_MIN <= n <= CDC_MAX for n in body), lens[doc_id]
+        assert 1 <= tail <= CDC_MAX
+        assert sum(lens[doc_id]) == (1000 if doc_id == 0 else 500)
+    assert lens[2] == [2]  # sub-min doc: single short chunk, lossless
+
+
+def test_cdc_cuts_match_python_reference(spark):
+    """The greedy clamp walk (Spark in-row aggregate) against a plain
+    Python replica over the real fixture corpus — the same truth the
+    recursive DuckDB oracle was verified against (the straight-line
+    list_reduce oracle form is unusable: DuckDB v1.0.0 miscomputes
+    batched acc-dependent lambdas)."""
+    import hashlib
+
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.functions.dedup import (
+        CDC_B,
+        CDC_M,
+        CDC_MAX,
+        CDC_MIN,
+        CDC_MOD,
+        CDC_W,
+        _cdc_cuts_col,
+    )
+
+    d = tbl(spark, SF_DIR, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr("filter(split(lower(trim(text)), ' '), x -> x <> '')").alias(
+            "tk"
+        ),
+    ).filter(F.size("tk") >= 1)
+    hashed = toks.withColumn(
+        "th",
+        F.expr(
+            "transform(tk, t -> cast(conv(substr(md5(t), 1, 8), 16, 10)"
+            " as bigint))"
+        ),
+    ).withColumn("cuts", _cdc_cuts_col())
+    got = {
+        r["doc_id"]: (list(r["tk"]), list(r["cuts"]))
+        for r in hashed.select("doc_id", "tk", "cuts").collect()
+    }
+    assert got
+    for doc_id, (tk, cuts) in got.items():
+        th = [
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in tk
+        ]
+        exp, last = [], 0
+        for e in range(1, len(tk)):
+            if e - last >= CDC_MAX or (
+                e >= CDC_W
+                and e - last >= CDC_MIN
+                and (
+                    th[e - 4] * CDC_B**3
+                    + th[e - 3] * CDC_B**2
+                    + th[e - 2] * CDC_B
+                    + th[e - 1]
+                )
+                % CDC_M
+                % CDC_MOD
+                == 0
+            ):
+                exp.append(e)
+                last = e
+        assert cuts == exp, doc_id
+
+
+# ---------------------------------------------------------------------------
 # ADVICE r9 — BPE lowercases in the JVM (trainer/encoder cannot drift)
 # ---------------------------------------------------------------------------
 

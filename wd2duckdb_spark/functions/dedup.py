@@ -1833,6 +1833,17 @@ CDC_W = 4
 CDC_MOD = 32  # expected chunk length ≈ 32 tokens
 CDC_B = 131
 CDC_M = 2147483647  # 2^31−1; th < 2^32, th·131³ < 2^54 — fits int64
+#: FastCDC-style normalization (VERDICT r9 item 3): chunk lengths are
+#: clamped to [CDC_MIN, CDC_MAX] (avg/4, avg·4 — the classic FastCDC
+#: ratios). Without clamps a low-entropy token stream degenerates:
+#: a constant-token doc whose window hash happens to be ≡0 (mod 32)
+#: would cut at EVERY position (1-token chunks), and one that doesn't
+#: would never cut (document-sized chunks) — exactly the boilerplate
+#: corpora chunk dedup targets. A hash boundary closer than CDC_MIN
+#: to the previous cut is skipped; CDC_MAX tokens without a boundary
+#: force one. The final chunk may be shorter than CDC_MIN.
+CDC_MIN = 8
+CDC_MAX = 128
 
 
 def _cdc_chunks_col() -> Column:
@@ -1853,24 +1864,46 @@ def _cdc_chunks_col() -> Column:
 
 
 def _cdc_cuts_col() -> Column:
-    """Boundary positions: token index e = i+W−1 for every window
-    start i whose W-token rolling hash is ≡ 0 (mod CDC_MOD); the
-    implicit final boundary at n is excluded (added by the chunk
-    assembler)."""
+    """Boundary positions with FastCDC length normalization: walking
+    token positions e = 1..n−1 left to right with ``last`` = the
+    previous cut (0 initially), cut at e iff
+
+    - ``e − last ≥ CDC_MAX`` (forced cut — caps chunk length), or
+    - ``e − last ≥ CDC_MIN`` and the W-token window ENDING at e has
+      rolling hash ≡ 0 (mod CDC_MOD) (a content boundary far enough
+      from the previous cut — floors chunk length).
+
+    The clamp makes the rule SEQUENTIAL (each decision depends on the
+    previous cut), so it runs as one in-row ``aggregate`` over the
+    position sequence — still zero UDFs, zero shuffles, O(n) hash
+    work per doc; the DuckDB oracle mirrors it with ``list_reduce``
+    over the same accumulator. The implicit final boundary at n is
+    excluded (added by the chunk assembler) and the final chunk may
+    be shorter than CDC_MIN."""
     b3, b2, b1 = CDC_B**3, CDC_B**2, CDC_B
+    # window ending at e covers tokens e−3..e (≡ window starting at
+    # i = e−W+1); evaluated only under e ≥ CDC_W, so element_at never
+    # sees index ≤ 0 (ANSI element_at(_, 0) throws; negative indexes
+    # from the END — both traps guarded by the IF nesting)
     wh = (
-        f"(element_at(th, i) * {b3}L + element_at(th, i + 1) * {b2}L"
-        f" + element_at(th, i + 2) * {b1}L + element_at(th, i + 3))"
+        f"(element_at(th, e - 3) * {b3}L + element_at(th, e - 2) * {b2}L"
+        f" + element_at(th, e - 1) * {b1}L + element_at(th, e))"
         f" % {CDC_M}L"
     )
+    cut = "named_struct('last', e, 'cs', concat(acc.cs, array(e)))"
     return F.expr(
-        f"""filter(
-              CASE WHEN size(tk) >= {CDC_W}
-                   THEN transform(sequence(1, size(tk) - {CDC_W - 1}),
-                                  i -> IF({wh} % {CDC_MOD} = 0,
-                                          i + {CDC_W - 1}, -1))
-                   ELSE array() END,
-              e -> e > 0 AND e < size(tk))"""
+        f"""CASE WHEN size(tk) >= 2
+                 THEN aggregate(
+                        sequence(1, size(tk) - 1),
+                        named_struct('last', 0,
+                                     'cs', cast(array() as array<int>)),
+                        (acc, e) -> IF(
+                            e - acc.last >= {CDC_MAX}, {cut},
+                            IF(e >= {CDC_W} AND e - acc.last >= {CDC_MIN},
+                               IF({wh} % {CDC_MOD} = 0, {cut}, acc),
+                               acc)),
+                        acc -> acc.cs)
+                 ELSE cast(array() as array<int>) END"""
     )
 
 
@@ -1885,7 +1918,11 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks), while CDC boundaries re-synchronize within ~W tokens of
     the edit — pinned by a planted-insertion test in
     tests/test_round9_ops.py where CDC finds the shared tail and the
-    fixed grid finds nothing after the edit point.
+    fixed grid finds nothing after the edit point. Chunk lengths are
+    clamped to [CDC_MIN, CDC_MAX] (FastCDC normalization, VERDICT r9
+    item 3) so low-entropy streams can't degenerate to 1-token or
+    document-sized chunks — pinned by an all-same-token planted doc
+    in tests/test_round10_ops.py.
 
     Plan: tokenize + window-hash + boundary selection + chunk
     assembly are ONE in-row higher-order expression (zero UDFs, zero
@@ -2543,33 +2580,55 @@ ORACLES["simhash_hamming_pairs"] = f"""
 ORACLES["simhash_wide_pairs"] = ORACLES["simhash_hamming_pairs"]
 
 ORACLES["cdc_chunk_dedup"] = f"""
-    WITH t AS (
+    WITH RECURSIVE t AS (
         SELECT doc_id,
                list_filter(string_split(lower(trim(text)), ' '),
                            x -> x <> '') AS tk
         FROM documents
     ), h AS (
-        SELECT doc_id, tk,
+        SELECT doc_id, tk, len(tk) AS n,
                list_transform(
                    tk, tok -> ('0x' || substr(md5(tok), 1, 8))::BIGINT)
                    AS th
         FROM t WHERE len(tk) >= 1
-    ), c AS (
-        SELECT doc_id, tk,
-               list_filter(
-                   CASE WHEN len(tk) >= {CDC_W}
-                        THEN list_transform(
-                                 range(1, len(tk) - {CDC_W - 2}),
-                                 i -> CASE WHEN (th[i] * {CDC_B**3}
-                                                 + th[i + 1] * {CDC_B**2}
-                                                 + th[i + 2] * {CDC_B}
-                                                 + th[i + 3])
-                                                % {CDC_M} % {CDC_MOD} = 0
-                                           THEN i + {CDC_W - 1}
-                                           ELSE -1 END)
-                        ELSE [] END,
-                   e -> e > 0 AND e < len(tk)) AS cuts
+    ), bl AS (
+        -- hash boundary positions e in [W, n-1] (window ends at e)
+        SELECT doc_id, n,
+               list_filter(list_transform(range({CDC_W}, n),
+                   e -> CASE WHEN (th[e - 3] * {CDC_B**3}
+                                   + th[e - 2] * {CDC_B**2}
+                                   + th[e - 1] * {CDC_B}
+                                   + th[e])
+                                  % {CDC_M} % {CDC_MOD} = 0
+                             THEN e ELSE CAST(-1 AS BIGINT) END),
+                   e -> e > 0) AS bs
         FROM h
+    ), rec AS (
+        -- the greedy clamp walk as recursion: next cut = earliest
+        -- hash boundary in [last+MIN, last+MAX-1], else the forced
+        -- cut at last+MAX while it stays inside the doc. (The
+        -- straight-line list_reduce form is NOT usable here: DuckDB
+        -- v1.0.0 list_reduce miscomputes batched rows whenever the
+        -- lambda's CONDITION depends on the accumulator — verified
+        -- with a 500-row repro; the recursion sidesteps it.)
+        SELECT doc_id, CAST(0 AS BIGINT) AS cut, bs, n FROM bl
+        UNION ALL
+        SELECT doc_id, nxt, bs, n FROM (
+            SELECT doc_id,
+                   coalesce(list_min(list_filter(bs,
+                                e -> e >= cut + {CDC_MIN}
+                                     AND e <= cut + {CDC_MAX} - 1)),
+                            CASE WHEN cut + {CDC_MAX} <= n - 1
+                                 THEN cut + {CDC_MAX} END) AS nxt,
+                   bs, n
+            FROM rec) WHERE nxt IS NOT NULL
+    ), c AS (
+        SELECT h.doc_id, h.tk, cl.cuts
+        FROM h JOIN (
+            SELECT doc_id,
+                   coalesce(list_sort(list(cut) FILTER (WHERE cut > 0)),
+                            []) AS cuts
+            FROM rec GROUP BY doc_id) cl USING (doc_id)
     ), ch AS (
         SELECT doc_id,
                unnest(list_transform(
