@@ -116,8 +116,20 @@ def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fwd.union(rev)
 
 
+#: Registered-query default for PageRank's lineage truncation: a
+#: checkpoint every 2 supersteps bounds failure replay to ≤2
+#: supersteps instead of the whole 5-superstep, ~26-exchange chain
+#: (VERDICT r9 item 4). Measured at sf0.1 local[8], min-of-2 warm:
+#: interval 0 → 3.3 s, 2 → 3.8 s, 1 → 4.3 s — the 15% local cost
+#: buys the cluster posture; results are interval-invariant (pinned
+#: in tests/test_round3_ops.py), so oracle hashes are unchanged.
+PR_CKPT_DEFAULT = 2
+
+
 def q_pagerank_topk(
-    spark: SparkSession, sf_dir: str, checkpoint_interval: int = 0
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_interval: int = PR_CKPT_DEFAULT,
 ) -> DataFrame:
     """Distributed PageRank (5 synchronous iterations, d=0.85) over the
     customer↔supplier trade graph — the iterative-dataflow pattern
@@ -136,11 +148,16 @@ def q_pagerank_topk(
     100 TB scale an executor loss otherwise replays the WHOLE chain
     back to the source scan — the knob bounds recovery replay to ≤k
     supersteps at the cost of materializing the (vertex-sized) rank
-    vector. Default 0 keeps the single lazy DAG — measured fastest
-    locally (the per-superstep persist variant was 10× slower; see
-    module history), and correctness is interval-invariant (pinned in
-    tests/test_round3_ops.py). Additionally, bucket the edge table on
-    src (layout.py) so each superstep shuffles only the rank vector.
+    vector. The registered default is :data:`PR_CKPT_DEFAULT` (= 2):
+    at cluster scale a lost executor replays at most 2 supersteps
+    instead of the whole chain, for a measured ~15% local cost (see
+    the constant's docstring; interval 0 remains available for
+    single-node batch reruns, and the full per-superstep
+    persist+count variant measured 10× slower — all fixed
+    job-scheduling overhead). Correctness is interval-invariant
+    (pinned in tests/test_round3_ops.py). Additionally, bucket the
+    edge table on src (layout.py) so each superstep shuffles only the
+    rank vector.
 
     The bidirectional construction guarantees every vertex has both in-
     and out-degree ≥ 1 — no dangling-mass term, and the contribution
@@ -472,8 +489,15 @@ def q_shortest_path_bounded(
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
         )
-        # replay bound for long superstep chains at cluster scale;
-        # default 0 = single lazy DAG (see q_pagerank_topk docstring)
+        # Replay bound for long superstep chains at cluster scale.
+        # Unlike PageRank (default PR_CKPT_DEFAULT=2), this stays 0:
+        # SP_ITERS=4 already bounds the distance-vector chain, every
+        # superstep re-reads the edge table through the ONE
+        # repartition exchange's shuffle files (a durable mid-chain
+        # materialization — failure replay re-reads those files, not
+        # the parquet scan), and interval=2 measured 4.6 → 5.9 s
+        # (+28%) at sf0.1 local[8] for no added replay bound worth
+        # having at 4 supersteps.
         if (
             checkpoint_interval > 0
             and (i + 1) % checkpoint_interval == 0
