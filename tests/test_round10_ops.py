@@ -131,6 +131,76 @@ def test_partsupp_pk_holds_on_fixture(spark):
 
 
 # ---------------------------------------------------------------------------
+# VERDICT r9 item 5 — per-source quota map for the domain cap
+# ---------------------------------------------------------------------------
+
+
+def test_domain_cap_quota_windowgrouplimit_pin(spark):
+    """The heterogeneous-cap filter must still plan WindowGroupLimit
+    (Partial + Final) with the MAX quota as its bound — map tasks
+    pre-prune a hot domain to the largest budget before the exchange,
+    the exact per-source cut applies after."""
+    from wd2duckdb_spark.functions.training import q_domain_cap_quota
+
+    df = q_domain_cap_quota(spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    wgl = [ln for ln in p.splitlines() if "WindowGroupLimit" in ln]
+    assert any("Partial" in ln for ln in wgl)
+    assert any("Final" in ln for ln in wgl)
+    assert all("row_number(), 18," in ln for ln in wgl), wgl
+
+
+def test_domain_cap_quota_semantics(spark):
+    """Each source keeps at most ITS quota; the survivors under a
+    quota are exactly the first-K survivors of the global-cap
+    ordering (same salted-md5 rule, so shrinking a budget never flips
+    which of the remaining docs survive)."""
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.functions.training import (
+        DOMAIN_QUOTA_LARGE,
+        DOMAIN_QUOTA_SMALL,
+        domain_cap_keep,
+        q_domain_cap_quota,
+    )
+
+    rows = q_domain_cap_quota(spark, SF_DIR).collect()
+    by_src: dict[str, set[int]] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    srcs = sorted(by_src)
+    assert srcs
+    quota = {
+        s: (DOMAIN_QUOTA_LARGE if i % 2 == 0 else DOMAIN_QUOTA_SMALL)
+        for i, s in enumerate(srcs)
+    }
+    for s, kept in by_src.items():
+        assert len(kept) <= quota[s], s
+
+    # nesting: quota survivors ⊆ the same source's survivors under a
+    # uniform cap of DOMAIN_QUOTA_LARGE
+    d = tbl(spark, SF_DIR, "documents").select("doc_id", "source")
+    uniform = domain_cap_keep(d, cap=DOMAIN_QUOTA_LARGE).collect()
+    uni_by_src: dict[str, set[int]] = {}
+    for r in uniform:
+        uni_by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    for s, kept in by_src.items():
+        assert kept <= uni_by_src[s], s
+
+
+def test_domain_cap_quota_validation():
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    from wd2duckdb_spark.functions.training import domain_cap_keep
+
+    with pytest.raises(ValueError):
+        domain_cap_keep(None, caps={"a": 0})
+    with pytest.raises(ValueError):
+        domain_cap_keep(None, caps={"a": 3}, default_cap=0)
+    with pytest.raises(ValueError):
+        domain_cap_keep(None, cap=0)
+
+
+# ---------------------------------------------------------------------------
 # ADVICE r9 — vocab_entropy: no long intermediate at any word count
 # ---------------------------------------------------------------------------
 

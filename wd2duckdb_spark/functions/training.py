@@ -932,20 +932,114 @@ def _domain_cap_window() -> Window:
     )
 
 
-def domain_cap_keep(docs: DataFrame, cap: int = DOMAIN_CAP) -> DataFrame:
-    """The pruning form of the per-domain cap: only the ≤``cap``
-    surviving documents per source. The ``rank ≤ cap`` FILTER (not a
-    projected flag) lets Catalyst plan WindowGroupLimit — each map
-    task pre-prunes to its local per-source top-``cap`` before the
+def domain_cap_keep(
+    docs: DataFrame,
+    cap: int = DOMAIN_CAP,
+    *,
+    caps: dict[str, int] | None = None,
+    default_cap: int | None = None,
+) -> DataFrame:
+    """The pruning form of the per-domain cap: only the surviving
+    documents per source. The ``rank ≤ cap`` FILTER (not a projected
+    flag) lets Catalyst plan WindowGroupLimit — each map task
+    pre-prunes to its local per-source top-``cap`` before the
     shuffle, which is what bounds a crawl-heavy hot domain's exchange
-    at cap·n_tasks rows."""
+    at cap·n_tasks rows.
+
+    ``caps`` (VERDICT r9 item 5) is a per-source quota map — the real
+    C4/RefinedWeb shape where crawl-heavy domain classes get smaller
+    budgets than curated ones. Sources absent from the map fall back
+    to ``default_cap`` (default: ``cap``). The filter is planted as
+    ``rank ≤ max(all quotas) AND rank ≤ quota(source)``: the constant
+    conjunct is what WindowGroupLimit extracts (plan-pinned — Partial
+    + Final with the max bound), so map tasks still pre-prune to the
+    LARGEST quota and the exact per-source cut applies after; the
+    quota expression itself is a bounded literal CASE chain
+    (|caps| entries — a dimension, never corpus data)."""
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
+    rn = F.row_number().over(_domain_cap_window())
+    if caps is None:
+        return (
+            docs.withColumn("_rn", rn)
+            .filter(F.col("_rn") <= cap)
+            .drop("_rn")
+        )
+    fallback = cap if default_cap is None else default_cap
+    if fallback < 1 or any(v < 1 for v in caps.values()):
+        raise ValueError("every quota must be >= 1")
+    cap_expr = F.lit(fallback)
+    for src, k in sorted(caps.items()):
+        cap_expr = F.when(F.col("source") == src, F.lit(k)).otherwise(
+            cap_expr
+        )
+    max_cap = max([fallback, *caps.values()])
     return (
-        docs.withColumn("_rn", F.row_number().over(_domain_cap_window()))
-        .filter(F.col("_rn") <= cap)
+        docs.withColumn("_rn", rn)
+        .filter((F.col("_rn") <= F.lit(max_cap)) & (F.col("_rn") <= cap_expr))
         .drop("_rn")
     )
+
+
+#: Heterogeneous quotas for the registered quota-map query: sources
+#: at ODD alphabetical rank get the large budget, even ranks the
+#: small one — a deterministic rule both engines derive from the
+#: corpus itself, standing in for the per-domain-class budgets a real
+#: C4/RefinedWeb mixer configures.
+DOMAIN_QUOTA_LARGE = 18
+DOMAIN_QUOTA_SMALL = 8
+
+
+def q_domain_cap_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap with a HETEROGENEOUS quota map (VERDICT r9
+    item 5): surviving (doc_id, source) rows where each source keeps
+    at most its OWN budget — :data:`DOMAIN_QUOTA_LARGE` for odd-rank
+    source names, :data:`DOMAIN_QUOTA_SMALL` for even — selected in
+    the same salted-md5 deterministic order as the global cap.
+
+    The quota dict is built from a bounded collect of DISTINCT
+    sources (a dimension — |sources| rows, same class as the engine's
+    centroid memos) and fed through ``domain_cap_keep(caps=...)``, so
+    the registered query exercises the real dict-parameter API; the
+    filter still plans WindowGroupLimit on the max quota
+    (plan-pinned in tests/test_round10_ops.py)."""
+    d = tbl(spark, sf_dir, "documents")
+    srcs = sorted(
+        r["source"] for r in d.select("source").distinct().collect()
+    )
+    caps = {
+        s: (DOMAIN_QUOTA_LARGE if i % 2 == 0 else DOMAIN_QUOTA_SMALL)
+        for i, s in enumerate(srcs)
+    }
+    return domain_cap_keep(
+        d.select("doc_id", "source"),
+        caps=caps,
+        default_cap=DOMAIN_QUOTA_SMALL,
+    ).orderBy("doc_id")
+
+
+ORACLES_DOMAIN_QUOTA = f"""
+    WITH srcs AS (SELECT DISTINCT source FROM documents),
+    caps AS (
+        SELECT source,
+               CASE WHEN row_number() OVER (ORDER BY source) % 2 = 1
+                    THEN {DOMAIN_QUOTA_LARGE}
+                    ELSE {DOMAIN_QUOTA_SMALL} END AS cap
+        FROM srcs
+    ), r AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('domaincap|' || CAST(doc_id AS VARCHAR)),
+                            doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT doc_id, source
+    FROM r JOIN caps USING (source)
+    WHERE rn <= cap
+    ORDER BY doc_id
+"""
 
 
 ORACLES_DOMAIN_CAP = f"""
@@ -961,6 +1055,7 @@ ORACLES_DOMAIN_CAP = f"""
 
 QUERIES = {
     "domain_cap_sample": q_domain_cap_sample,
+    "domain_cap_quota": q_domain_cap_quota,
     "quality_calibration": q_quality_calibration,
     "quality_lr_score": q_quality_lr_score,
     "shard_manifest": q_shard_manifest,
@@ -1045,6 +1140,7 @@ def _leakage_safe_split_oracle() -> str:
 
 ORACLES: dict[str, str] = {
     "domain_cap_sample": ORACLES_DOMAIN_CAP,
+    "domain_cap_quota": ORACLES_DOMAIN_QUOTA,
     "split_leakage_audit": _split_leakage_oracle(),
     "leakage_safe_split": _leakage_safe_split_oracle(),
     "quality_calibration": _lr_calibration_oracle(),
