@@ -1272,12 +1272,19 @@ def q_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     single IEEE ops on identical integers. Worst-case snap error is
     5e-13 per shared word — invisible at the 4-dp output precision.
 
-    Plan: one (source, word) aggregate, a broadcast of the ≤|sources|
-    totals row set, then a word-keyed self-join whose per-word fan-out
-    is bounded by |sources|² — never corpus×corpus — a
-    |sources|²-group aggregate, and a broadcast left join back onto
-    the |sources|² all-pairs seed. At 100 TB the only big exchange is
-    the unigram count, which partial-aggregates map-side.
+    Plan (round 10): one (source, word) aggregate, a broadcast of the
+    ≤|sources| totals row set, then ONE word-keyed aggregate that
+    collects each word's (source, p) list — bounded by |sources|, a
+    dimension — and expands the shared pairs IN-ROW (sorted list +
+    upper-triangle transform), then a |sources|²-group aggregate and a
+    broadcast left join onto the all-pairs seed. The previous form
+    self-joined two copies of the distribution on `word`, which
+    re-computed the corpus unigram count on BOTH join sides (no
+    exchange reuse across the persist boundary) — the in-row
+    expansion pays the corpus-scale exchange exactly once and drops
+    the join entirely; per-word work is |sources|² with identical
+    per-pair terms, so the oracle (which keeps the readable join
+    formulation) still matches hash-exactly.
     """
     d = tbl(spark, sf_dir, "documents")
     words = d.select(
@@ -1289,18 +1296,24 @@ def q_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = counts.join(F.broadcast(totals), "source").select(
         "source", "word", (F.col("c") / F.col("tot")).alias("p")
     )
-    a = dist.select(
-        F.col("source").alias("source_a"),
-        "word",
-        F.col("p").alias("p"),
+    per_word = dist.groupBy("word").agg(
+        F.array_sort(F.collect_list(F.struct("source", "p"))).alias("ss")
     )
-    b = dist.select(
-        F.col("source").alias("source_b"),
-        "word",
-        F.col("p").alias("q"),
-    )
+    # upper-triangle pair expansion over the per-word source list:
+    # struct array_sort orders by the first field (source), so pairs
+    # come out with source_a < source_b exactly like the join+filter
+    shared = per_word.select(
+        F.explode(
+            F.expr(
+                """flatten(transform(ss, (x, i) ->
+                       transform(slice(ss, i + 2, size(ss)), y ->
+                           struct(x.source as source_a,
+                                  y.source as source_b,
+                                  x.p as p, y.p as q))))"""
+            )
+        ).alias("pr")
+    ).select("pr.source_a", "pr.source_b", "pr.p", "pr.q")
     ln2 = 0.6931471805599453
-    shared = a.join(b, "word").filter(F.col("source_a") < F.col("source_b"))
     term = 0.5 * (
         F.col("p") * F.log(2 * F.col("p") / (F.col("p") + F.col("q")))
         + F.col("q") * F.log(2 * F.col("q") / (F.col("p") + F.col("q")))
