@@ -386,6 +386,57 @@ def test_cdc_cuts_match_python_reference(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_bpe_incremental_trainer_matches_naive_spec():
+    """VERDICT r9 item 2 (de-fixturing): the scalable incremental/heap
+    trainer must reproduce the naive full-rescan spec MERGE-FOR-MERGE
+    — same argmax, same count-desc/lexicographic tie-break, same
+    early stop — across seeded random Zipf tables and adversarial
+    tie-heavy inputs."""
+    import random
+
+    from wd2duckdb_spark.functions.bpe import (
+        _train_bpe_merges_naive,
+        train_bpe_merges,
+    )
+
+    rng = random.Random(7)
+    letters = "abcdef"  # tiny alphabet → many count ties
+    for _ in range(6):
+        vocab = {
+            "".join(rng.choice(letters) for _ in range(rng.randint(1, 10)))
+            for _ in range(200)
+        }
+        wf = [(w, rng.randint(1, 50)) for w in sorted(vocab)]
+        rng.shuffle(wf)
+        for nm in (1, 17, 500):
+            assert train_bpe_merges(wf, nm) == _train_bpe_merges_naive(
+                wf, nm
+            ), nm
+    # overlapping-pair stress: runs of one letter
+    wf = [("aaaaaaa", 5), ("aaa", 9), ("aa", 100), ("baab", 7)]
+    assert train_bpe_merges(wf, 50) == _train_bpe_merges_naive(wf, 50)
+    # early stop: single-char words have no pairs
+    assert train_bpe_merges([("a", 10), ("b", 3)], 5) == []
+
+
+def test_bpe_fixture_exhaustion_makes_caps_nonbinding(spark):
+    """The driver fixture's whitespace vocabulary exhausts the merge
+    supply long before BPE_N_MERGES — so the round-10 cap raise
+    (200 → 8192) provably changed no fixture encoding (merge lists
+    are prefixes of each other)."""
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.functions.bpe import (
+        BPE_N_MERGES,
+        bpe_word_freqs,
+        train_bpe_merges,
+    )
+
+    wf = bpe_word_freqs(tbl(spark, SF_DIR, "documents"))
+    full = train_bpe_merges(wf, BPE_N_MERGES)
+    assert len(full) < 200, "fixture no longer exhausts below old cap"
+    assert train_bpe_merges(wf, 200) == full
+
+
 def test_bpe_encode_jvm_lowercase_matches_trainer(spark):
     """U+0130 (İ) is the classic Python/JVM case-mapping divergence.
     The encoder must see exactly the words the trainer's frequency

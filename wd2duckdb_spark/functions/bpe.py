@@ -42,10 +42,19 @@ from pyspark.sql import functions as F
 from wd2duckdb_spark.catalog import register_memo, session_key, tbl
 
 #: Training-table cap and merge count for the registered query —
-#: fixture-sized but the shapes are scale-free (K bounds the collect,
-#: merges bound the ranks dict).
-BPE_TOP_K = 512
-BPE_N_MERGES = 200
+#: de-fixtured in round 10 (VERDICT r9 item 2): the trainer is the
+#: incremental/heap form that handles these for real (measured in
+#: tools/bench_bpe_train.py: 8,192 merges on a ~98k-word Zipf table
+#: in 32 s, 32,768 in 52 s driver-side — the naive rescan trainer
+#: extrapolates to ~98 min for 8k). On the driver fixture the corpus
+#: has only 31 distinct whitespace words, so training EXHAUSTS after
+#: 89 merges (every word a single symbol) and these caps are
+#: non-binding there — the merge list is a pure prefix, so raising
+#: them changes no fixture encoding; the caps exist to state the
+#: production posture (top-64k vocabulary collect ≈ a few MB, 8k
+#: merge ranks closure-captured into the encoder ≈ <1 MB).
+BPE_TOP_K = 65536
+BPE_N_MERGES = 8192
 
 
 def _apply_merge(syms: list[str], pair: tuple[str, str]) -> list[str]:
@@ -66,14 +75,13 @@ def _apply_merge(syms: list[str], pair: tuple[str, str]) -> list[str]:
     return out
 
 
-def train_bpe_merges(
+def _train_bpe_merges_naive(
     word_freqs: list[tuple[str, int]], n_merges: int
 ) -> list[tuple[str, str]]:
-    """Classic BPE training over a (word, freq) table: repeatedly
-    merge the most frequent adjacent symbol pair (ties broken by the
-    lexicographically smallest pair — total order, so the merge list
-    is a pure function of the table). Stops early when no pair
-    repeats."""
+    """Reference trainer: full pair recount + full table rescan per
+    merge — O(n_merges × Σ|word|). Kept as the semantic spec for
+    :func:`train_bpe_merges` (the scalable trainer is pinned
+    merge-for-merge against this in tests/test_round10_ops.py)."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     seqs: list[tuple[int, list[str]]] = [
@@ -91,6 +99,83 @@ def train_bpe_merges(
         best = min(p for p, c in counts.items() if c == top)
         merges.append(best)
         seqs = [(freq, _apply_merge(syms, best)) for freq, syms in seqs]
+    return merges
+
+
+def train_bpe_merges(
+    word_freqs: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """Classic BPE training over a (word, freq) table: repeatedly
+    merge the most frequent adjacent symbol pair (ties broken by the
+    lexicographically smallest pair — total order, so the merge list
+    is a pure function of the table). Stops early when no pair
+    repeats.
+
+    Scalable form (VERDICT r9 item 2 — de-fixturing): instead of
+    recounting every pair each round (O(n_merges × Σ|word|) — fine at
+    200 merges, hours at 32k), pair counts are maintained
+    INCREMENTALLY (only words containing the merged pair are
+    re-paired, found via a pair → word-ids index) with a
+    lazy-invalidation max-heap over (−count, pair) — stale heap
+    entries are popped until one matches the live count, so argmax is
+    amortized O(log P). This is the standard public learn-BPE
+    optimization (Sennrich et al. 2016 reference implementation);
+    semantics are EXACTLY the naive trainer's — heap tuple order
+    (−count, pair) reproduces the count-desc / lexicographically-
+    smallest tie-break — pinned merge-for-merge against
+    :func:`_train_bpe_merges_naive` in tests/test_round10_ops.py and
+    measured in tools/bench_bpe_train.py (32k merges on a 100k-word
+    Zipf table in seconds, not hours)."""
+    import heapq
+    from collections import defaultdict
+
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    freqs: list[int] = []
+    seqs: list[list[str]] = []
+    for word, freq in word_freqs:
+        if word:
+            freqs.append(freq)
+            seqs.append(list(word))
+    counts: Counter = Counter()
+    where: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for wi, (f, syms) in enumerate(zip(freqs, seqs)):
+        for p in zip(syms, syms[1:]):
+            counts[p] += f
+            where[p].add(wi)
+    heap = [(-c, p) for p, c in counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if counts.get(p, 0) == -negc and -negc > 0:
+                best = p
+                break
+        if best is None:
+            break
+        merges.append(best)
+        touched: set[tuple[str, str]] = set()
+        for wi in sorted(where[best]):
+            f, syms = freqs[wi], seqs[wi]
+            for p in zip(syms, syms[1:]):
+                counts[p] -= f
+                touched.add(p)
+            new = _apply_merge(syms, best)
+            for p in zip(new, new[1:]):
+                counts[p] += f
+                where[p].add(wi)
+                touched.add(p)
+            seqs[wi] = new
+        del where[best]
+        for p in touched:
+            c = counts.get(p, 0)
+            if c <= 0:
+                counts.pop(p, None)
+                where.pop(p, None)
+            else:
+                heapq.heappush(heap, (-c, p))
     return merges
 
 
@@ -224,13 +309,17 @@ def corpus_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
 
 def q_token_count_real_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document REAL BPE token counts under a corpus-trained
-    merge table (top-512 words, 200 merges) — the counts
-    `token_budget_plan` should budget with when a regex estimate
-    isn't good enough. Engine-defined (no SQL oracle — the trainer is
-    iterative); exactness is pinned token-for-token against an
-    independent reference encoder and the Sennrich hand example in
-    tests/test_round9_ops.py. Plan: one word-freq aggregate (training,
-    vocabulary-bounded collect) + one mapInPandas encode pass."""
+    merge table (top-64k words, up to 8,192 merges — the trainer
+    early-stops when the vocabulary exhausts, at 89 merges on the
+    driver fixture) — the counts `token_budget_plan` should budget
+    with when a regex estimate isn't good enough. Engine-defined (no
+    SQL oracle — the trainer is iterative); exactness is pinned
+    token-for-token against an independent reference encoder and the
+    Sennrich hand example in tests/test_round9_ops.py, and the
+    scalable trainer merge-for-merge against the naive spec in
+    tests/test_round10_ops.py. Plan: one word-freq aggregate
+    (training, vocabulary-bounded collect) + one mapInPandas encode
+    pass."""
     d = tbl(spark, sf_dir, "documents")
     return bpe_encode(d, corpus_merges(spark, sf_dir)).orderBy("doc_id")
 
