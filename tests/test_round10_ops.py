@@ -382,6 +382,240 @@ def test_cdc_cuts_match_python_reference(spark):
 
 
 # ---------------------------------------------------------------------------
+# VERDICT r9 item 6 — SimHash dedup AT ingest
+# ---------------------------------------------------------------------------
+
+DOC_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def _doc(i: int, text: str) -> tuple:
+    return (i, text, "en", "w", len(text))
+
+
+def test_simhash_ingest_batch_twin_parity(spark, tmp_path):
+    """The stream's keep set over the real fixture corpus, fed as 3
+    doc_id-ordered shards (maxFilesPerTrigger=1 → 3 micro-batches),
+    must equal the batch rule 'drop every b_id of
+    q_simhash_hamming_pairs' — keep decisions independent of where
+    micro-batch boundaries fall."""
+    from wd2duckdb_spark.functions.dedup import (
+        simhash_pairs,
+        simhash_signatures,
+    )
+    from wd2duckdb_spark.streaming.simhash_sig import simhash_ingest_stream
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = sorted(docs.collect(), key=lambda r: r["doc_id"])
+    pairs = simhash_pairs(simhash_signatures(docs)).collect()
+    expected = sorted(
+        {r["doc_id"] for r in rows} - {p["b_id"] for p in pairs}
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    k = (len(rows) + 2) // 3
+    for i in range(3):
+        spark.createDataFrame(
+            rows[i * k : (i + 1) * k], docs.schema
+        ).coalesce(1).write.parquet(str(in_dir / f"shard{i}.parquet"))
+
+    q = simhash_ingest_stream(
+        (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir) + "/*.parquet")
+        ),
+        str(tmp_path / "index"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+    kept = sorted(
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert kept == expected
+
+
+def test_simhash_ingest_drops_edited_near_copy_cross_batch(spark, tmp_path):
+    """The mode's reason to exist: a batch-2 doc that EDITS a batch-1
+    doc (few words changed → few SimHash bits flipped) is dropped by
+    the Hamming probe; an unrelated doc passes; a no-token doc always
+    passes. Preconditions (the edit really is within Hamming ≤ 3, the
+    unrelated doc is not) are asserted via the batch pair machinery,
+    so the test can't silently pass on a bad fixture."""
+    from wd2duckdb_spark.functions.dedup import (
+        SIMHASH_HAMMING,
+        simhash_pairs,
+        simhash_signatures,
+    )
+    from wd2duckdb_spark.streaming.simhash_sig import simhash_ingest_stream
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    edited = base.replace("tok7", "zzz7")  # 1 of 40 tokens changed
+    other = " ".join(f"other{i}" for i in range(40))
+    trio = spark.createDataFrame(
+        [_doc(1, base), _doc(3, edited), _doc(4, other)], DOC_SCHEMA
+    )
+    got = {
+        (p["a_id"], p["b_id"])
+        for p in simhash_pairs(simhash_signatures(trio)).collect()
+    }
+    assert (1, 3) in got, "fixture: edit exceeded the Hamming budget"
+    assert all(4 not in p for p in got), "fixture: 'other' collided"
+    assert SIMHASH_HAMMING >= 1
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    spark.createDataFrame(
+        [_doc(1, base), _doc(2, "")], DOC_SCHEMA
+    ).coalesce(1).write.parquet(str(in_dir / "b0.parquet"))
+    spark.createDataFrame(
+        [_doc(3, edited), _doc(4, other), _doc(5, "")], DOC_SCHEMA
+    ).coalesce(1).write.parquet(str(in_dir / "b1.parquet"))
+
+    q = simhash_ingest_stream(
+        (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir) + "/*.parquet")
+        ),
+        str(tmp_path / "index"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    kept = sorted(
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    # 3 dropped (edit of 1); no-token docs 2 and 5 always kept
+    assert kept == [1, 2, 4, 5]
+
+
+def test_simhash_ingest_drops_edit_of_dropped_doc_and_replay(
+    spark, tmp_path
+):
+    """ALL docs' signatures are indexed, dropped ones included: C
+    edits B (dropped as an edit of A) but is farther than the budget
+    from A — C must still drop (preconditions asserted). Then a
+    crash-replay of the last batch (same batch id through
+    _batch_simhash_dedup) must leave output and index unchanged —
+    batch=<id> overwrite + the probe's self-batch filter."""
+    from wd2duckdb_spark.functions.dedup import (
+        SIMHASH_HAMMING,
+        simhash_pairs,
+        simhash_signatures,
+    )
+    from wd2duckdb_spark.streaming.simhash_sig import (
+        _batch_simhash_dedup,
+        simhash_ingest_stream,
+    )
+
+    # deterministic md5-derived fixture (searched offline): on the
+    # 200-token base, w0→x0 flips exactly 2 signature bits, and
+    # additionally w1→s1 lands 2 bits from B but 4 from A
+    base = " ".join(f"w{i}" for i in range(200))
+    b_text = base.replace("w0 ", "x0 ", 1)
+    c_text = b_text.replace("w1 ", "s1 ", 1)
+    sig3 = spark.createDataFrame(
+        [_doc(1, base), _doc(2, b_text), _doc(3, c_text)], DOC_SCHEMA
+    )
+    pairs = {
+        (p["a_id"], p["b_id"]): p["hamming"]
+        for p in simhash_pairs(simhash_signatures(sig3)).collect()
+    }
+    assert (1, 2) in pairs, "fixture: B not within budget of A"
+    assert (2, 3) in pairs, "fixture: C not within budget of B"
+    assert (1, 3) not in pairs, "fixture: C still within budget of A"
+    assert SIMHASH_HAMMING >= 1
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    spark.createDataFrame(
+        [_doc(1, base), _doc(2, b_text)], DOC_SCHEMA
+    ).coalesce(1).write.parquet(str(in_dir / "b0.parquet"))
+    spark.createDataFrame([_doc(3, c_text)], DOC_SCHEMA).coalesce(
+        1
+    ).write.parquet(str(in_dir / "b1.parquet"))
+
+    index_dir = str(tmp_path / "index")
+    out_dir = str(tmp_path / "out")
+    q = simhash_ingest_stream(
+        (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir) + "/*.parquet")
+        ),
+        index_dir,
+        out_dir,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    kept = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+    # B dropped in-batch vs A; C dropped ONLY via dropped-B's index row
+    assert kept == [1]
+
+    # crash-replay of batch 1: same output, no duplication, and the
+    # replayed batch must not self-collide with its own stale keys
+    replay = spark.createDataFrame([_doc(3, c_text)], DOC_SCHEMA)
+    _batch_simhash_dedup(replay, 1, index_dir, out_dir,
+                         blocks=4, hamming=SIMHASH_HAMMING)
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(out_dir).collect()
+    ) == [1]
+    idx = spark.read.parquet(index_dir)
+    assert idx.filter(F.col("batch") == 1).select(
+        "doc_id"
+    ).distinct().collect() == [spark.createDataFrame(
+        [(3,)], "doc_id long").collect()[0]]
+
+
+def test_simhash_ingest_probe_streams_index_not_broadcast(spark, tmp_path):
+    """Join orientation at scale: the history probe broadcasts the
+    MICRO-BATCH side and streams the signature index — the index
+    FileScan must be the streamed (first) child, never inside the
+    BroadcastExchange subtree."""
+    from wd2duckdb_spark.functions.dedup import (
+        SIMHASH_HAMMING,
+        simhash_signatures,
+    )
+    from wd2duckdb_spark.streaming.simhash_sig import (
+        _history_hamming_dups,
+        _sig_banded_keys,
+    )
+
+    index_dir = str(tmp_path / "index")
+    hist = spark.createDataFrame(
+        [_doc(1, "alpha beta gamma delta epsilon")], DOC_SCHEMA
+    )
+    _sig_banded_keys(
+        simhash_signatures(hist), blocks=4, hamming=SIMHASH_HAMMING
+    ).withColumn("batch", F.lit(0)).write.parquet(index_dir)
+    seen = spark.read.parquet(index_dir).select("tbl", "key", "sim")
+
+    batch = spark.createDataFrame(
+        [_doc(2, "alpha beta gamma delta epsilon")], DOC_SCHEMA
+    )
+    probe = _history_hamming_dups(
+        _sig_banded_keys(
+            simhash_signatures(batch), blocks=4, hamming=SIMHASH_HAMMING
+        ),
+        seen,
+        hamming=SIMHASH_HAMMING,
+        n_keys=4,
+        probe_keys=None,
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.index("FileScan parquet [") < plan.index(
+        "BroadcastExchange"
+    ), plan
+    assert [r.doc_id for r in probe.collect()] == [2]
+
+
+# ---------------------------------------------------------------------------
 # ADVICE r9 — BPE lowercases in the JVM (trainer/encoder cannot drift)
 # ---------------------------------------------------------------------------
 

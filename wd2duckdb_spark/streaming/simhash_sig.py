@@ -53,6 +53,7 @@ from wd2duckdb_spark.functions.dedup import (
 
 __all__ = [
     "simhash_signature_stream",
+    "simhash_ingest_stream",
     "doc_signatures",
     "doc_band_keys",
     "stream_simhash_pairs",
@@ -235,11 +236,265 @@ def archive_bit_counts(
     swap_in(spark, sig_dir, tmp, backup, op="archive_bit_counts")
 
 
+# ---------------------------------------------------------------------------
+# SimHash dedup AT ingest (VERDICT r9 item 6)
+# ---------------------------------------------------------------------------
+
+
+def _sig_banded_keys(
+    sig: DataFrame, *, blocks: int, hamming: int
+) -> DataFrame:
+    """(doc_id, sim, tbl, key) probe rows for a signature frame —
+    the same Manku combined-key layout :func:`simhash_candidates`
+    joins on, exposed row-wise so an ingest index can persist and
+    probe it."""
+    from wd2duckdb_spark.functions.dedup import (
+        _simhash_combo_key,
+        _validate_simhash_banding,
+        simhash_block_widths,
+        simhash_tables,
+    )
+
+    _validate_simhash_banding(SIMHASH_BITS, blocks, hamming)
+    widths = simhash_block_widths(SIMHASH_BITS, blocks)
+    offsets = [sum(widths[:i]) for i in range(blocks)]
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _simhash_combo_key(
+                    F.col("sim"), combo, widths, offsets
+                ).alias("key"),
+            )
+            for t, combo in enumerate(simhash_tables(blocks, hamming))
+        ]
+    )
+    return sig.select("doc_id", "sim", F.explode(entries).alias("e")).select(
+        "doc_id",
+        "sim",
+        F.col("e.tbl").alias("tbl"),
+        F.col("e.key").alias("key"),
+    )
+
+
+def _history_hamming_dups(
+    keys: DataFrame,
+    seen: DataFrame,
+    *,
+    hamming: int,
+    n_keys: int,
+    probe_keys: list | None,
+) -> DataFrame:
+    """doc_ids of the current batch within Hamming ≤ ``hamming`` of
+    ANY indexed document. Same three probe tiers and the same join
+    orientation as ``dedup_ingest._history_dups`` (batch side is the
+    build — history never broadcasts), but SimHash banding is only a
+    candidate GENERATOR, so every (tbl, key) hit is verified with the
+    exact in-row ``bit_count(new.sim XOR old.sim)`` against the
+    STORED signature before it can drop a document — the decision
+    rule is Hamming geometry, not bucket identity (that's what makes
+    the stream's keep set match ``q_simhash_hamming_pairs``)."""
+    from wd2duckdb_spark.streaming.dedup_ingest import (
+        MAX_BROADCAST_KEYS,
+        PROBE_CHUNK,
+    )
+
+    batch_side = keys.select(
+        "tbl", "key", "doc_id", F.col("sim").alias("_new_sim")
+    )
+    verified = lambda j: (  # noqa: E731
+        j.filter(
+            F.bit_count(F.col("_new_sim").bitwiseXOR(F.col("sim")))
+            <= hamming
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    if n_keys > MAX_BROADCAST_KEYS:
+        return verified(
+            seen.join(
+                batch_side.hint("shuffle_hash"), ["tbl", "key"], "inner"
+            )
+        )
+    if probe_keys:
+        ks = sorted(set(probe_keys))
+        chunks = [
+            ks[i : i + PROBE_CHUNK] for i in range(0, len(ks), PROBE_CHUNK)
+        ]
+        pruned = seen.filter(F.col("key").isin(chunks[0]))
+        for chunk in chunks[1:]:
+            pruned = pruned.union(seen.filter(F.col("key").isin(chunk)))
+        seen = pruned
+    return verified(
+        seen.join(F.broadcast(batch_side), ["tbl", "key"], "inner")
+    )
+
+
+def _batch_simhash_dedup(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    out_dir: str,
+    *,
+    blocks: int,
+    hamming: int,
+) -> None:
+    from wd2duckdb_spark.functions.dedup import simhash_signatures
+    from wd2duckdb_spark.streaming.dedup_ingest import (
+        INDEX_ROW_GROUP_BYTES,
+        MAX_PROBE_CHUNKS,
+        PROBE_CHUNK,
+        _ensure_in_threshold,
+        _has_committed_data,
+    )
+
+    spark = batch_df.sparkSession
+    jvm = spark._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(index_dir).getFileSystem(hconf)
+    index_exists = _has_committed_data(fs, jvm, index_dir)
+
+    keys = dup_ids = None
+    _ensure_in_threshold(spark)
+    try:
+        batch_df = batch_df.persist()
+        sig = simhash_signatures(batch_df)
+        # key-sorted within partitions: same row-group pruning layout
+        # as the MinHash index (IN-pushdown probes skip row groups
+        # whose key min/max misses the batch)
+        keys = (
+            _sig_banded_keys(sig, blocks=blocks, hamming=hamming)
+            .sortWithinPartitions("key")
+            .persist()
+        )
+        n_keys = keys.count()
+        if index_exists and n_keys > 0:
+            seen = (
+                spark.read.parquet(index_dir)
+                # a replayed batch must not self-collide with its own
+                # crashed attempt's keys
+                .filter(F.col("batch") != batch_id)
+                .select("tbl", "key", "sim")
+            )
+            probe_keys = None
+            if n_keys <= PROBE_CHUNK * MAX_PROBE_CHUNKS:
+                probe_keys = [
+                    r.key for r in keys.select("key").distinct().collect()
+                ]
+            hist_dups = _history_hamming_dups(
+                keys,
+                seen,
+                hamming=hamming,
+                n_keys=n_keys,
+                probe_keys=probe_keys,
+            )
+        else:
+            hist_dups = keys.limit(0).select("doc_id")
+        # within-batch: exact pairs (a < b) via the shared pair
+        # machinery — the larger id drops, the batch tier's keep-min
+        batch_dups = simhash_pairs(
+            sig, blocks=blocks, hamming=hamming
+        ).select(F.col("b_id").alias("doc_id"))
+        dup_ids = hist_dups.union(batch_dups).distinct().persist()
+
+        kept = batch_df.join(dup_ids, "doc_id", "left_anti")
+        kept.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        # ALL docs' signatures index — kept AND dropped: a later doc
+        # editing a DROPPED doc is still a near-copy of previously
+        # seen content (same rationale as the MinHash tier)
+        (
+            keys.write.mode("overwrite")
+            .option("parquet.block.size", str(INDEX_ROW_GROUP_BYTES))
+            .parquet(f"{index_dir}/batch={batch_id}")
+        )
+        n_dups = dup_ids.count()
+        n_in = batch_df.count()
+        spark.createDataFrame(
+            [(batch_id, n_in, n_dups, n_in - n_dups)],
+            "batch_id long, n_in long, n_dups long, n_kept long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{out_dir}/_metrics/batch={batch_id}"
+        )
+    finally:
+        batch_df.unpersist()
+        if keys is not None:
+            keys.unpersist()
+        if dup_ids is not None:
+            dup_ids.unpersist()
+
+
+def simhash_ingest_stream(
+    docs: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    available_now: bool = True,
+    *,
+    blocks: int = SIMHASH_BANDS,
+    hamming: int = SIMHASH_HAMMING,
+):
+    """Dedup-at-ingest in the EDIT-DISTANCE mode (VERDICT r9 item 6):
+    drop incoming documents within Hamming ≤ ``hamming`` of anything
+    EVER ingested — the third ingest tier next to ``dedup_stream``
+    (exact keys) and ``neardup_ingest_stream`` (MinHash set overlap):
+    an edited near-copy changes few tokens, so its SimHash flips few
+    bits while its shingle-set Jaccard can fall below any LSH
+    threshold.
+
+    Per micro-batch: 60-bit signatures via the shared batch
+    machinery, then
+
+    - HISTORY probe: the batch's Manku banded keys against the
+      persisted (tbl, key, sim) index — candidates verified with the
+      exact in-row Hamming test against the STORED signature (banding
+      generates, geometry decides);
+    - WITHIN-batch: exact pairs from :func:`simhash_pairs`; the
+      larger doc_id drops (keep-min).
+
+    Kept docs append under ``out_dir/batch=<id>``; ALL docs' keys +
+    signatures index under ``index_dir/batch=<id>`` (dropped docs
+    included — a later edit of a dropped doc is still previously-seen
+    content). Both writes overwrite their own ``batch=<id>``
+    partition, so a crash-replayed micro-batch rewrites instead of
+    duplicating, and the probe's ``batch != batch_id`` filter keeps a
+    replay from self-colliding — the exactly-once protocol of the
+    MinHash tier, unchanged. Probe tiers (IN-pushdown row-group
+    pruning / broadcast / shuffled-hash with the BATCH side as build)
+    and the key-sorted small-row-group index layout are shared with
+    ``dedup_ingest`` — history never broadcasts.
+
+    Batch-twin parity (pinned in tests/test_round10_ops.py): with
+    doc_ids arriving in order, the kept set equals the batch rule
+    "drop every b_id of ``q_simhash_hamming_pairs``" regardless of
+    where micro-batch boundaries fall. Docs with no tokens emit no
+    signature and are always kept — same contract as the other
+    tiers."""
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        _batch_simhash_dedup(
+            batch_df,
+            batch_id,
+            index_dir,
+            out_dir,
+            blocks=blocks,
+            hamming=hamming,
+        )
+
+    writer = docs.writeStream.foreachBatch(_fn).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 #: No registered queries: the streaming store's correctness contract
 #: is batch-twin parity (tests/test_streaming.py pins merged
 #: signatures == simhash_signatures and stream pairs ==
-#: q_simhash_hamming_pairs); simhash_candidates is re-exported for
-#: probe composition.
+#: q_simhash_hamming_pairs; tests/test_round10_ops.py pins the ingest
+#: tier's kept set == the batch pair rule across boundary layouts,
+#: dup-of-dropped-doc, and crash replay); simhash_candidates is
+#: re-exported for probe composition.
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
