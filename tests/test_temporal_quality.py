@@ -141,7 +141,22 @@ def test_dq_report_detects_injected_violations(spark, tmp_path):
     assert rows["null_orderdate"].n_violations == 0
 
 
-def test_dq_report_plan_broadcasts_dimension(spark):
-    p = _plan(q_dq_report(spark, SF_DIR))
-    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
-    assert "SortMergeJoin" not in p
+def test_dq_report_orphan_check_not_forced_broadcast(spark):
+    """Round 10: customer scales with the corpus, so the orphan anti
+    join must not FORCE a broadcast — with the auto-broadcast
+    threshold disabled no BroadcastExchange may survive (a hint
+    would). At fixture scale AQE still picks a broadcast at runtime,
+    which is the wanted adaptive behavior, not a pinned one."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p = _plan(q_dq_report(spark, SF_DIR))
+    finally:
+        if saved is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    # the 1-row n_rows crossJoin keeps its (bounded) broadcast; the
+    # LeftAnti itself must not be a broadcast join under threshold=-1
+    assert "LeftAnti" in p
+    for line in p.splitlines():
+        if "BroadcastHashJoin" in line or "BroadcastNestedLoopJoin" in line:
+            assert "LeftAnti" not in line, line

@@ -329,7 +329,9 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tf.groupBy("word").agg(F.count("*").alias("df"))
     n_src = d.agg(F.countDistinct("source").alias("n_src"))  # 1-row, broadcast
     scored = (
-        tf.join(F.broadcast(df), "word")
+        # df is the per-word document frequency — VOCABULARY-scale
+        # (Heaps' law: grows with the corpus), so never force-broadcast
+        tf.join(df, "word")
         .crossJoin(F.broadcast(n_src))
         .withColumn(
             "score",

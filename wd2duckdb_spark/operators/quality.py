@@ -59,8 +59,11 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     orphans = (
+        # customer scales with the corpus — no forced broadcast (AQE
+        # still picks one when the dimension is genuinely small); the
+        # anti join build side must not be pinned to a linear table
         o.join(
-            F.broadcast(c),
+            c,
             o["o_custkey"] == c["c_custkey"],
             "left_anti",
         )

@@ -214,7 +214,7 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate shares the scan, so unqualified s_* would be ambiguous
     nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     joined = (
-        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        ps.join(p, ps.ps_partkey == p.p_partkey)
         .join(s.alias("sup"), ps.ps_suppkey == F.col("sup.s_suppkey"))
         .join(
             F.broadcast(nr),
@@ -309,7 +309,7 @@ def q_q16_parts_supplier_relationship(
         F.col("s_acctbal") < Q16_BAL_FLOOR
     )
     return (
-        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        ps.join(p, ps.ps_partkey == p.p_partkey)
         .join(
             F.broadcast(bad),
             ps.ps_suppkey == bad.s_suppkey,
@@ -352,7 +352,7 @@ def q_q20_potential_promotion(
     )
     s = tbl(spark, sf_dir, "supplier")
     return (
-        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        ps.join(p, ps.ps_partkey == p.p_partkey)
         .join(
             shipped,
             (ps.ps_partkey == shipped.l_partkey)
