@@ -100,6 +100,8 @@ HEADLINE = (
     # round-9 wave 2: content-defined chunking + per-domain cap
     "cdc_chunk_dedup",
     "domain_cap_sample",
+    # round-10: heterogeneous per-source quotas (VERDICT r9 item 5)
+    "domain_cap_quota",
 )
 
 
