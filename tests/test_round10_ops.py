@@ -571,6 +571,45 @@ def test_simhash_ingest_drops_edit_of_dropped_doc_and_replay(
         [(3,)], "doc_id long").collect()[0]]
 
 
+def test_simhash_ingest_index_archive_then_probe(spark, tmp_path):
+    """The SimHash signature index speaks the same batch=<id> layout
+    as the MinHash band-key index, so the SAME maintenance loop
+    applies: archive_index folds old batches into the batch=-1
+    archive (keeping (tbl, key, sim) rows intact), and a later batch
+    still drops an edit of an ARCHIVED document — the probe's replay
+    filter (batch != batch_id) keeps archive rows visible."""
+    from wd2duckdb_spark.streaming.dedup_ingest import (
+        ARCHIVE_BATCH,
+        archive_index,
+    )
+    from wd2duckdb_spark.streaming.simhash_sig import _batch_simhash_dedup
+
+    base = " ".join(f"w{i}" for i in range(200))
+    edited = base.replace("w0 ", "x0 ", 1)  # 2 flipped bits (pinned above)
+    other = " ".join(f"u{i}" for i in range(200))
+    index_dir = str(tmp_path / "index")
+    out_dir = str(tmp_path / "out")
+
+    b0 = spark.createDataFrame([_doc(1, base)], DOC_SCHEMA)
+    b1 = spark.createDataFrame([_doc(2, other)], DOC_SCHEMA)
+    _batch_simhash_dedup(b0, 0, index_dir, out_dir, blocks=4, hamming=3)
+    _batch_simhash_dedup(b1, 1, index_dir, out_dir, blocks=4, hamming=3)
+    archive_index(spark, index_dir, through_batch=0)
+    batches = {
+        r.batch
+        for r in spark.read.parquet(index_dir)
+        .select("batch")
+        .distinct()
+        .collect()
+    }
+    assert batches == {ARCHIVE_BATCH, 1}
+
+    b2 = spark.createDataFrame([_doc(3, edited)], DOC_SCHEMA)
+    _batch_simhash_dedup(b2, 2, index_dir, out_dir, blocks=4, hamming=3)
+    kept = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+    assert kept == [1, 2]  # 3 dropped via the ARCHIVED signature of 1
+
+
 def test_simhash_ingest_probe_streams_index_not_broadcast(spark, tmp_path):
     """Join orientation at scale: the history probe broadcasts the
     MICRO-BATCH side and streams the signature index — the index

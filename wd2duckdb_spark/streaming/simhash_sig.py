@@ -461,7 +461,11 @@ def simhash_ingest_stream(
     MinHash tier, unchanged. Probe tiers (IN-pushdown row-group
     pruning / broadcast / shuffled-hash with the BATCH side as build)
     and the key-sorted small-row-group index layout are shared with
-    ``dedup_ingest`` — history never broadcasts.
+    ``dedup_ingest`` — history never broadcasts. The index speaks the
+    same ``batch=<id>`` layout, so the SAME maintenance loop applies:
+    ``dedup_ingest.archive_index`` folds old batches into the
+    ``batch=-1`` archive and later probes still see the archived
+    signatures (pinned in tests/test_round10_ops.py).
 
     Batch-twin parity (pinned in tests/test_round10_ops.py): with
     doc_ids arriving in order, the kept set equals the batch rule
