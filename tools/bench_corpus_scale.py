@@ -62,6 +62,12 @@ BENCH_QUERIES = (
     # their scale story is measured by tools/bench_simhash_bands.py
     # (candidate volume) instead.
     "token_count_real_bpe",
+    # round-10: both linear in rows — CDC chunking is one in-row
+    # expression + one chunk-md5 groupBy; the quota cap is one
+    # source-keyed WindowGroupLimit exchange (the quota dict is a
+    # |sources|-bounded collect, flat in corpus size)
+    "cdc_chunk_dedup",
+    "domain_cap_quota",
 )
 
 #: Embeddings-tier queries, scaled by duplicating vectors under fresh
