@@ -164,23 +164,27 @@ def q_pagerank_topk(
     aggregation alone reaches every vertex (no left-join backfill).
     """
     edges = _bipartite_edges(spark, sf_dir)
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # outdeg doubles as the VERTEX SET (one row per distinct src, and
+    # the bidirectional construction makes every vertex a src), so
+    # the vertex count and the uniform init vector both read this
+    # small persisted frame instead of re-shuffling trans through a
+    # distinct — two fewer corpus-side jobs per call (round 10).
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
     # Rank-independent per-edge transition structure, reused every
     # superstep: (src, dst, deg).
     trans = edges.join(outdeg, "src").persist()
-    n = trans.select("src").distinct().count()  # also warms the cache
+    n = outdeg.count()  # warms the vertex cache; trans warms lazily
     if n == 0:
         # degenerate corpus: no edges, no vertices — empty result with
         # the output schema (1.0/n would otherwise divide by zero)
         trans.unpersist()
+        outdeg.unpersist()
         return edges.limit(0).select(
             F.col("src").alias("node_id"), F.lit(0.0).alias("rank")
         )
 
-    ranks = (
-        trans.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.lit(1.0 / n).alias("rank"))
+    ranks = outdeg.select(
+        F.col("src").alias("id"), F.lit(1.0 / n).alias("rank")
     )
     for i in range(PR_ITERS):
         contribs = (
