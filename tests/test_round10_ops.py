@@ -610,6 +610,80 @@ def test_simhash_ingest_index_archive_then_probe(spark, tmp_path):
     assert kept == [1, 2]  # 3 dropped via the ARCHIVED signature of 1
 
 
+def test_simhash_ingest_probe_prunes_index_scan(spark, tmp_path, monkeypatch):
+    """The SimHash probe's rate-limited tier pushes the batch's
+    banded keys into the signature-index scan as chunked IN
+    predicates (here on LONG combo keys, vs the MinHash tier's md5
+    strings) — pinned on the executed plan, and the pruned probe
+    finds exactly the same dups as the unpruned broadcast probe
+    (Hamming verification unaffected by the superset pre-filter)."""
+    from wd2duckdb_spark.functions.dedup import (
+        SIMHASH_HAMMING,
+        simhash_signatures,
+    )
+    from wd2duckdb_spark.streaming import dedup_ingest
+    from wd2duckdb_spark.streaming.dedup_ingest import _IN_THRESHOLD_CONF
+    from wd2duckdb_spark.streaming.simhash_sig import (
+        _history_hamming_dups,
+        _sig_banded_keys,
+    )
+
+    base = " ".join(f"w{i}" for i in range(200))
+    hist = spark.createDataFrame(
+        [_doc(1, base), _doc(2, " ".join(f"v{i}" for i in range(150)))],
+        DOC_SCHEMA,
+    )
+    index_dir = str(tmp_path / "index")
+    _sig_banded_keys(
+        simhash_signatures(hist), blocks=4, hamming=SIMHASH_HAMMING
+    ).withColumn("batch", F.lit(0)).write.parquet(index_dir)
+    seen = spark.read.parquet(index_dir).select("tbl", "key", "sim")
+
+    batch = spark.createDataFrame(
+        [
+            _doc(3, base.replace("w0 ", "x0 ", 1)),  # 2 bits from doc 1
+            _doc(4, " ".join(f"novel{i}" for i in range(180))),
+        ],
+        DOC_SCHEMA,
+    )
+    keys_df = _sig_banded_keys(
+        simhash_signatures(batch), blocks=4, hamming=SIMHASH_HAMMING
+    )
+    keys = [r.key for r in keys_df.select("key").distinct().collect()]
+    assert len(keys) > 2
+
+    monkeypatch.setattr(dedup_ingest, "PROBE_CHUNK", 2)
+    old = spark.conf.get(_IN_THRESHOLD_CONF)
+    spark.conf.set(_IN_THRESHOLD_CONF, "3")
+    try:
+        probe = _history_hamming_dups(
+            keys_df,
+            seen,
+            hamming=SIMHASH_HAMMING,
+            n_keys=len(keys),
+            probe_keys=keys,
+        )
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(_IN_THRESHOLD_CONF, old)
+    assert "In(key" in plan, plan
+    assert "Union" in plan, plan
+    assert "BroadcastHashJoin" in plan
+
+    got = sorted(r.doc_id for r in probe.collect())
+    unpruned = sorted(
+        r.doc_id
+        for r in _history_hamming_dups(
+            keys_df,
+            seen,
+            hamming=SIMHASH_HAMMING,
+            n_keys=len(keys),
+            probe_keys=None,
+        ).collect()
+    )
+    assert got == unpruned == [3]
+
+
 def test_simhash_ingest_probe_streams_index_not_broadcast(spark, tmp_path):
     """Join orientation at scale: the history probe broadcasts the
     MICRO-BATCH side and streams the signature index — the index
