@@ -63,8 +63,10 @@ def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way join + agg + top-10 (TPC-H Q3 shape).
 
-    customer is broadcast (small after segment filter); orders⋈lineitem
-    is the only real shuffle; top-k via TakeOrderedAndProject.
+    customer joins PLAIN (it scales with the corpus, so no forced
+    broadcast — AQE broadcasts the segment slice at runtime when it
+    is actually small); orders⋈lineitem is the only unavoidable
+    shuffle; top-k via TakeOrderedAndProject.
     """
     c = tbl(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
@@ -84,8 +86,10 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """6-way join (TPC-H Q5 shape): all dims broadcast, customer/supplier
-    nation equality, revenue per nation."""
+    """6-way join (TPC-H Q5 shape): bounded dims (supplier/nation/
+    region) broadcast, corpus-scale customer joins plain (AQE decides
+    at runtime), customer/supplier nation equality, revenue per
+    nation."""
     r = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = tbl(spark, sf_dir, "nation")
     c = tbl(spark, sf_dir, "customer")
@@ -234,9 +238,11 @@ def q_scalar_subquery_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     small-quantity orders for one brand, threshold = 0.2 × per-part avg
     quantity. Decorrelated as aggregate-then-join: the per-part
     threshold table is computed once (after semi-reducing lineitem by
-    the broadcast part filter) and broadcast back — two scans of the
+    the brand-slice part filter) and joined back — two scans of the
     brand slice, zero scans of the full fact table beyond the pushed
-    partkey filter."""
+    partkey filter; both the part slice and the threshold table scale
+    with the corpus, so neither is force-broadcast (AQE handles the
+    fixture scale)."""
     p = tbl(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
     l = tbl(spark, sf_dir, "lineitem")
     lp = l.join(p.select("p_partkey"), l.l_partkey == F.col("p_partkey"))

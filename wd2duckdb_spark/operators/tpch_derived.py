@@ -295,7 +295,7 @@ def q_q16_parts_supplier_relationship(
     per (brand, type, size) for a filtered part class, excluding
     flagged suppliers (fixture adaptation: ``s_acctbal < 1000``
     stands in for the spec's comment-LIKE complaint filter — the
-    fixture supplier has no comment column). Spark: broadcast part
+    fixture supplier has no comment column). Spark: plain-joined part
     filter + LEFT ANTI join against the excluded suppliers + one
     count-distinct aggregate; the oracle keeps the literal NOT IN
     subquery."""
