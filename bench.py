@@ -102,6 +102,8 @@ HEADLINE = (
     "domain_cap_sample",
     # round-10: heterogeneous per-source quotas (VERDICT r9 item 5)
     "domain_cap_quota",
+    # round-10: anchored exact-substring overlap pairs (Lee et al.)
+    "verbatim_overlap_pairs",
 )
 
 

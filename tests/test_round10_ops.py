@@ -382,6 +382,79 @@ def test_cdc_cuts_match_python_reference(spark):
 
 
 # ---------------------------------------------------------------------------
+# Round-10 operator: exact verbatim-overlap pairs (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+
+def test_verbatim_overlap_planted_quotation(spark, tmp_path):
+    """The case the Jaccard/containment joins miss by construction: a
+    single 40-token quotation copied into two otherwise-unrelated
+    documents (Jaccard « 0.8, containment « 0.9 — asserted) must
+    surface as a verbatim pair; an unrelated doc pairs with nothing;
+    and anchoring pairs the LATER holders with the window's MINIMUM
+    doc_id even when that minimum was itself a copy."""
+    import pyspark.sql.functions as FF
+
+    from wd2duckdb_spark.functions.dedup import (
+        VERBATIM_K,
+        q_containment_join,
+        q_jaccard_prefix_join,
+        q_verbatim_overlap_pairs,
+    )
+
+    quote = " ".join(f"quote{i}" for i in range(40))
+    d0 = " ".join(f"alpha{i}" for i in range(300)) + " " + quote
+    d1 = quote + " " + " ".join(f"beta{i}" for i in range(300))
+    d2 = " ".join(f"gamma{i}" for i in range(300))
+    d3 = " ".join(f"delta{i}" for i in range(100)) + " " + quote
+    rows = [
+        (10, d0, "en", "s", 0),
+        (11, d1, "en", "s", 0),
+        (12, d2, "en", "s", 0),
+        (13, d3, "en", "s", 0),
+    ]
+    spark.createDataFrame(rows, DOC_SCHEMA).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    sf = str(tmp_path)
+
+    got = {
+        (r["a_id"], r["b_id"]): r["n_shared_windows"]
+        for r in q_verbatim_overlap_pairs(spark, sf).collect()
+    }
+    # the quotation has 40 - K + 1 shared windows; all holders anchor
+    # to doc 10 (the minimum), never to each other
+    n_win = 40 - VERBATIM_K + 1
+    assert got == {(10, 11): n_win, (10, 13): n_win}
+
+    # the similarity joins are blind to this pair shape (precondition
+    # that makes the operator non-redundant)
+    assert q_jaccard_prefix_join(spark, sf).count() == 0
+    assert q_containment_join(spark, sf).count() == 0
+
+
+def test_verbatim_overlap_plan_single_window_exchange(spark):
+    """Plan contract: tokenize + window-hash are in-row (zero Python
+    UDFs), the per-key min rides the SAME hash partitioning as the
+    distinct (no second wkey exchange), and no join appears at all —
+    the anchored rule replaces the all-pairs self-join."""
+    from wd2duckdb_spark.functions.dedup import q_verbatim_overlap_pairs
+    from wd2duckdb_spark.plans import plan_summary
+
+    df = q_verbatim_overlap_pairs(spark, SF_DIR)
+    s = plan_summary(df)
+    assert s["python_udf"] == 0
+    assert (
+        s["broadcast_hash_join"]
+        == s["sort_merge_join"]
+        == s["shuffled_hash_join"]
+        == 0
+    )
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("hashpartitioning(wkey") <= 2  # distinct + window share
+
+
+# ---------------------------------------------------------------------------
 # VERDICT r9 item 6 — SimHash dedup AT ingest
 # ---------------------------------------------------------------------------
 

@@ -1992,6 +1992,75 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Verbatim-overlap window length (tokens) and the pair-report floor:
+#: pairs sharing fewer than VERBATIM_MIN_SHARED distinct windows are
+#: noise (a single colliding idiom), not contamination.
+VERBATIM_K = 16
+VERBATIM_MIN_SHARED = 2
+
+
+def q_verbatim_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-substring overlap pairs (the dedup mode of Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    document pairs sharing ≥ :data:`VERBATIM_MIN_SHARED` distinct
+    verbatim :data:`VERBATIM_K`-token windows — the raw signal behind
+    suffix-array dedup, re-expressed as window fingerprints. Catches
+    the case every fingerprint REPORT here aggregates away: WHICH
+    documents share copied passages (chunk_dedup / cdc_chunk_dedup
+    count duplicated chunks; this names the pairs), and unlike the
+    Jaccard/containment joins it fires on a single long quotation
+    inside otherwise-unrelated documents.
+
+    ANCHORED pair semantics — the scale contract: each window key
+    pairs its holders with the window's MINIMUM doc_id only (the
+    corpus-level keep-min convention of `lsh_keep_list` and the
+    ingest tiers), so per-window fan-out is LINEAR in occurrences —
+    a boilerplate header shared by a million documents emits a
+    million (anchor, doc) rows, never the 10¹² all-pairs explosion
+    an unanchored self-join would. Every duplicate document still
+    pairs with its cluster's anchor, which is exactly what a keep-min
+    dedup pass consumes; `n_shared_windows` counts the DISTINCT
+    window keys of b whose corpus minimum holder is a (per-doc
+    repeated windows count once — the (doc, key) frame is distinct).
+
+    Plan: tokenize + window-hash in-row (zero UDFs), ONE exchange on
+    the uniform md5 window key for the distinct + per-key min (the
+    min is a window function riding that same partitioning — no
+    second shuffle), then a pair-keyed aggregate. The oracle keeps
+    the same anchored rule via min() OVER (PARTITION BY window).
+    """
+    d = tbl(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tk = F.expr("filter(split(lower(trim(text)), ' '), x -> x <> '')")
+    wins = (
+        d.select("doc_id", tk.alias("tk"))
+        .filter(F.size("tk") >= VERBATIM_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(tk) - {VERBATIM_K - 1}),"
+                    f" i -> md5(concat_ws(' ', slice(tk, i, {VERBATIM_K}))))"
+                )
+            ).alias("wkey"),
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    anchored = wins.withColumn(
+        "a_id", F.min("doc_id").over(Window.partitionBy("wkey"))
+    )
+    return (
+        anchored.filter(F.col("doc_id") > F.col("a_id"))
+        .groupBy("a_id", F.col("doc_id").alias("b_id"))
+        .agg(F.count("*").alias("n_shared_windows"))
+        .filter(F.col("n_shared_windows") >= VERBATIM_MIN_SHARED)
+        .orderBy("a_id", "b_id")
+    )
+
+
 #: Containment threshold t = |A∩B|/|A| ≥ 9/10 as an exact integer
 #: ratio, so bounds and the accept test never touch floating point.
 CONTAIN_NUM, CONTAIN_DEN = 9, 10
@@ -2497,6 +2566,7 @@ QUERIES = {
     "jaccard_prefix_join": q_jaccard_prefix_join,
     "containment_join": q_containment_join,
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
+    "verbatim_overlap_pairs": q_verbatim_overlap_pairs,
     "lsh_candidate_eval": q_lsh_candidate_eval,
 }
 
@@ -2658,6 +2728,34 @@ ORACLES["cdc_chunk_dedup"] = f"""
     GROUP BY chunk_md5
     HAVING count(*) >= 2
     ORDER BY chunk_md5
+"""
+
+
+ORACLES["verbatim_overlap_pairs"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           x -> x <> '') AS tk
+        FROM documents
+    ), w AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   range(1, len(tk) - {VERBATIM_K - 1} + 1),
+                   i -> md5(array_to_string(
+                            tk[i:i + {VERBATIM_K - 1}], ' ')))) AS wkey
+        FROM t WHERE len(tk) >= {VERBATIM_K}
+    ), anchored AS (
+        SELECT doc_id, wkey,
+               min(doc_id) OVER (PARTITION BY wkey) AS a_id
+        FROM w
+    )
+    SELECT a_id, doc_id AS b_id,
+           CAST(count(*) AS BIGINT) AS n_shared_windows
+    FROM anchored
+    WHERE doc_id > a_id
+    GROUP BY a_id, doc_id
+    HAVING count(*) >= {VERBATIM_MIN_SHARED}
+    ORDER BY a_id, b_id
 """
 
 
