@@ -55,6 +55,12 @@ def test_prefix_join_dfc_not_force_broadcast(spark, qname):
         "jaccard_prefix_join": q_jaccard_prefix_join,
         "containment_join": q_containment_join,
     }[qname]
+    # isolation: an earlier test may have materialized the queries'
+    # persisted prefix/sets frames under DEFAULT conf — CacheManager
+    # then substitutes the cached AQE-finalized subtree (which
+    # legitimately contains the RUNTIME broadcast) into this build's
+    # plan text, which is not the forced-hint signal under test
+    spark.catalog.clearCache()
     p = _no_forced_broadcast(spark, lambda: fn(spark, SF_DIR))
     assert "BroadcastExchange" not in p
     assert "BroadcastHashJoin" not in p
