@@ -75,9 +75,9 @@ def test_prefix_join_dfc_not_force_broadcast(spark, qname):
 def test_q21_orders_side_semi_join_not_broadcast(spark):
     """orders scales with the corpus, so the finalized-order filter is
     a LEFT SEMI shuffle join: with auto-broadcast disabled, no
-    broadcast join in the plan may carry LeftSemi (the one remaining
-    forced broadcast is the bounded supplier dimension, which is the
-    documented posture)."""
+    broadcast join in the plan may carry LeftSemi (round 11 also
+    dropped the supplier hint — supplier is SF-linear — so ZERO
+    forced broadcasts remain)."""
     from wd2duckdb_spark.operators.tpch_derived import q_q21_late_suppliers
 
     p = _no_forced_broadcast(
@@ -87,11 +87,11 @@ def test_q21_orders_side_semi_join_not_broadcast(spark):
     for line in p.splitlines():
         if "BroadcastHashJoin" in line or "BroadcastNestedLoopJoin" in line:
             assert "LeftSemi" not in line, line
-    # forced broadcasts that remain must be exactly the supplier dim
+    # round 11 (VERDICT r10 #1): the supplier hint is gone too
     n_bcast = sum(
         1 for ln in p.splitlines() if "BroadcastExchange" in ln
     )
-    assert n_bcast <= 1
+    assert n_bcast == 0
 
 
 # ---------------------------------------------------------------------------

@@ -57,7 +57,7 @@ def q_graph_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     co = c.join(o, c.c_custkey == o.o_custkey).hint("shuffle_hash")
     return (
         co.join(l, co.o_orderkey == l.l_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .select("c_custkey", "s_suppkey")
         .distinct()

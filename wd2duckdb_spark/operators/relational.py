@@ -86,10 +86,11 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """6-way join (TPC-H Q5 shape): bounded dims (supplier/nation/
-    region) broadcast, corpus-scale customer joins plain (AQE decides
-    at runtime), customer/supplier nation equality, revenue per
-    nation."""
+    """6-way join (TPC-H Q5 shape): truly bounded dims (nation=25,
+    region=5) broadcast; supplier is SF-linear (10k x SF) so it joins
+    plain — AQE promotes it to broadcast at fixture scale and shuffles
+    it at cluster scale; customer/supplier nation equality, revenue
+    per nation."""
     r = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = tbl(spark, sf_dir, "nation")
     c = tbl(spark, sf_dir, "customer")
@@ -101,7 +102,7 @@ def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -610,7 +611,7 @@ def q_q7_bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8")
     ) | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
     return (
-        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
@@ -652,7 +653,7 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(p, F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
@@ -1027,7 +1028,9 @@ def q_q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema: no partsupp table exists, so profit omits the
     ps_supplycost term — the plan shape (4-way dim join into a
     two-key aggregate over the part-filtered fact) is what's kept.
-    Dims broadcast; lineitem shuffles once on (nation, year).
+    nation (25 rows, truly bounded) broadcasts; supplier is SF-linear
+    so it joins plain (AQE promotes at fixture scale); lineitem
+    shuffles once on (nation, year).
     """
     li = tbl(spark, sf_dir, "lineitem")
     s = tbl(spark, sf_dir, "supplier")
@@ -1036,7 +1039,7 @@ def q_q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = tbl(spark, sf_dir, "nation")
     return (
         li.join(p, li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
@@ -1135,7 +1138,7 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(max_rev),
             F.col("total_revenue") == F.col("max_revenue"),
         )
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )

@@ -453,7 +453,7 @@ def q_q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_order.groupBy("late_supp")
         .agg(F.sum("late_lines").alias("numwait"))
-        .join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
+        .join(s, F.col("late_supp") == s.s_suppkey)
         .select("s_name", "numwait")
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
