@@ -1,0 +1,209 @@
+"""Persisted IVF ANN index (VERDICT r10 item 2): bootstrap write,
+streaming ingest-time maintenance, partition-pruned probes, and
+batch-twin parity with the from-scratch IVF path — across micro-batch
+layouts and across replays."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _split_dirs(spark, tmp_path, splits, tag):
+    """Write the non-centroid embeddings as `splits` parquet files so
+    maxFilesPerTrigger=1 yields one micro-batch per file; returns
+    (stream_src_dir, base_df) where base_df holds the bootstrap
+    subset (query vector + centroid seeds + the first slice)."""
+    from wd2duckdb_spark.catalog import tbl
+
+    e = tbl(spark, SF_DIR, "embeddings")
+    rest = e.filter(F.col("vec_id") >= 16).orderBy("vec_id").collect()
+    in_dir = tmp_path / f"vec_in_{tag}"
+    in_dir.mkdir()
+    n = len(rest)
+    schema = e.schema
+    bounds = [round(i * n / splits) for i in range(splits + 1)]
+    for i in range(splits):
+        chunk = rest[bounds[i] : bounds[i + 1]]
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+            str(in_dir / f"b{i}.parquet")
+        )
+    base = e.filter(F.col("vec_id") < 16)  # seeds + query + first ids
+    return in_dir, base, schema
+
+
+def _build_streamed_index(spark, tmp_path, splits, tag):
+    """Bootstrap from the <16 slice, then stream the remainder in
+    `splits` micro-batches."""
+    from wd2duckdb_spark.functions.ann_index import (
+        _assigned_rows,
+        ann_ingest_stream,
+    )
+    from wd2duckdb_spark.functions.similarity import _centroids
+
+    in_dir, base, schema = _split_dirs(spark, tmp_path, splits, tag)
+    index_dir = str(tmp_path / f"index_{tag}")
+    cents = _centroids(spark, SF_DIR)
+    spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents],
+        "cid int, embedding array<double>",
+    ).coalesce(1).write.parquet(f"{index_dir}/centroids")
+    _assigned_rows(base, cents, None).write.partitionBy("cell").parquet(
+        f"{index_dir}/assignments/batch=-1"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*.parquet")
+    )
+    q = ann_ingest_stream(
+        stream, index_dir, str(tmp_path / f"ckpt_{tag}")
+    )
+    q.awaitTermination(180)
+    return index_dir
+
+
+def _probe_rows(spark, index_dir):
+    from wd2duckdb_spark.functions.ann_index import ivf_index_probe
+    from wd2duckdb_spark.functions.similarity import (
+        IVF_CENTROID_IDS,
+        query_vector,
+    )
+
+    qv = query_vector(spark, SF_DIR, 0)
+    return [
+        (r.vec_id, r.cell, r.cosine)
+        for r in ivf_index_probe(
+            spark, index_dir, qv, k=10, exclude_ids=(0, *IVF_CENTROID_IDS)
+        ).collect()
+    ]
+
+
+def test_streamed_index_probe_matches_batch_twin_across_layouts(
+    spark, tmp_path
+):
+    """The probe result must equal q_ivf_ann_topk (the from-scratch
+    path) regardless of where micro-batch boundaries fell — 2-batch
+    and 5-batch builds give identical top-k."""
+    from wd2duckdb_spark.functions.similarity import q_ivf_ann_topk
+
+    want = [
+        (r.vec_id, r.cell, r.cosine)
+        for r in q_ivf_ann_topk(spark, SF_DIR).collect()
+    ]
+    assert len(want) == 10
+    for splits in (2, 5):
+        idx = _build_streamed_index(spark, tmp_path, splits, f"s{splits}")
+        assert _probe_rows(spark, idx) == want, splits
+
+
+def test_replayed_batch_rewrites_not_duplicates(spark, tmp_path):
+    """Re-running a batch id overwrite-rewrites its partition: row
+    counts and probe results are unchanged (the dedup-index replay
+    contract)."""
+    from wd2duckdb_spark.functions.ann_index import ann_index_ingest
+    from wd2duckdb_spark.functions.similarity import q_ivf_ann_topk
+
+    idx = _build_streamed_index(spark, tmp_path, 2, "replay")
+    a = spark.read.parquet(f"{idx}/assignments")
+    n_before = a.count()
+    # replay batch 1 with the same rows it originally got
+    in_dir = tmp_path / "vec_in_replay"
+    from wd2duckdb_spark.catalog import tbl
+
+    schema = tbl(spark, SF_DIR, "embeddings").schema
+    replay = spark.read.schema(schema).parquet(str(in_dir / "b1.parquet"))
+    ann_index_ingest(replay, 1, idx)
+    assert spark.read.parquet(f"{idx}/assignments").count() == n_before
+    want = [
+        (r.vec_id, r.cell, r.cosine)
+        for r in q_ivf_ann_topk(spark, SF_DIR).collect()
+    ]
+    assert _probe_rows(spark, idx) == want
+
+
+def test_probe_partition_prunes_on_cell(spark, tmp_path):
+    """Plan pin: the probe's assignments scan must carry the cell
+    filter as a PARTITION filter (directory-level pruning) — and the
+    executed scan must read only the nprobe cell partitions."""
+    from wd2duckdb_spark.functions.ann_index import (
+        _fixture_index,
+        ivf_index_probe,
+    )
+    from wd2duckdb_spark.functions.similarity import (
+        IVF_CENTROID_IDS,
+        query_vector,
+    )
+    from wd2duckdb_spark.plans import explain_str, partition_filters
+
+    idx = _fixture_index(spark, SF_DIR)
+    qv = query_vector(spark, SF_DIR, 0)
+    df = ivf_index_probe(
+        spark, idx, qv, k=10, exclude_ids=(0, *IVF_CENTROID_IDS)
+    )
+    pf = " ".join(partition_filters(df))
+    assert "cell" in pf, pf
+    # the data filter side must NOT carry cell (it's partition-only)
+    p = explain_str(df, "formatted")
+    assert "PartitionFilters" in p
+
+
+def test_registered_query_matches_from_scratch_path(spark):
+    """q_ann_index_probe (the registered, oracle-gated entry) is
+    row-identical to q_ivf_ann_topk on the same fixtures."""
+    from wd2duckdb_spark.functions.ann_index import q_ann_index_probe
+    from wd2duckdb_spark.functions.similarity import q_ivf_ann_topk
+
+    got = [
+        (r.vec_id, r.cell, r.cosine)
+        for r in q_ann_index_probe(spark, SF_DIR).collect()
+    ]
+    want = [
+        (r.vec_id, r.cell, r.cosine)
+        for r in q_ivf_ann_topk(spark, SF_DIR).collect()
+    ]
+    assert got == want and len(got) == 10
+
+
+def test_pq_codes_in_index_reproduce_adc_query(spark, tmp_path):
+    """Bootstrap with a codebook stores code0..7; ADC from the stored
+    codes equals q_pq_adc_topk (which re-encodes per query)."""
+    from wd2duckdb_spark.functions.ann_index import (
+        ivf_index_write,
+        pq_index_adc_topk,
+        write_index_codebook,
+    )
+    from wd2duckdb_spark.functions.similarity import (
+        _pq_codebook,
+        q_pq_adc_topk,
+        query_vector,
+    )
+
+    idx = str(tmp_path / "pq_index")
+    cb = _pq_codebook(spark, SF_DIR)
+    write_index_codebook(spark, idx, cb)
+    ivf_index_write(spark, SF_DIR, idx, codebook=cb)
+    qv = query_vector(spark, SF_DIR, 0)
+    got = [
+        (r.vec_id, r.adc_dist)
+        for r in pq_index_adc_topk(
+            spark, idx, qv, k=10, exclude_ids=(0,)
+        ).collect()
+    ]
+    want = [
+        (r.vec_id, r.adc_dist) for r in q_pq_adc_topk(spark, SF_DIR).collect()
+    ]
+    assert got == want and len(got) == 10
+
+
+def test_ingest_without_bootstrap_fails_fast(spark, tmp_path):
+    """Maintenance against a missing index must raise, not invent an
+    empty one."""
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.functions.ann_index import ann_index_ingest
+
+    batch = tbl(spark, SF_DIR, "embeddings").limit(4)
+    with pytest.raises(Exception):
+        ann_index_ingest(batch, 0, str(tmp_path / "nonexistent_index"))

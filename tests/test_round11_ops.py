@@ -115,3 +115,247 @@ def test_supplier_aqe_broadcasts_at_fixture_scale(spark):
     spark.catalog.clearCache()
     p = explain_str(q_q5_local_supplier_volume(spark, SF_DIR), "simple")
     assert "BroadcastExchange" in p  # nation/region hints at minimum
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r10 — memoized persists (prefix frames, PageRank structure)
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_frames_memoized_per_session(spark):
+    """Repeat invocations must reuse the SAME persisted frames instead
+    of stacking a new cache entry per call (the r10 leak)."""
+    from wd2duckdb_spark.functions.dedup import (
+        JACCARD_DEN,
+        JACCARD_NUM,
+        _prefix_cache,
+        _prefix_frames,
+    )
+
+    _prefix_cache.clear()
+    a = _prefix_frames(spark, SF_DIR, JACCARD_NUM, JACCARD_DEN)
+    b = _prefix_frames(spark, SF_DIR, JACCARD_NUM, JACCARD_DEN)
+    assert a[0] is b[0] and a[2] is b[2]
+    assert len(_prefix_cache) == 1
+
+
+def test_pagerank_structure_memoized_per_session(spark):
+    """Same for the PageRank transition structure (outdeg/trans)."""
+    from wd2duckdb_spark.operators.graph import (
+        _pr_structure,
+        _pr_trans_cache,
+    )
+
+    _pr_trans_cache.clear()
+    a = _pr_structure(spark, SF_DIR)
+    b = _pr_structure(spark, SF_DIR)
+    assert a[0] is b[0] and a[1] is b[1] and a[2] == b[2] > 0
+    assert len(_pr_trans_cache) == 1
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r10 item 7 — tolerance-based PageRank early stop
+# ---------------------------------------------------------------------------
+
+
+def _ring_edges(spark, k=6):
+    """Directed ring + reverse ring: symmetric, converges to uniform
+    1/k in ONE superstep (the init is already the fixed point)."""
+    rows = []
+    for i in range(k):
+        rows.append((i, (i + 1) % k))
+        rows.append(((i + 1) % k, i))
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_pagerank_tol_early_stops_on_fixed_point(spark):
+    """On a graph whose uniform init IS the stationary distribution,
+    the L1 delta at the first two checkpoint boundaries is ~0, so
+    tol-mode must stop far before max_iters — and still return the
+    exact uniform ranks."""
+    import wd2duckdb_spark.operators.graph as g
+
+    calls = {"n": 0}
+    orig = g.eager_checkpoint
+
+    def counting_ckpt(df, *a, **kw):
+        calls["n"] += 1
+        return orig(df, *a, **kw)
+
+    g.eager_checkpoint, _saved = counting_ckpt, orig
+    try:
+        out = g.pagerank(
+            _ring_edges(spark), tol=1e-9, max_iters=20,
+            checkpoint_interval=2,
+        ).collect()
+    finally:
+        g.eager_checkpoint = _saved
+    # boundaries at i=2,4,...; delta computed from the 2nd boundary on
+    # → stop at superstep 4 of 20: exactly 2 checkpoint calls
+    assert calls["n"] == 2
+    assert len(out) == 6
+    for r in out:
+        assert abs(r["rank"] - 1.0 / 6) < 1e-12, r
+
+
+def test_pagerank_tol_none_runs_all_supersteps(spark):
+    """tol=None keeps the fixed-count contract and matches the
+    registered 5-iteration query's math on the same edge frame."""
+    from wd2duckdb_spark.operators.graph import pagerank
+
+    out = pagerank(
+        _ring_edges(spark), tol=None, max_iters=5, checkpoint_interval=2
+    ).collect()
+    for r in out:
+        assert abs(r["rank"] - 1.0 / 6) < 1e-12, r
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r10 — domain_cap_keep: large quota maps join, NULL contract
+# ---------------------------------------------------------------------------
+
+
+def test_domain_cap_large_map_join_path_matches_case_path(spark):
+    """Above DOMAIN_CAP_CASE_MAX the quota ships as a broadcast join;
+    results must be identical to the CASE chain on the same input,
+    and WindowGroupLimit must still plan on the max-cap conjunct."""
+    import wd2duckdb_spark.functions.training as tr
+
+    rows = [
+        (100 * s + i, f"src{s:04d}")
+        for s in range(6)
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    caps = {f"src{s:04d}": (3 if s % 2 == 0 else 7) for s in range(6)}
+
+    via_case = tr.domain_cap_keep(docs, caps=caps, default_cap=2)
+    saved = tr.DOMAIN_CAP_CASE_MAX
+    try:
+        tr.DOMAIN_CAP_CASE_MAX = 0  # force every map onto the join path
+        via_join = tr.domain_cap_keep(docs, caps=caps, default_cap=2)
+        plan = via_join._jdf.queryExecution().executedPlan().toString()
+    finally:
+        tr.DOMAIN_CAP_CASE_MAX = saved
+    assert via_join.columns == docs.columns
+    got_c = sorted(tuple(r) for r in via_case.collect())
+    got_j = sorted(tuple(r) for r in via_join.collect())
+    assert got_c == got_j
+    per_src = {}
+    for _id, s in got_j:
+        per_src[s] = per_src.get(s, 0) + 1
+    assert per_src == {
+        f"src{s:04d}": (3 if s % 2 == 0 else 7) for s in range(6)
+    }
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_domain_cap_null_source_key_rejected():
+    """A None key in the caps dict must fail fast with the contract
+    message instead of TypeError-ing later or silently diverging from
+    the oracle's NULL-dropping JOIN."""
+    import pytest as _pytest
+
+    from wd2duckdb_spark.functions.training import domain_cap_keep
+
+    class _FakeDocs:  # never touched — validation happens first
+        pass
+
+    with _pytest.raises(ValueError, match="NULL source"):
+        domain_cap_keep(_FakeDocs(), caps={None: 5, "a": 3})
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r10 item 3 — Unicode tokenizer seam
+# ---------------------------------------------------------------------------
+
+
+def test_unicode_tokenizer_on_planted_cjk_and_diacritics(spark):
+    """The failure the whitespace tokenizer has on multilingual text,
+    and the regexp tokenizer's correct counts: a space-less CJK
+    sentence is ONE whitespace token but tokenizes per
+    punctuation-bounded run under `[\\p{L}\\p{M}\\p{N}]+`; decomposed
+    combining diacritics (e + U+0301) stay attached to their base
+    letter."""
+    import pyspark.sql.functions as F
+
+    from wd2duckdb_spark.functions.text import token_count, tokens
+
+    rows = [
+        (1, "これは、テストです。終わり"),  # CJK, ideographic punct, no spaces
+        (2, "café naïve résumé"),  # decomposed
+        (3, "Hello, world! 123"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.ws, r.uni, r.toks)
+        for r in d.select(
+            "doc_id",
+            token_count(F.col("text")).alias("ws"),
+            token_count(F.col("text"), "unicode").alias("uni"),
+            tokens(F.col("text"), "unicode").alias("toks"),
+        ).collect()
+    }
+    # whitespace: the whole CJK line is one "token" — the documented
+    # degradation; unicode: 3 real tokens split at 、 and 。
+    assert got[1] == (1, 3, ["これは", "テストです", "終わり"])
+    # combining marks stay inside the token (3 words, not 6+ splinters)
+    assert got[2][1] == 3
+    assert got[2][2] == [
+        "café",
+        "naïve",
+        "résumé",
+    ]
+    assert got[3] == (3, 3, ["hello", "world", "123"])
+
+
+def test_unicode_tokenizer_duckdb_parity_on_planted_rows(spark):
+    """The exact regexp literal must tokenize identically in RE2
+    (DuckDB) — the property that makes token_stats_unicode
+    oracle-exact beyond the ASCII fixtures."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from wd2duckdb_spark.functions.text import UNICODE_TOKEN_RE, tokens
+
+    rows = [
+        (1, "これは、テストです。終わり"),
+        (2, "café naïve résumé"),
+        (3, "Hello, world! 123"),
+        (4, ""),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: list(r.toks)
+        for r in d.select(
+            "doc_id", tokens(F.col("text"), "unicode").alias("toks")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for doc_id, text in rows:
+        want = con.execute(
+            "SELECT regexp_extract_all(lower(?), ?)",
+            [text, UNICODE_TOKEN_RE],
+        ).fetchone()[0]
+        assert got[doc_id] == list(want), doc_id
+
+
+def test_shingle_tokenizer_seam_cjk(spark):
+    """_with_shingles(tokenizer='unicode') produces real 3-gram
+    shingles on a CJK corpus where the whitespace path produces NONE
+    (every doc is a single whole-line token, below the 3-token
+    minimum)."""
+    from wd2duckdb_spark.functions.dedup import _with_shingles
+
+    d = spark.createDataFrame(
+        [
+            (1, "これは、テストです。終わり、そして、続き"),
+            (2, "これは、テストです。終わり、そして、続き"),
+        ],
+        "doc_id long, text string",
+    )
+    ws = _with_shingles(d).collect()
+    assert ws == []  # whitespace: 1 token per doc -> no shingles
+    uni = {r.doc_id: sorted(r.sh) for r in _with_shingles(d, "unicode").collect()}
+    assert len(uni) == 2
+    assert uni[1] == uni[2] and len(uni[1]) == 3  # 5 tokens -> 3 shingles

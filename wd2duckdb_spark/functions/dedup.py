@@ -74,8 +74,16 @@ def _minhash_cols() -> list[Column]:
     ]
 
 
-def _with_shingles(d: DataFrame) -> DataFrame:
+def _with_shingles(d: DataFrame, tokenizer: str = "whitespace") -> DataFrame:
     """documents → (doc_id, sh: array<string>) distinct word-3-grams.
+
+    ``tokenizer`` selects the token stream the shingles are built from
+    (VERDICT r10 item 3): ``whitespace`` (default — every registered
+    oracle keeps it) or ``unicode``
+    (:data:`wd2duckdb_spark.functions.text.UNICODE_TOKEN_RE` runs),
+    which is what keeps shingle dedup meaningful on CJK /
+    combining-character corpora where whitespace split degrades to
+    whole-line tokens.
 
     Tokenizes ONCE into a materialized ``toks`` column before the
     sliding-window transform — evaluating ``split()`` inside the lambda
@@ -95,11 +103,11 @@ def _with_shingles(d: DataFrame) -> DataFrame:
     Cost is per-shingle CPU, not input bytes, so bytes-based coalescing
     is the wrong heuristic here.
     """
+    from wd2duckdb_spark.functions.text import tokens
+
     return (
         d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
-        .select(
-            "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks")
-        )
+        .select("doc_id", tokens(F.col("text"), tokenizer).alias("toks"))
         .filter(F.size("toks") >= 3)
         .select(
             "doc_id",
@@ -1724,6 +1732,14 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: arithmetic — no FP ceil() off-by-one can shorten a prefix.
 JACCARD_NUM, JACCARD_DEN = 4, 5  # t = 0.8
 
+#: (applicationId, sf_dir, num, den) → (sets, toks, prefix) with sets
+#: and prefix persisted ONCE per session — ADVICE r10: per-invocation
+#: persist() leaked a new cache entry every call in a long-lived
+#: session; the memo bounds the footprint to one entry per
+#: (sf_dir, threshold) and lets repeat invocations reuse the warm
+#: frames. clear_memos() / clearCache() invalidate as usual.
+_prefix_cache: dict[tuple[str, str, int, int], tuple] = register_memo({})
+
 
 def _prefix_frames(
     spark: SparkSession, sf_dir: str, num: int, den: int
@@ -1755,6 +1771,11 @@ def _prefix_frames(
     """
     from pyspark.sql import Window
 
+    key = (session_key(spark), sf_dir, num, den)
+    cached = _prefix_cache.get(key)
+    if cached is not None:
+        return cached
+
     d = tbl(spark, sf_dir, "documents")
     sets = (
         _with_shingles(d)
@@ -1776,7 +1797,15 @@ def _prefix_frames(
         .withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= plen)
         .select("doc_id", "tok")
+        # the Jaccard self-join consumes prefix TWICE and containment
+        # probes it against the full inverted list; without the
+        # barrier each consumer re-derives the whole DF-count +
+        # window pipeline (measured sf0.1: 2.7 → 1.8-2.3 s). ~n/5
+        # rare shingles per doc — the same bounded-intermediate class
+        # as `sets`. Persisted once per session via _prefix_cache.
+        .persist()
     )
+    _prefix_cache[key] = (sets, toks, prefix)
     return sets, toks, prefix
 
 
@@ -1813,11 +1842,6 @@ def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets, _toks, prefix = _prefix_frames(
         spark, sf_dir, JACCARD_NUM, JACCARD_DEN
     )
-    # the self-join consumes prefix TWICE; without the barrier each
-    # side re-derives the whole DF-count + window pipeline (measured
-    # sf0.1: 2.7 → 1.8-2.3 s). The cached frame is ~n/5 rare shingles
-    # per doc — the same bounded-intermediate class as `sets`.
-    prefix = prefix.persist()
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "tok")

@@ -21,9 +21,43 @@ from wd2duckdb_spark.catalog import tbl
 EN_STOPWORDS = ("the", "and", "of", "to", "in", "a", "is", "that")
 
 
-def token_count(text: Column) -> Column:
-    """Whitespace token count (int)."""
-    return F.size(F.split(F.trim(text), " "))
+#: Unicode-aware token class (VERDICT r10 item 3): letter / combining
+#: mark / digit runs. One-letter general categories (\p{L}, \p{M},
+#: \p{N}) parse identically in Java regex (Spark) and RE2 (DuckDB's
+#: regexp_* functions), so oracles stay exact. \p{M} keeps combining
+#: diacritics attached to their base letter (decomposed "café" stays
+#: ONE token — a bare \p{L} class would split at the combining acute);
+#: punctuation — including CJK ideographic 、。 (\p{P}) — delimits, so
+#: a space-less CJK sentence tokenizes per punctuation-bounded run
+#: instead of collapsing to one whole-line token like whitespace
+#: split does (the planted-fixture test pins exactly this failure).
+UNICODE_TOKEN_RE = r"[\p{L}\p{M}\p{N}]+"
+
+
+def tokens(text: Column, tokenizer: str = "whitespace") -> Column:
+    """Token array of ``text`` under the selected tokenizer — the
+    engine-wide tokenizer seam. ``whitespace`` (default — every
+    registered oracle-pinned query keeps it, so hashes are stable) is
+    the ASCII-centric split the reference-era pipeline used;
+    ``unicode`` extracts :data:`UNICODE_TOKEN_RE` runs and is the
+    right choice for multilingual corpora (CJK has no spaces;
+    combining-character text breaks ASCII classes). Both lowercase
+    first, and both are pure JVM-side expressions (zero UDFs)."""
+    if tokenizer == "whitespace":
+        return F.split(F.lower(F.trim(text)), " ")
+    if tokenizer == "unicode":
+        return F.regexp_extract_all(
+            F.lower(text), F.lit(UNICODE_TOKEN_RE), F.lit(0)
+        )
+    raise ValueError(f"unknown tokenizer {tokenizer!r}")
+
+
+def token_count(text: Column, tokenizer: str = "whitespace") -> Column:
+    """Token count (int) under the selected tokenizer (default:
+    whitespace — the oracle-stable legacy behavior)."""
+    if tokenizer == "whitespace":
+        return F.size(F.split(F.trim(text), " "))
+    return F.size(tokens(text, tokenizer))
 
 
 def non_alnum_ratio(text: Column) -> Column:
@@ -165,6 +199,25 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ws.alias("ws_tokens"),
         bpe.alias("bpe_tokens"),
         (bpe - ws).alias("punct_surplus"),
+    ).orderBy("doc_id")
+
+
+def q_token_stats_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Unicode tokenizer seam, oracle-exact (VERDICT r10 item 3):
+    per-doc token counts under BOTH tokenizers plus the unicode
+    distinct-token count. On ASCII fixtures the two mostly agree
+    (punctuation splits differ); on CJK/diacritics corpora the
+    whitespace column degrades to whole-line tokens while the unicode
+    column stays correct — the planted-fixture test in
+    tests/test_round11_ops.py pins that divergence. Pure per-row
+    expressions: one scan, no shuffle, no UDF."""
+    d = tbl(spark, sf_dir, "documents")
+    uni = tokens(F.col("text"), "unicode")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        F.size(uni).alias("uni_tokens"),
+        F.size(F.array_distinct(uni)).alias("uni_distinct"),
     ).orderBy("doc_id")
 
 
@@ -1508,6 +1561,17 @@ def _surprisal_sql_cte() -> str:
     )"""
 
 
+ORACLES["token_stats_unicode"] = rf"""
+    SELECT doc_id,
+           CAST(len(string_split(trim(text), ' ')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text),
+                    '{UNICODE_TOKEN_RE}')) AS INT) AS uni_tokens,
+           CAST(len(list_distinct(regexp_extract_all(lower(text),
+                    '{UNICODE_TOKEN_RE}'))) AS INT) AS uni_distinct
+    FROM documents
+    ORDER BY doc_id
+"""
+
 ORACLES["bigram_surprisal"] = f"""
     WITH {_surprisal_sql_cte()}
     SELECT source,
@@ -1910,6 +1974,7 @@ QUERIES = {
     "vocab_entropy": q_vocab_entropy,
     "clean_corpus_pipeline": q_clean_corpus_pipeline,
     "token_count_bpe": q_token_count_bpe,
+    "token_stats_unicode": q_token_stats_unicode,
     "rolling_fingerprint": q_rolling_fingerprint,
     "lang_id": q_lang_id,
     "lang_id_eval": q_lang_id_eval,

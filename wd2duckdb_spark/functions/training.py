@@ -893,6 +893,13 @@ def _lr_calibration_oracle() -> str:
 #: every fixture SF (≈25 docs/source at sf0.001, ≈250 at sf0.1).
 DOMAIN_CAP = 15
 
+#: Quota maps up to this size compile to a literal CASE chain (the
+#: plan-pinned WindowGroupLimit shape); larger maps broadcast-join a
+#: (source, quota) lookup instead — a thousands-entry CASE chain is
+#: O(|caps|) expression depth and risks Catalyst codegen/stack blowup
+#: (ADVICE r10).
+DOMAIN_CAP_CASE_MAX = 64
+
 
 def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/RefinedWeb-style PER-DOMAIN document cap: keep at most
@@ -968,16 +975,41 @@ def domain_cap_keep(
     fallback = cap if default_cap is None else default_cap
     if fallback < 1 or any(v < 1 for v in caps.values()):
         raise ValueError("every quota must be >= 1")
-    cap_expr = F.lit(fallback)
-    for src, k in sorted(caps.items()):
-        cap_expr = F.when(F.col("source") == src, F.lit(k)).otherwise(
-            cap_expr
+    if None in caps:
+        raise ValueError(
+            "NULL source has no quota semantics — filter NULL-source "
+            "rows (or assign them a real source) before capping"
         )
     max_cap = max([fallback, *caps.values()])
+    ranked = docs.withColumn("_rn", rn)
+    if len(caps) <= DOMAIN_CAP_CASE_MAX:
+        # bounded literal CASE chain — fine for dimension-sized maps
+        cap_expr = F.lit(fallback)
+        for src, k in sorted(caps.items()):
+            cap_expr = F.when(F.col("source") == src, F.lit(k)).otherwise(
+                cap_expr
+            )
+        return (
+            ranked.filter(
+                (F.col("_rn") <= F.lit(max_cap)) & (F.col("_rn") <= cap_expr)
+            )
+            .drop("_rn")
+        )
+    # ADVICE r10: a thousands-entry CASE chain gives O(|caps|)
+    # expression DEPTH — Catalyst codegen / analyzer stack blowup and
+    # per-row linear evaluation. Above the threshold, ship the map as
+    # a broadcast (source, _quota) lookup instead: same max-cap
+    # CONSTANT conjunct (that's what WindowGroupLimit extracts, so
+    # map-side pre-pruning is unchanged), per-source cut via the
+    # joined quota with the fallback for unmapped sources.
+    spark = docs.sparkSession
+    cap_rows = [(s, int(k)) for s, k in sorted(caps.items())]
+    cap_df = spark.createDataFrame(cap_rows, "source string, _quota int")
     return (
-        docs.withColumn("_rn", rn)
-        .filter((F.col("_rn") <= F.lit(max_cap)) & (F.col("_rn") <= cap_expr))
-        .drop("_rn")
+        ranked.filter(F.col("_rn") <= F.lit(max_cap))
+        .join(F.broadcast(cap_df), "source", "left")
+        .filter(F.col("_rn") <= F.coalesce(F.col("_quota"), F.lit(fallback)))
+        .select(*docs.columns)  # USING-join reorders; restore input order
     )
 
 
@@ -1003,7 +1035,13 @@ def q_domain_cap_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     the registered query exercises the real dict-parameter API; the
     filter still plans WindowGroupLimit on the max quota
     (plan-pinned in tests/test_round10_ops.py)."""
-    d = tbl(spark, sf_dir, "documents")
+    # explicit NULL-source contract (ADVICE r10): a NULL source has no
+    # quota semantics — Python sorted() would raise on str/None, and
+    # the oracle's JOIN ... USING (source) silently DROPS NULL-source
+    # rows while a CASE chain would cap them at the fallback. Filter
+    # them on both the distinct collect and the capped frame so the
+    # engines stay aligned by construction.
+    d = tbl(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
     srcs = sorted(
         r["source"] for r in d.select("source").distinct().collect()
     )

@@ -16,7 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wd2duckdb_spark.catalog import eager_checkpoint, tbl
+from wd2duckdb_spark.catalog import (
+    eager_checkpoint,
+    register_memo,
+    session_key,
+    tbl,
+)
 
 
 def q_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,6 +130,40 @@ def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: in tests/test_round3_ops.py), so oracle hashes are unchanged.
 PR_CKPT_DEFAULT = 2
 
+#: (applicationId, sf_dir) → (outdeg, trans, n): the rank-independent
+#: transition structure every PageRank call reuses. ADVICE r10: the
+#: per-call persist() of outdeg/trans leaked a pair of cache entries
+#: on every invocation in a long-lived session; the memo bounds that
+#: to one pair per (session, sf_dir) and makes repeat calls start
+#: from the warm structure. clear_memos() invalidates as usual.
+_pr_trans_cache: dict[tuple[str, str], tuple] = register_memo({})
+
+
+def _pr_structure(spark: SparkSession, sf_dir: str) -> tuple:
+    """Persisted-once (outdeg, trans, n) for the trade graph."""
+    key = (session_key(spark), sf_dir)
+    cached = _pr_trans_cache.get(key)
+    if cached is not None:
+        return cached
+    edges = _bipartite_edges(spark, sf_dir)
+    # outdeg doubles as the VERTEX SET (one row per distinct src, and
+    # the bidirectional construction makes every vertex a src), so
+    # the vertex count and the uniform init vector both read this
+    # small persisted frame instead of re-shuffling trans through a
+    # distinct — two fewer corpus-side jobs per call (round 10).
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    # Rank-independent per-edge transition structure, reused every
+    # superstep: (src, dst, deg).
+    trans = edges.join(outdeg, "src").persist()
+    n = outdeg.count()  # warms the vertex cache; trans warms lazily
+    if n == 0:
+        # degenerate corpus — don't memoize empty persists
+        trans.unpersist()
+        outdeg.unpersist()
+        return outdeg, trans, 0
+    _pr_trans_cache[key] = (outdeg, trans, n)
+    return outdeg, trans, n
+
 
 def q_pagerank_topk(
     spark: SparkSession,
@@ -163,23 +202,11 @@ def q_pagerank_topk(
     and out-degree ≥ 1 — no dangling-mass term, and the contribution
     aggregation alone reaches every vertex (no left-join backfill).
     """
-    edges = _bipartite_edges(spark, sf_dir)
-    # outdeg doubles as the VERTEX SET (one row per distinct src, and
-    # the bidirectional construction makes every vertex a src), so
-    # the vertex count and the uniform init vector both read this
-    # small persisted frame instead of re-shuffling trans through a
-    # distinct — two fewer corpus-side jobs per call (round 10).
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
-    # Rank-independent per-edge transition structure, reused every
-    # superstep: (src, dst, deg).
-    trans = edges.join(outdeg, "src").persist()
-    n = outdeg.count()  # warms the vertex cache; trans warms lazily
+    outdeg, trans, n = _pr_structure(spark, sf_dir)
     if n == 0:
         # degenerate corpus: no edges, no vertices — empty result with
         # the output schema (1.0/n would otherwise divide by zero)
-        trans.unpersist()
-        outdeg.unpersist()
-        return edges.limit(0).select(
+        return outdeg.limit(0).select(
             F.col("src").alias("node_id"), F.lit(0.0).alias("rank")
         )
 
@@ -211,6 +238,97 @@ def q_pagerank_topk(
         .orderBy(F.desc("rank"), "node_id")
         .limit(20)
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    tol: float | None = None,
+    max_iters: int = 20,
+    damping: float = PR_DAMPING,
+    checkpoint_interval: int = PR_CKPT_DEFAULT,
+) -> DataFrame:
+    """Production-shaped PageRank over an arbitrary ``(src, dst)``
+    edge frame with optional tolerance-based EARLY STOP (VERDICT r10
+    item 7): a fixed superstep count either wastes supersteps on a
+    fast-converging graph or under-converges a slow one.
+
+    Contract: every vertex must appear as a ``src`` (no dangling
+    mass) — the same invariant the registered
+    :func:`q_pagerank_topk` trade graph satisfies by bidirectional
+    construction; callers with dangling nodes should add self-loops
+    or reverse edges first.
+
+    When ``tol`` is set, convergence is tested at each CHECKPOINT
+    boundary (every ``checkpoint_interval`` supersteps) — the rank
+    vector is already being materialized there for lineage
+    truncation, so the L1-delta check is one extra vertex-sized
+    aggregate per boundary, not per superstep: ``Σ|r_i − r_{i−k}| <
+    tol`` stops the loop. With ``tol=None`` the loop runs exactly
+    ``max_iters`` supersteps (the registered query's behavior, which
+    stays on its own 5-iteration oracle-pinned path). Scale posture
+    identical to :func:`q_pagerank_topk`: lazy linear lineage between
+    boundaries, persisted rank-independent transition structure,
+    replay bounded to ≤ ``checkpoint_interval`` supersteps.
+    """
+    if checkpoint_interval <= 0:
+        checkpoint_interval = max_iters  # single final boundary
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    trans = edges.join(outdeg, "src").persist()
+    n = outdeg.count()
+    if n == 0:
+        outdeg.unpersist()
+        trans.unpersist()
+        return edges.limit(0).select(
+            F.col("src").alias("node_id"), F.lit(0.0).alias("rank")
+        )
+    teleport = 1.0 - damping
+    ranks = outdeg.select(
+        F.col("src").alias("id"), F.lit(1.0 / n).alias("rank")
+    )
+    prev_ckpt = None  # rank vector at the last boundary
+    converged = False
+    for i in range(max_iters):
+        contribs = (
+            trans.join(ranks, trans.src == ranks.id)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        ranks = contribs.select(
+            F.col("dst").alias("id"),
+            (F.lit(teleport / n) + damping * F.col("contrib")).alias("rank"),
+        )
+        at_boundary = (i + 1) % checkpoint_interval == 0
+        if at_boundary and i + 1 < max_iters:
+            ranks = eager_checkpoint(ranks)
+            if tol is not None:
+                if prev_ckpt is not None:
+                    delta = (
+                        ranks.join(
+                            prev_ckpt.select(
+                                "id", F.col("rank").alias("prev")
+                            ),
+                            "id",
+                        )
+                        .agg(
+                            F.sum(
+                                F.abs(F.col("rank") - F.col("prev"))
+                            ).alias("d")
+                        )
+                        .collect()[0]["d"]
+                    )
+                    if delta is not None and delta < tol:
+                        converged = True
+                        break
+                prev_ckpt = ranks
+    if converged:
+        # the returned frame is checkpoint-truncated — trans/outdeg
+        # are no longer in its lineage, so release them now
+        trans.unpersist()
+        outdeg.unpersist()
+    # not converged: the tail supersteps past the last boundary are
+    # still lazy over trans — unpersisting would force recompute;
+    # left to the caller (clearCache) once the frame is materialized.
+    return ranks.select(F.col("id").alias("node_id"), F.col("rank"))
 
 
 def _pagerank_oracle() -> str:

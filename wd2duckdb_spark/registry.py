@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from wd2duckdb_spark.functions import (
+    ann_index,
     bpe,
     dedup,
     multimodal,
@@ -46,6 +47,7 @@ _MODULES = (
     dedup,
     bpe,
     similarity,
+    ann_index,
     retrieval,
     sessionize,
     multimodal,
