@@ -359,3 +359,51 @@ def test_shingle_tokenizer_seam_cjk(spark):
     uni = {r.doc_id: sorted(r.sh) for r in _with_shingles(d, "unicode").collect()}
     assert len(uni) == 2
     assert uni[1] == uni[2] and len(uni[1]) == 3  # 5 tokens -> 3 shingles
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r10 item 4 — verbatim span-removal action twin
+# ---------------------------------------------------------------------------
+
+
+def test_verbatim_span_removal_cuts_later_doc_only(spark):
+    """Planted single-quotation pair: doc 2 embeds a 16-token passage
+    from doc 1 inside otherwise-unrelated text. The passage must be
+    removed from doc 2 ONLY (first-occurrence-wins); doc 1 is
+    untouched (and therefore absent from the affected-docs output)."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from wd2duckdb_spark.functions.dedup import (
+        VERBATIM_K,
+        _span_removal_frame,
+    )
+
+    passage = [f"quote{i}" for i in range(VERBATIM_K)]  # exactly 16
+    doc1 = ["alpha", "beta"] + passage + ["gamma"]
+    doc2 = ["left", "middle"] + passage + ["right", "tail"]
+    doc3 = ["unrelated", "words", "only", "here"]
+    d = spark.createDataFrame(
+        [(1, " ".join(doc1)), (2, " ".join(doc2)), (3, " ".join(doc3))],
+        "doc_id long, text string",
+    )
+    toks = d.select(
+        "doc_id",
+        F.expr("filter(split(lower(trim(text)), ' '), x -> x <> '')").alias(
+            "w"
+        ),
+    )
+    rows = {
+        r.doc_id: r
+        for r in _span_removal_frame(toks, VERBATIM_K, hash_grams=True)
+        .collect()
+    }
+    # doc 1 holds the canonical (min doc_id) occurrence — unaffected;
+    # doc 3 shares nothing — unaffected
+    assert set(rows) == {2}
+    r2 = rows[2]
+    assert r2.n_tokens == len(doc2)
+    assert r2.n_removed == VERBATIM_K
+    cleaned = " ".join(["left", "middle", "right", "tail"])
+    assert r2.cleaned_hash == hashlib.md5(cleaned.encode()).hexdigest()

@@ -1068,15 +1068,36 @@ def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership agree bit-for-bit.
     """
     d = tbl(spark, sf_dir, "documents")
-    grams = F.expr(
-        f"transform(sequence(1, size(w) - {SPAN_N - 1}),"
-        f" i -> concat_ws(' ', slice(w, i, {SPAN_N})))"
-    )
     toks = d.select(
         "doc_id", F.split(F.lower(F.trim("text")), " ").alias("w")
     )
+    return _span_removal_frame(toks, SPAN_N)
+
+
+def _span_removal_frame(
+    toks: DataFrame, n: int, hash_grams: bool = False
+) -> DataFrame:
+    """Shared remove-later-occurrences machinery of
+    :func:`q_dedup_span_removal` (word 5-grams) and
+    :func:`q_verbatim_span_removal` (16-token verbatim windows):
+    ``toks`` = (doc_id, w array<string>); every ``n``-gram occurring
+    ≥2 times corpus-wide keeps only its min-(doc_id, pos) occurrence,
+    all other occurrences mark their ``n`` positions for removal, and
+    affected documents report before/after counts + the md5 of the
+    reconstructed text. Same plan shape at any ``n`` — one gram-keyed
+    aggregate, contamination-sized join back, in-row reconstruction.
+    ``hash_grams`` shuffles md5 digests instead of raw gram strings —
+    worth it once ``n`` makes grams wider than the 32-char digest
+    (gram values are keys only, never output, so results are
+    unchanged; md5 is deterministic on both engines)."""
+    gram_sql = f"concat_ws(' ', slice(w, i, {n}))"
+    if hash_grams:
+        gram_sql = f"md5({gram_sql})"
+    grams = F.expr(
+        f"transform(sequence(1, size(w) - {n - 1}), i -> {gram_sql})"
+    )
     occ = (
-        toks.filter(F.size("w") >= SPAN_N)
+        toks.filter(F.size("w") >= n)
         .select("doc_id", F.posexplode(grams).alias("pos0", "gram"))
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
     ).persist()  # one shingling pass feeds the dup aggregate AND the
@@ -1106,7 +1127,7 @@ def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + (SPAN_N - 1))
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
             ).alias("idx"),
         )
     )
@@ -2085,6 +2106,42 @@ def q_verbatim_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_verbatim_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION twin of :func:`q_verbatim_overlap_pairs` (VERDICT
+    r10 item 4): Lee et al. 2022's actual dedup REMOVES the shared
+    verbatim spans — the pairs query only NAMES the documents. This
+    cuts every later occurrence of any corpus-repeated
+    :data:`VERBATIM_K`-token window: the min-(doc_id, pos) occurrence
+    is canonical and stays (first-occurrence-wins, the same rule as
+    :func:`q_dedup_span_removal` — shared machinery,
+    :func:`_span_removal_frame`); all other occurrences mark their
+    16 positions for removal, overlapping repeats union naturally,
+    and the cleaned text is pinned by md5 cross-engine. A quoted
+    passage embedded in a later document is removed from the later
+    document ONLY (planted-pair test in tests/test_round11_ops.py).
+
+    Token stream matches the pairs query exactly (lower/trim split
+    with empty tokens dropped), so a window this removes is a window
+    the pairs query counted — the two views cannot disagree on what
+    "verbatim shared" means. Same scale posture as the 5-gram
+    remover: the only corpus-sized exchange is the gram-keyed
+    aggregate; at K=16 the gram strings are ~3× longer but the
+    repeated-window set is far sparser (only real copied passages
+    repeat 16 straight tokens). Window keys shuffle as md5 digests —
+    the same uniform 32-char key the pairs query exchanges — instead
+    of ~16-word raw gram strings."""
+    d = tbl(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = d.select(
+        "doc_id",
+        F.expr("filter(split(lower(trim(text)), ' '), x -> x <> '')").alias(
+            "w"
+        ),
+    )
+    return _span_removal_frame(toks, VERBATIM_K, hash_grams=True)
+
+
 #: Containment threshold t = |A∩B|/|A| ≥ 9/10 as an exact integer
 #: ratio, so bounds and the accept test never touch floating point.
 CONTAIN_NUM, CONTAIN_DEN = 9, 10
@@ -2591,6 +2648,7 @@ QUERIES = {
     "containment_join": q_containment_join,
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "verbatim_overlap_pairs": q_verbatim_overlap_pairs,
+    "verbatim_span_removal": q_verbatim_span_removal,
     "lsh_candidate_eval": q_lsh_candidate_eval,
 }
 
@@ -2814,6 +2872,45 @@ ORACLES["ngram_novelty"] = f"""
     GROUP BY 1 ORDER BY 1
 """
 
+
+ORACLES["verbatim_span_removal"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           x -> x <> '') AS w
+        FROM documents
+    ), base AS (
+        SELECT doc_id,
+               unnest(range(1, greatest(len(w) - {VERBATIM_K - 2}, 1)))
+                   AS pos,
+               unnest(list_transform(
+                   range(1, greatest(len(w) - {VERBATIM_K - 2}, 1)),
+                   i -> array_to_string(w[i:i + {VERBATIM_K - 1}], ' ')))
+                   AS gram
+        FROM t
+    ), dup AS (
+        SELECT gram, min(ROW(doc_id, pos)) AS canon
+        FROM base GROUP BY gram HAVING count(*) >= 2
+    ), rem AS (
+        SELECT doc_id, unnest(range(pos, pos + {VERBATIM_K})) AS idx
+        FROM base JOIN dup USING (gram)
+        WHERE NOT (doc_id = canon[1] AND pos = canon[2])
+    ), dropset AS (
+        SELECT doc_id, list(DISTINCT idx) AS drop_idx
+        FROM rem GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(drop_idx) AS BIGINT) AS n_removed,
+           md5(coalesce(array_to_string(
+               list_transform(
+                   list_filter(list_zip(w, range(1, len(w) + 1)),
+                               x -> NOT list_contains(drop_idx, x[2])),
+                   x -> x[1]),
+               ' '), '')) AS cleaned_hash
+    FROM t JOIN dropset ON t.doc_id = dropset.doc_id
+    ORDER BY t.doc_id
+"""
 
 ORACLES["dedup_span_removal"] = f"""
     WITH t AS (
