@@ -104,6 +104,11 @@ HEADLINE = (
     "domain_cap_quota",
     # round-10: anchored exact-substring overlap pairs (Lee et al.)
     "verbatim_overlap_pairs",
+    # round-11: the span-REMOVAL action twin of the verbatim pairs,
+    # the persisted-index ANN probe, and the unicode tokenizer tier
+    "verbatim_span_removal",
+    "ann_index_probe",
+    "token_stats_unicode",
 )
 
 

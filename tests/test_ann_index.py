@@ -207,3 +207,54 @@ def test_ingest_without_bootstrap_fails_fast(spark, tmp_path):
     batch = tbl(spark, SF_DIR, "embeddings").limit(4)
     with pytest.raises(Exception):
         ann_index_ingest(batch, 0, str(tmp_path / "nonexistent_index"))
+
+
+def test_compact_ann_index_preserves_probe_and_prunes_dirs(spark, tmp_path):
+    """Folding all batches ≤ through_batch into batch=-1 keeps probe
+    results identical, keeps cell-level partition pruning, and
+    reduces the assignments directory count from (B+1)×cells toward
+    1×cells."""
+    import os
+
+    from wd2duckdb_spark.functions.ann_index import compact_ann_index
+    from wd2duckdb_spark.functions.similarity import q_ivf_ann_topk
+
+    idx = _build_streamed_index(spark, tmp_path, 5, "compact")
+    want = _probe_rows(spark, idx)
+    assert want == [
+        (r.vec_id, r.cell, r.cosine)
+        for r in q_ivf_ann_topk(spark, SF_DIR).collect()
+    ]
+
+    def _batch_dirs():
+        return sorted(
+            d
+            for d in os.listdir(f"{idx}/assignments")
+            if d.startswith("batch=")
+        )
+
+    assert len(_batch_dirs()) == 6  # bootstrap + 5 micro-batches
+    compact_ann_index(spark, idx, through_batch=4)
+    assert _batch_dirs() == ["batch=-1"]
+    assert _probe_rows(spark, idx) == want
+    # idempotent re-fold
+    compact_ann_index(spark, idx, through_batch=4)
+    assert _batch_dirs() == ["batch=-1"]
+    assert _probe_rows(spark, idx) == want
+    # pruning still fires on the folded layout
+    from wd2duckdb_spark.functions.ann_index import ivf_index_probe
+    from wd2duckdb_spark.functions.similarity import (
+        IVF_CENTROID_IDS,
+        query_vector,
+    )
+    from wd2duckdb_spark.plans import partition_filters
+
+    qv = query_vector(spark, SF_DIR, 0)
+    pf = " ".join(
+        partition_filters(
+            ivf_index_probe(
+                spark, idx, qv, k=10, exclude_ids=(0, *IVF_CENTROID_IDS)
+            )
+        )
+    )
+    assert "cell" in pf, pf

@@ -342,6 +342,48 @@ def pq_index_adc_topk(
     )
 
 
+#: Partition value of the bootstrap/archive tier. Structured
+#: Streaming batch ids start at 0, so -1 never collides with a live
+#: batch (same convention as the dedup index's ARCHIVE_BATCH).
+BOOTSTRAP_BATCH = -1
+
+
+def compact_ann_index(
+    spark: SparkSession, index_dir: str, through_batch: int
+) -> None:
+    """Fold every assignments ``batch=<id>`` partition with id ≤
+    ``through_batch`` (plus the bootstrap) into ONE ``batch=-1``
+    partition, preserving the ``cell`` sub-partitioning the probe's
+    directory pruning depends on — the ANN face of the dedup tier's
+    ``archive_index``: after B micro-batches the probe otherwise
+    lists B×n_cells directories. Batches later than ``through_batch``
+    pass through untouched (they may still be replayed by a restarted
+    stream; the stream must be STOPPED past ``through_batch`` when
+    this runs — same offline contract as the dedup archive).
+    Idempotent: re-folding with the same ``through_batch`` rewrites
+    the same rows into the same layout. Crash-safe via the shared
+    staging swap (:func:`wd2duckdb_spark.maintenance.swap_in`)."""
+    from wd2duckdb_spark.maintenance import swap_in
+
+    path = f"{index_dir}/assignments"
+    a = spark.read.parquet(path)
+    folded = a.withColumn(
+        "batch",
+        F.when(
+            F.col("batch") <= through_batch, F.lit(BOOTSTRAP_BATCH)
+        ).otherwise(F.col("batch")),
+    )
+    tmp = path.rstrip("/") + "._compact"
+    backup = path.rstrip("/") + "._precompact"
+    (
+        folded.repartition("batch", "cell")
+        .write.mode("overwrite")
+        .partitionBy("batch", "cell")
+        .parquet(tmp)
+    )
+    swap_in(spark, path, tmp, backup, op="compact_ann_index")
+
+
 # ---------------------------------------------------------------------------
 # Registered query — the index path under the driver's oracle gate
 # ---------------------------------------------------------------------------
@@ -377,7 +419,9 @@ def q_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     set (query vector + centroid seed ids) mirrors the from-scratch
     query so the two paths are row-identical."""
     qv = query_vector(spark, sf_dir, 0)
-    if not qv:
+    if not qv or not _centroids(spark, sf_dir):
+        # degenerate corpus: no probe vector or no trainable
+        # centroids — the oracle's count guards empty it identically
         return tbl(spark, sf_dir, "embeddings").limit(0).select(
             "vec_id",
             F.lit(0).cast("bigint").alias("cell"),
