@@ -258,3 +258,101 @@ def test_compact_ann_index_preserves_probe_and_prunes_dirs(spark, tmp_path):
         )
     )
     assert "cell" in pf, pf
+
+
+def test_trained_centroid_index_end_to_end(spark, tmp_path):
+    """The production path: bootstrap from TRAINED Lloyd centroids
+    instead of the seed stand-in. The index must carry its own
+    centroid table (probes never re-train), assignments must cover
+    the same clean vectors, and the probe must equal a from-scratch
+    nearest-trained-centroid computation on the probe cells."""
+    from wd2duckdb_spark.functions.ann_index import (
+        _index_centroids,
+        ivf_index_probe,
+        ivf_index_write,
+    )
+    from wd2duckdb_spark.functions.similarity import (
+        KMEANS_K,
+        clean_embeddings,
+        query_vector,
+        trained_centroids,
+    )
+
+    idx = str(tmp_path / "trained_index")
+    cents = trained_centroids(spark, SF_DIR)
+    assert len(cents) == KMEANS_K
+    ivf_index_write(spark, SF_DIR, idx, centroids=cents)
+    # the persisted centroid table IS the trained one
+    assert _index_centroids(spark, idx) == cents
+    n_clean = clean_embeddings(spark, SF_DIR).count()
+    assert (
+        spark.read.parquet(f"{idx}/assignments").count() == n_clean
+    )
+    qv = query_vector(spark, SF_DIR, 0)
+    got = ivf_index_probe(spark, idx, qv, k=10, exclude_ids=(0,)).collect()
+    assert len(got) == 10
+    # every returned cell is one of the driver-side probe cells
+    def _cos(a, b):
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    probe = {
+        cid
+        for cid, _ in sorted(
+            ((cid, _cos(qv, c)) for cid, c in cents),
+            key=lambda t: (-t[1], t[0]),
+        )[:2]
+    }
+    assert {r.cell for r in got} <= probe
+    # descending cosine, vec_id tie-break
+    sims = [(r.cosine, -r.vec_id) for r in got]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_pq_composed_probe_matches_cell_restricted_adc(spark, tmp_path):
+    """IVF+PQ: the composed probe equals the full ADC ranking
+    restricted to the probe cells (same codes, same LUT), and scans
+    with cell partition pruning."""
+    import pyspark.sql.functions as F
+
+    from wd2duckdb_spark.functions.ann_index import (
+        ivf_index_write,
+        ivf_pq_index_probe,
+        pq_index_adc_topk,
+        write_index_codebook,
+    )
+    from wd2duckdb_spark.functions.similarity import (
+        _pq_codebook,
+        query_vector,
+    )
+    from wd2duckdb_spark.plans import partition_filters
+
+    idx = str(tmp_path / "ivfpq_index")
+    cb = _pq_codebook(spark, SF_DIR)
+    write_index_codebook(spark, idx, cb)
+    ivf_index_write(spark, SF_DIR, idx, codebook=cb)
+    qv = query_vector(spark, SF_DIR, 0)
+
+    composed = ivf_pq_index_probe(
+        spark, idx, qv, k=10, exclude_ids=(0,)
+    )
+    pf = " ".join(partition_filters(composed))
+    assert "cell" in pf, pf
+    got = [(r.vec_id, r.adc_dist) for r in composed.collect()]
+
+    # reference: full-corpus ADC restricted to the same cells
+    cells = {r.cell for r in composed.collect()}
+    full = pq_index_adc_topk(
+        spark, idx, qv, k=10_000, exclude_ids=(0,)
+    )
+    a = spark.read.parquet(f"{idx}/assignments").select("vec_id", "cell")
+    want_rows = (
+        full.join(a, "vec_id")
+        .filter(F.col("cell").isin(*cells))
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+        .collect()
+    )
+    want = [(r.vec_id, r.adc_dist) for r in want_rows]
+    assert got == want and len(got) == 10

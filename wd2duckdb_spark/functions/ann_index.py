@@ -138,13 +138,21 @@ def ivf_index_write(
     sf_dir: str,
     index_dir: str,
     codebook: list[list[float]] | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> None:
     """Bootstrap the persisted IVF index from the embeddings table:
     centroid table + cell-partitioned assignments under
     ``batch=-1``. ``codebook`` (optional) additionally stores the 8
     PQ codes per vector — the compressed-candidate tier an ADC probe
-    reads instead of the float vectors."""
-    cents = _centroids(spark, sf_dir)
+    reads instead of the float vectors. ``centroids`` (optional)
+    supplies TRAINED centroids — e.g.
+    :func:`wd2duckdb_spark.functions.similarity.trained_centroids`,
+    the Lloyd k-means output — instead of the deterministic
+    seed-vector stand-in; index/probe mechanics are identical either
+    way, and once written the index carries its own centroid table,
+    so probes and ingest never need to know which training produced
+    it."""
+    cents = centroids if centroids is not None else _centroids(spark, sf_dir)
     if not cents:
         raise ValueError(f"no trainable centroids in {sf_dir}")
     spark.createDataFrame(
@@ -333,6 +341,69 @@ def pq_index_adc_topk(
     return (
         a.select(
             "vec_id",
+            (F.floor(dist * 1000000 + F.lit(0.5)) / 1000000).alias(
+                "adc_dist"
+            ),
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(k)
+    )
+
+
+def ivf_pq_index_probe(
+    spark: SparkSession,
+    index_dir: str,
+    qv: list[float],
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+    exclude_ids: tuple[int, ...] = (),
+) -> DataFrame:
+    """IVF+PQ composed probe — the FAISS-default billion-vector
+    shape: partition pruning cuts the scan to ``nprobe`` cells, then
+    ADC over the STORED codes scores the survivors without ever
+    rehydrating float vectors. Requires a bootstrap with
+    ``codebook=``. Result = the plain ADC ranking restricted to the
+    probe cells (pinned in tests against exactly that restriction);
+    like all IVF paths it trades recall for the nprobe/n_cells scan
+    bound."""
+    from wd2duckdb_spark.functions.similarity import PQ_SUBSPACES, _pq_lut
+
+    codebook = _index_codebook_if_stored(spark, index_dir)
+    if codebook is None:
+        raise ValueError(
+            f"{index_dir} stores no PQ codes — bootstrap with codebook="
+        )
+    cents = _index_centroids(spark, index_dir)
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        return sum(x * y for x, y in zip(a, b)) / (
+            _py_norm(a) * _py_norm(b)
+        )
+
+    probe = [
+        cid
+        for cid, _ in sorted(
+            ((cid, _cos(qv, c)) for cid, c in cents),
+            key=lambda t: (-t[1], t[0]),
+        )[:nprobe]
+    ]
+    lut = _pq_lut(qv, codebook)
+    a = spark.read.parquet(f"{index_dir}/assignments").filter(
+        F.col("cell").isin(*probe)
+    )
+    if exclude_ids:
+        a = a.filter(~F.col("vec_id").isin(*exclude_ids))
+    dist = F.expr(
+        " + ".join(
+            f"element_at(array({', '.join(repr(x) for x in lut[j])}),"
+            f" code{j} + 1)"
+            for j in range(PQ_SUBSPACES)
+        )
+    )
+    return (
+        a.select(
+            "vec_id",
+            F.col("cell").cast("bigint").alias("cell"),
             (F.floor(dist * 1000000 + F.lit(0.5)) / 1000000).alias(
                 "adc_dist"
             ),

@@ -1300,14 +1300,18 @@ def _sqdist(a: Column, b: Column) -> Column:
 
 def _lloyd_assignment(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """Shared Lloyd's-iterations core: returns ``(vecs, assignment)``
-    where ``vecs`` is the persisted (vec_id, v: array<double>)
-    projection and ``assignment`` is (vec_id, cid, dist) after
-    KMEANS_ITERS floor-6-normalized iterations from the deterministic
-    first-K seeds. Consumed by :func:`q_kmeans_lloyd` (cluster
-    summaries) and :func:`q_semantic_dedup` (cluster-bounded near-dup
-    pruning) — one clustering codepath, one oracle CTE prefix."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared Lloyd's-iterations core: returns ``(vecs, assignment,
+    cents)`` where ``vecs`` is the persisted (vec_id, v:
+    array<double>) projection, ``assignment`` is (vec_id, cid, dist)
+    after KMEANS_ITERS floor-6-normalized iterations from the
+    deterministic first-K seeds, and ``cents`` is the TRAINED
+    centroid frame (cid, c) those assignments used. Consumed by
+    :func:`q_kmeans_lloyd` (cluster summaries), :func:`q_semantic_dedup`
+    (cluster-bounded near-dup pruning), and
+    :func:`trained_centroids` (the production centroid source for the
+    persisted ANN index) — one clustering codepath, one oracle CTE
+    prefix."""
     vecs = (
         clean_embeddings(spark, sf_dir)  # EMB_DIM contract, oracle-mirrored
         .select("vec_id", _as_double(F.col("embedding")).alias("v"))
@@ -1345,7 +1349,24 @@ def _lloyd_assignment(
                 ).alias("c")
             )
         )
-    return vecs, assign(cents)
+    return vecs, assign(cents), cents
+
+
+def trained_centroids(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, list[float]]]:
+    """The trained Lloyd centroids as the driver-side list the
+    persisted ANN index consumes — the production replacement for the
+    deterministic seed-vector stand-in :data:`IVF_CENTROID_IDS`
+    (whose docstring has promised exactly this swap-in since round 1).
+    K rows collected (broadcast-sized by construction); same training
+    codepath as the registered kmeans_lloyd query, so the centroids
+    are floor-6 deterministic and session-reproducible."""
+    _vecs, _asg, cents = _lloyd_assignment(spark, sf_dir)
+    rows = cents.collect()
+    return sorted(
+        (int(r["cid"]), [float(x) for x in r["c"]]) for r in rows
+    )
 
 
 def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1449,7 +1470,7 @@ def _lloyd_assignment_materialized(
         reliable_dir = spark.conf.get(RELIABLE_CKPT_CONF, None)
     key = (session_key(spark), sf_dir, reliable_dir)
     if key not in _asg_memo:
-        vecs, asg = _lloyd_assignment(spark, sf_dir)
+        vecs, asg, _cents = _lloyd_assignment(spark, sf_dir)
         try:
             _asg_memo[key] = eager_checkpoint(asg, reliable_dir)
         finally:
@@ -1465,7 +1486,7 @@ def _kmeans_summary_plan(
     the cluster-once memo (the public query consumes
     :func:`_lloyd_assignment_materialized`). Caller owns the ``vecs``
     persist."""
-    vecs, final = _lloyd_assignment(spark, sf_dir)
+    vecs, final, _cents = _lloyd_assignment(spark, sf_dir)
     summary = (
         final.groupBy("cid")
         .agg(
@@ -1554,7 +1575,7 @@ def _semantic_dedup_plan(
     going through the cluster-once memo (the public query consumes
     :func:`_lloyd_assignment_materialized`). Caller owns BOTH
     persists."""
-    vecs, asg = _lloyd_assignment(spark, sf_dir)
+    vecs, asg, _cents = _lloyd_assignment(spark, sf_dir)
     # the assignment feeds BOTH the pair stage and the final keep-list
     # join — without the (narrow, corpus-rows × 3 cols) cache the whole
     # Lloyd chain computes twice: measured 2.7 → 1.15 s at sf0.1,
