@@ -356,3 +356,68 @@ def test_ivf_pq_composed_probe_matches_cell_restricted_adc(spark, tmp_path):
     )
     want = [(r.vec_id, r.adc_dist) for r in want_rows]
     assert got == want and len(got) == 10
+
+
+def test_ann_index_metrics_reconcile_and_quarantine(spark, tmp_path):
+    """The per-batch sidecar reconciles against the assignments table
+    (sum(n_indexed) == assignments − bootstrap) and counts the
+    schema-contract quarantine: a batch with NULL/ragged vectors
+    reports them as n_quarantined instead of indexing them."""
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.functions.ann_index import (
+        ann_index_ingest,
+        ann_index_metrics,
+    )
+
+    idx = _build_streamed_index(spark, tmp_path, 2, "metrics")
+    m = {r.batch_id: r for r in ann_index_metrics(spark, idx).collect()}
+    assert set(m) == {0, 1}
+    n_boot = (
+        spark.read.parquet(f"{idx}/assignments")
+        .filter(F.col("batch") == -1)
+        .count()
+    )
+    n_all = spark.read.parquet(f"{idx}/assignments").count()
+    assert sum(r.n_indexed for r in m.values()) == n_all - n_boot
+    assert all(r.n_quarantined == 0 for r in m.values())
+
+    schema = tbl(spark, SF_DIR, "embeddings").schema
+    dirty = spark.createDataFrame(
+        [
+            (900001, [0.5] * 64, 3),
+            (900002, None, 3),            # NULL vector -> quarantined
+            (900003, [0.5, 0.5], 3),      # ragged -> quarantined
+        ],
+        schema,
+    )
+    ann_index_ingest(dirty, 7, idx)
+    m7 = {
+        r.batch_id: r for r in ann_index_metrics(spark, idx).collect()
+    }[7]
+    assert (m7.n_in, m7.n_indexed, m7.n_quarantined) == (3, 1, 2)
+
+
+def test_index_cell_balance_reads_partition_column_only(spark, tmp_path):
+    """The persisted-index cell-balance diagnostic: shares sum to 1,
+    counts match per-cell directory contents, and the scan reads ONLY
+    the cell partition column (ReadSchema is empty of data columns)."""
+    from wd2duckdb_spark.functions.ann_index import (
+        _fixture_index,
+        index_cell_balance,
+    )
+    from wd2duckdb_spark.plans import read_schema
+
+    idx = _fixture_index(spark, SF_DIR)
+    df = index_cell_balance(spark, idx)
+    rows = df.collect()
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-6
+    want = {
+        r.cell: r.n
+        for r in spark.read.parquet(f"{idx}/assignments")
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {r.cell: r.n_vectors for r in rows} == want
+    rs = " ".join(read_schema(df))
+    assert "v" not in rs.split() and "nv" not in rs, rs

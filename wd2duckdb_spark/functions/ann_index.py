@@ -177,15 +177,76 @@ def ann_index_ingest(
     here unless the bootstrap stored them: mixed layouts would make
     ADC probes silently partial. The presence check reads the
     bootstrap's code columns once per session (schema probe, no
-    data read)."""
+    data read).
+
+    A per-batch accounting sidecar (the streaming face of the
+    reference's progress reporting, same protocol as the dedup
+    tier's ``_metrics``) records arrivals vs indexed rows — the
+    difference is the schema-contract quarantine (NULL/ragged
+    vectors), the number an index operator watches for feed rot.
+    Underscore dir, invisible to assignments readers; overwrite
+    keeps replays idempotent like the data write."""
     spark = batch_df.sparkSession
     cents = _index_centroids(spark, index_dir)
     codebook = _index_codebook_if_stored(spark, index_dir)
-    (
-        _assigned_rows(batch_df, cents, codebook)
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(f"{index_dir}/assignments/batch={batch_id}")
+    batch_df = batch_df.persist()  # feeds the assign AND the count
+    try:
+        assigned = _assigned_rows(batch_df, cents, codebook).persist()
+        try:
+            assigned.write.mode("overwrite").partitionBy("cell").parquet(
+                f"{index_dir}/assignments/batch={batch_id}"
+            )
+            n_in = batch_df.count()
+            n_indexed = assigned.count()
+            spark.createDataFrame(
+                [(batch_id, n_in, n_indexed, n_in - n_indexed)],
+                "batch_id long, n_in long, n_indexed long, n_quarantined long",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{index_dir}/_metrics/batch={batch_id}"
+            )
+        finally:
+            assigned.unpersist()
+    finally:
+        batch_df.unpersist()
+
+
+def ann_index_metrics(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Per-micro-batch index-maintenance accounting (n_in / n_indexed
+    / n_quarantined per batch) — read it to monitor dirty-vector rate
+    over time or reconcile totals against the assignments table
+    (``sum(n_indexed) == count(assignments) − bootstrap``, asserted
+    in tests)."""
+    return (
+        spark.read.parquet(f"{index_dir}/_metrics")
+        .select("batch_id", "n_in", "n_indexed", "n_quarantined")
+        .orderBy("batch_id")
+    )
+
+
+def index_cell_balance(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Per-cell load diagnostic over the PERSISTED index — the
+    index-artifact twin of ``q_ivf_cell_balance`` (which recomputes
+    assignments from the embeddings table): rows per cell, share, and
+    multiple-of-mean, answering "did ingest drift skew a cell past
+    what nprobe-bounded probes can hide". One partition-column
+    aggregate: reads parquet FOOTERS' worth of data per cell, never
+    the vectors."""
+    a = spark.read.parquet(f"{index_dir}/assignments").select("cell")
+    counts = a.groupBy("cell").agg(F.count("*").alias("n_vectors"))
+    tot = counts.agg(
+        F.sum("n_vectors").alias("_t"), F.count("*").alias("_c")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cell").cast("bigint").alias("cell"),
+            "n_vectors",
+            F.round(F.col("n_vectors") / F.col("_t"), 4).alias("share"),
+            F.round(
+                F.col("n_vectors") / (F.col("_t") / F.col("_c")), 4
+            ).alias("x_mean"),
+        )
+        .orderBy("cell")
     )
 
 
