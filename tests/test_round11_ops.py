@@ -407,3 +407,31 @@ def test_verbatim_span_removal_cuts_later_doc_only(spark):
     assert r2.n_removed == VERBATIM_K
     cleaned = " ".join(["left", "middle", "right", "tail"])
     assert r2.cleaned_hash == hashlib.md5(cleaned.encode()).hexdigest()
+
+
+def test_memoized_frames_repersist_after_clearcache(spark):
+    """clearCache() between bench queries unpersists the memoized
+    frames; the next memo hit must RE-ARM the persist instead of
+    returning a silently-uncached frame."""
+    from wd2duckdb_spark.functions.dedup import (
+        JACCARD_DEN,
+        JACCARD_NUM,
+        _prefix_frames,
+    )
+    from wd2duckdb_spark.operators.tpch_derived import lineitem_ext
+
+    sets, _toks, prefix = _prefix_frames(
+        spark, SF_DIR, JACCARD_NUM, JACCARD_DEN
+    )
+    li = lineitem_ext(spark, SF_DIR)
+    assert sets.storageLevel.useMemory and li.storageLevel.useMemory
+    spark.catalog.clearCache()
+    assert not sets.storageLevel.useMemory
+    sets2, _t2, prefix2 = _prefix_frames(
+        spark, SF_DIR, JACCARD_NUM, JACCARD_DEN
+    )
+    li2 = lineitem_ext(spark, SF_DIR)
+    assert sets2 is sets and li2 is li  # same memoized objects
+    assert sets2.storageLevel.useMemory
+    assert prefix2.storageLevel.useMemory
+    assert li2.storageLevel.useMemory

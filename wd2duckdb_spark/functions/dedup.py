@@ -1795,6 +1795,13 @@ def _prefix_frames(
     key = (session_key(spark), sf_dir, num, den)
     cached = _prefix_cache.get(key)
     if cached is not None:
+        # clearCache() (bench hygiene between queries) unpersists the
+        # memoized frames without touching the memo — re-arm the
+        # barriers so the self-join/probe consumers don't silently
+        # recompute the DF-count + window pipeline per branch
+        for f in (cached[0], cached[2]):
+            if not f.storageLevel.useMemory:
+                f.persist()
         return cached
 
     d = tbl(spark, sf_dir, "documents")

@@ -144,6 +144,10 @@ def _pr_structure(spark: SparkSession, sf_dir: str) -> tuple:
     key = (session_key(spark), sf_dir)
     cached = _pr_trans_cache.get(key)
     if cached is not None:
+        # re-arm persists dropped by an intervening clearCache()
+        for f in (cached[0], cached[1]):
+            if not f.storageLevel.useMemory:
+                f.persist()
         return cached
     edges = _bipartite_edges(spark, sf_dir)
     # outdeg doubles as the VERTEX SET (one row per distinct src, and

@@ -153,6 +153,9 @@ def lineitem_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (session_key(spark), sf_dir)
     cached = _li_ext_cache.get(key)
     if cached is not None:
+        if not cached.storageLevel.useMemory:
+            # re-arm the persist an intervening clearCache() dropped
+            cached.persist()
         return cached
     li = tbl(spark, sf_dir, "lineitem")
     mode = None
