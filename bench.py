@@ -108,6 +108,7 @@ HEADLINE = (
     # the persisted-index ANN probe, and the unicode tokenizer tier
     "verbatim_span_removal",
     "ann_index_probe",
+    "ann_index_filtered_probe",
     "token_stats_unicode",
 )
 

@@ -421,3 +421,27 @@ def test_index_cell_balance_reads_partition_column_only(spark, tmp_path):
     assert {r.cell: r.n_vectors for r in rows} == want
     rs = " ".join(read_schema(df))
     assert "v" not in rs.split() and "nv" not in rs, rs
+
+
+def test_filtered_index_probe_matches_from_scratch_prefilter(spark):
+    """ann_index_filtered_probe (stored-label predicate against the
+    index) is row-identical to q_ann_filtered_ivf (pre-filter on the
+    embeddings scan) — and the label predicate reaches the pruned-cell
+    parquet scan as a pushed filter."""
+    from wd2duckdb_spark.functions.ann_index import (
+        q_ann_index_filtered_probe,
+    )
+    from wd2duckdb_spark.functions.similarity import q_ann_filtered_ivf
+    from wd2duckdb_spark.plans import partition_filters, pushed_filters
+
+    df = q_ann_index_filtered_probe(spark, SF_DIR)
+    got = [(r.vec_id, r.cell, r.cosine) for r in df.collect()]
+    want = [
+        (r.vec_id, r.cell, r.cosine)
+        for r in q_ann_filtered_ivf(spark, SF_DIR).collect()
+    ]
+    assert got == want and len(got) == 10
+    pf = " ".join(partition_filters(df))
+    assert "cell" in pf
+    pushed = " ".join(pushed_filters(df))
+    assert "label" in pushed, pushed

@@ -41,10 +41,13 @@ IVF:
   in tests/test_ann_index.py, and the registered query shares
   ``q_ivf_ann_topk``'s DuckDB oracle verbatim).
 
-Scale posture: the bootstrap is one linear pass (assign is a per-row
-expression over broadcast-sized centroid literals — no shuffle; the
-partitioned write shuffles once on cell); maintenance cost is
-per-batch-linear; probes read nprobe cells regardless of corpus size.
+Scale posture: the bootstrap is one linear pass — assign is a
+per-row expression over broadcast-sized centroid literals, and the
+partitionBy("cell") write is TASK-LOCAL (no shuffle: each task
+splits its rows across cell directories; file count is then
+tasks×cells, which :func:`compact_ann_index` folds offline);
+maintenance cost is per-batch-linear; probes read nprobe cells
+regardless of corpus size.
 The centroid set is FROZEN at bootstrap (the standard IVF contract —
 FAISS-style indexes retrain/rebuild offline; cell-balance drift is
 observable via ``q_ivf_cell_balance`` on the index itself).
@@ -99,13 +102,22 @@ def _index_centroids(
     return out
 
 
+#: Filterable metadata columns stored alongside each vector when the
+#: source frame has them — production filtered search (label/tenant/
+#: date predicates) must evaluate against the INDEX, not a join back
+#: to the source table.
+INDEX_ATTR_COLS = ("label",)
+
+
 def _assigned_rows(
     vecs: DataFrame,
     cents: list[tuple[int, list[float]]],
     codebook: list[list[float]] | None,
 ) -> DataFrame:
-    """(vec_id, v, nv, [code0..7,] cell) for one frame of vectors —
-    the single assignment rule shared by bootstrap and ingest."""
+    """(vec_id, v, nv, [attrs,] [code0..7,] cell) for one frame of
+    vectors — the single assignment rule shared by bootstrap and
+    ingest. :data:`INDEX_ATTR_COLS` present in the input are stored
+    so probes can filter without rejoining the source."""
     from wd2duckdb_spark.functions.similarity import PQ_SUBSPACES
 
     out = (
@@ -118,14 +130,13 @@ def _assigned_rows(
         .withColumn("cell", ivf_assign_col("v", "nv", cents))
     )
     cols = ["vec_id", "v", "nv"]
+    cols += [c for c in INDEX_ATTR_COLS if c in vecs.columns]
     if codebook is not None:
-        out = out.select(
-            *cols,
-            "cell",
-            *[
-                pq_code_col("v", codebook, j).alias(f"code{j}")
+        out = out.withColumns(
+            {
+                f"code{j}": pq_code_col("v", codebook, j)
                 for j in range(PQ_SUBSPACES)
-            ],
+            }
         )
         return out.select(
             *cols, *[f"code{j}" for j in range(PQ_SUBSPACES)], "cell"
@@ -320,12 +331,21 @@ def ivf_index_probe(
     k: int = 10,
     nprobe: int = IVF_NPROBE,
     exclude_ids: tuple[int, ...] = (),
+    pred: Column | None = None,
 ) -> DataFrame:
     """Top-``k`` cosine over the persisted index: nprobe cells picked
     driver-side from the centroid table, assignments scanned with the
     cell filter (partition pruning — only those directories are
     read), cosine recomputed from the STORED (v, nv) so the doubles
-    match the from-scratch IVF path bit-for-bit."""
+    match the from-scratch IVF path bit-for-bit.
+
+    ``pred`` is the FILTERED-search predicate over the stored
+    :data:`INDEX_ATTR_COLS` (e.g. ``F.col("label") == 3``): it
+    evaluates against the index itself — pushed into the pruned-cell
+    parquet scan, never a join back to the source table. Because cell
+    assignment is per-row, filtering at probe time selects exactly
+    the vectors the from-scratch pre-filter path
+    (``ivf_topk(pred=…)``) scores — parity pinned in tests."""
     cents = _index_centroids(spark, index_dir)
     if not cents or not qv:
         return spark.range(0).select(
@@ -348,6 +368,8 @@ def ivf_index_probe(
     a = spark.read.parquet(f"{index_dir}/assignments").filter(
         F.col("cell").isin(*probe)
     )
+    if pred is not None:
+        a = a.filter(pred)
     if exclude_ids:
         a = a.filter(~F.col("vec_id").isin(*exclude_ids))
     sim = F.round(
@@ -569,12 +591,50 @@ def q_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_index_filtered_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FILTERED search served from the persisted index: cosine top-10
+    among ``label = ANN_FILTER_LABEL`` vectors inside the query's
+    nprobe cells, the predicate evaluated against the index's STORED
+    label column (pushed into the pruned-cell scan — no join back to
+    the source). Row-identical to the from-scratch pre-filter path
+    ``q_ann_filtered_ivf`` and shares its oracle verbatim."""
+    from wd2duckdb_spark.functions.similarity import ANN_FILTER_LABEL
+
+    qv = query_vector(spark, sf_dir, 0)
+    if not qv or not _centroids(spark, sf_dir):
+        return tbl(spark, sf_dir, "embeddings").limit(0).select(
+            "vec_id",
+            F.lit(0).cast("bigint").alias("cell"),
+            F.lit(0.0).alias("cosine"),
+        )
+    index_dir = _fixture_index(spark, sf_dir)
+    return ivf_index_probe(
+        spark,
+        index_dir,
+        qv,
+        k=10,
+        exclude_ids=(0, *IVF_CENTROID_IDS),
+        pred=F.col("label") == ANN_FILTER_LABEL,
+    )
+
+
 QUERIES = {
     "ann_index_probe": q_ann_index_probe,
+    "ann_index_filtered_probe": q_ann_index_filtered_probe,
 }
 
+
+def _filtered_oracle() -> str:
+    from wd2duckdb_spark.functions.similarity import ANN_FILTER_LABEL
+
+    return _ivf_oracle(extra_where=f"AND v.label = {ANN_FILTER_LABEL}")
+
+
 ORACLES: dict[str, str] = {
-    # verbatim the from-scratch IVF oracle: the index is a layout, not
-    # a semantics change — both paths must hash identically
+    # verbatim the from-scratch IVF oracles: the index is a layout,
+    # not a semantics change — both paths must hash identically
     "ann_index_probe": _ivf_oracle(),
+    "ann_index_filtered_probe": _filtered_oracle(),
 }
