@@ -102,6 +102,35 @@ def _index_centroids(
     return out
 
 
+def l2_assign_col(
+    vec_sql: str, cents: list[tuple[int, list[float]]]
+) -> Column:
+    """Nearest-centroid cell by FLOOR-6 SQUARED-L2 argmin — the
+    Lloyd assignment rule (similarity._lloyd_assignment: dist =
+    floor6(sqdist), min-struct (dist, cid)) as one in-row expression,
+    numerics matched term-for-term: zip_with + ascending-dim left
+    fold from 0.0 for the squared distance, floor(d·1e6 + 0.5)/1e6
+    snap, strict `<` scan in ascending-cid order = smallest cid on
+    ties. An index bootstrapped from ``trained_centroids()`` with
+    ``assign="l2"`` therefore reproduces the registered
+    ``semantic_dedup`` clustering EXACTLY (pinned in
+    tests/test_ann_dedup_ingest.py)."""
+    dists = ", ".join(
+        f"FLOOR(aggregate(zip_with({vec_sql}, {_sql_arr(c)},"
+        f" (x, y) -> (x - y) * (x - y)),"
+        f" CAST(0.0 AS DOUBLE), (acc, w) -> acc + w)"
+        f" * 1000000.0 + 0.5) / 1000000.0"
+        for _cid, c in cents
+    )
+    cids = ", ".join(str(cid) for cid, _c in cents)
+    return F.expr(
+        f"aggregate(zip_with(array({dists}), array({cids}),"
+        " (d, c) -> named_struct('d', d, 'c', c)),"
+        " named_struct('d', CAST('Infinity' AS DOUBLE), 'c', -1),"
+        " (acc, e) -> IF(e.d < acc.d, e, acc)).c"
+    )
+
+
 #: Filterable metadata columns stored alongside each vector when the
 #: source frame has them — production filtered search (label/tenant/
 #: date predicates) must evaluate against the INDEX, not a join back
@@ -113,13 +142,23 @@ def _assigned_rows(
     vecs: DataFrame,
     cents: list[tuple[int, list[float]]],
     codebook: list[list[float]] | None,
+    assign: str = "cosine",
 ) -> DataFrame:
     """(vec_id, v, nv, [attrs,] [code0..7,] cell) for one frame of
     vectors — the single assignment rule shared by bootstrap and
     ingest. :data:`INDEX_ATTR_COLS` present in the input are stored
-    so probes can filter without rejoining the source."""
+    so probes can filter without rejoining the source. ``assign``
+    selects the cell rule: ``cosine`` (IVF default) or ``l2`` (the
+    Lloyd/SemDeDup rule, :func:`l2_assign_col`)."""
     from wd2duckdb_spark.functions.similarity import PQ_SUBSPACES
 
+    cell = (
+        ivf_assign_col("v", "nv", cents)
+        if assign == "cosine"
+        else l2_assign_col("v", cents)
+    )
+    if assign not in ("cosine", "l2"):
+        raise ValueError(f"unknown assign rule {assign!r}")
     out = (
         vecs.filter(
             F.col("embedding").isNotNull()
@@ -127,7 +166,7 @@ def _assigned_rows(
         )
         .withColumn("v", _as_double(F.col("embedding")))
         .withColumn("nv", norm(F.col("v")))
-        .withColumn("cell", ivf_assign_col("v", "nv", cents))
+        .withColumn("cell", cell)
     )
     cols = ["vec_id", "v", "nv"]
     cols += [c for c in INDEX_ATTR_COLS if c in vecs.columns]
@@ -150,6 +189,7 @@ def ivf_index_write(
     index_dir: str,
     codebook: list[list[float]] | None = None,
     centroids: list[tuple[int, list[float]]] | None = None,
+    assign: str = "cosine",
 ) -> None:
     """Bootstrap the persisted IVF index from the embeddings table:
     centroid table + cell-partitioned assignments under
@@ -171,7 +211,9 @@ def ivf_index_write(
         "cid int, embedding array<double>",
     ).coalesce(1).write.mode("error").parquet(f"{index_dir}/centroids")
     (
-        _assigned_rows(tbl(spark, sf_dir, "embeddings"), cents, codebook)
+        _assigned_rows(
+            tbl(spark, sf_dir, "embeddings"), cents, codebook, assign
+        )
         .write.mode("error")
         .partitionBy("cell")
         .parquet(f"{index_dir}/assignments/batch=-1")
