@@ -855,11 +855,18 @@ _simhash_sig_cache: dict[tuple[str, str], DataFrame] = register_memo({})
 
 def _simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (session_key(spark), sf_dir)
-    if key not in _simhash_sig_cache:
-        _simhash_sig_cache[key] = simhash_signatures(
-            tbl(spark, sf_dir, "documents")
-        ).persist()
-    return _simhash_sig_cache[key]
+    f = _simhash_sig_cache.get(key)
+    if f is None:
+        f = simhash_signatures(tbl(spark, sf_dir, "documents")).persist()
+        _simhash_sig_cache[key] = f
+    elif not f.storageLevel.useMemory:
+        # re-arm a persist dropped by an intervening clearCache() —
+        # without it the signature aggregate (the dominant cost; the
+        # banding is cheap) is recomputed on EVERY pair query and by
+        # BOTH sides of the banded self-join (the memo discipline of
+        # _pr_trans_cache/_li_ext_cache/_prefix_cache)
+        f.persist()
+    return f
 
 
 def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1707,19 +1714,41 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance bound, so it drops pairs before any DP runs; (b) the
     THRESHOLD form ``levenshtein(a, b, 4)``, which runs the banded
     O(len*k) DP with early exit instead of the full O(len^2) matrix,
-    returning -1 past the bound."""
+    returning -1 past the bound.
+
+    Round-11 cut (guide §1.2 "per-task work"): both names in a block
+    END with the identical ``" <noun>"`` suffix, and edit distance is
+    invariant under stripping a shared suffix — so the DP runs on the
+    noun-STRIPPED prefixes (~20% shorter strings, and the DP is
+    super-linear in length), with the reported ``lev_dist`` value
+    unchanged by the theorem. Guarded per pair: the strip is only
+    symmetric when BOTH names are multi-word (a one-word name shares
+    only ``noun``, not ``" noun"``, with a multi-word partner), so
+    single-word pairs fall back to the full-string DP — on the
+    fixtures (5-word TPC-H part names) the fast path always fires.
+    Measured 3.3 s → 1.6 s at sf0.1; oracle (full-name levenshtein)
+    hash unchanged."""
     from wd2duckdb_spark.operators.skew import grid_self_join
 
     p = tbl(spark, sf_dir, "part").select("p_partkey", "p_name")
     noun = F.element_at(F.split("p_name", " "), -1)
+    base = F.expr(
+        "substring(p_name, 1, length(p_name)"
+        " - length(element_at(split(p_name, ' '), -1)) - 1)"
+    )
+    multi = F.size(F.split("p_name", " ")) >= 2
     a = p.select(
         F.col("p_partkey").alias("a_key"),
         F.col("p_name").alias("a_name"),
+        base.alias("a_base"),
+        multi.alias("a_multi"),
         noun.alias("block"),
     )
     b = p.select(
         F.col("p_partkey").alias("b_key"),
         F.col("p_name").alias("b_name"),
+        base.alias("b_base"),
+        multi.alias("b_multi"),
         noun.alias("block"),
     )
     # 2x cores locally, capped at 512 CELLS: cells divide per-task
@@ -1738,7 +1767,11 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )  # implied by lev <= 4; prunes before the DP
         )
         .withColumn(
-            "lev_dist", F.levenshtein("a_name", "b_name", 4)
+            "lev_dist",
+            F.when(
+                F.col("a_multi") & F.col("b_multi"),
+                F.levenshtein("a_base", "b_base", 4),
+            ).otherwise(F.levenshtein("a_name", "b_name", 4)),
         )
         .filter(F.col("lev_dist") >= 0)  # threshold form: -1 = pruned
         .select("a_key", "b_key", "a_name", "b_name", "lev_dist")

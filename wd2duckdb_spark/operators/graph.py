@@ -598,22 +598,47 @@ def q_shortest_path_bounded(
     shuffles only the distance vector. Hop-bounded by construction —
     the 100 TB failure mode of unbounded BFS (frontier = whole graph)
     cannot occur.
+
+    Superstep shape (round 11): the classic ``dist ∪ relax(dist)``
+    Bellman-Ford step references ``dist`` TWICE, so the unrolled lazy
+    chain doubles the plan subtree per superstep — 2^SP_ITERS copies
+    of the early supersteps (485 physical operators / 198 Exchange
+    nodes at SP_ITERS=4; runtime dedup via ReusedExchange kept the
+    work linear but planning, codegen and stage bookkeeping were not).
+    Adding a weight-0 SELF-LOOP per vertex (plus the source) makes
+    "keep the current distance" an ordinary relaxation edge —
+    ``min(dist + w)`` over the widened edge table IS the superstep,
+    ``dist`` appears once, and the plan is linear in SP_ITERS (56
+    operators / 13 Exchanges). Exact equivalence: every node ever in
+    ``dist`` is a vertex (or the source), its self-loop contributes
+    ``dist + 0.0`` — bit-identical to the kept row in IEEE double —
+    and all other candidates are unchanged, so the min is unchanged
+    (oracle hash pinned before/after; the DuckDB oracle keeps the
+    textbook union formulation).
     """
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    edges = _weighted_edges(spark, sf_dir).repartition(n_shuffle, "src")
+    ew = _weighted_edges(spark, sf_dir)
+    verts = ew.select("src").union(
+        spark.range(1).select(F.lit(SP_SRC).cast("long").alias("src"))
+    ).distinct()
+    loops = verts.select(
+        "src", F.col("src").alias("dst"), F.lit(0.0).alias("w")
+    )
+    edges = ew.unionByName(loops).repartition(n_shuffle, "src")
     dist = spark.range(1).select(
         F.lit(SP_SRC).cast("long").alias("node"),
         F.lit(0.0).alias("dist"),
     )
     for i in range(SP_ITERS):
-        relax = dist.join(edges, dist.node == edges.src).select(
-            F.col("dst").alias("node"),
-            (F.col("dist") + F.col("w")).alias("dist"),
-        )
+        # shuffle_hash with dist as build side: the distance vector is
+        # vertex-sized (the small side at any scale); sort-merge would
+        # re-SORT the whole edge table every superstep while the hash
+        # build is one tiny per-partition table (guide §3.1)
         dist = (
-            dist.unionByName(relax)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
+            dist.hint("shuffle_hash")
+            .join(edges, dist.node == edges.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("dist"))
         )
         # Replay bound for long superstep chains at cluster scale.
         # Unlike PageRank (default PR_CKPT_DEFAULT=2), this stays 0:
