@@ -1009,6 +1009,11 @@ def q_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sequence(1, 0) counts DOWN (same guard as _with_shingles)
         .filter(F.size("w") >= SPAN_N)
         .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+        # cache the frame ALREADY hash-partitioned on gram: the dup
+        # aggregate and the mark-join both key on gram, so both ride
+        # this one exchange instead of re-shuffling the corpus-sized
+        # occurrence frame each (guide §2.4; round 11)
+        .repartition("gram")
     ).persist()  # one shingling pass feeds the dup set, marking, totals
     dupg = (
         base.groupBy("gram")
@@ -1107,6 +1112,10 @@ def _span_removal_frame(
         toks.filter(F.size("w") >= n)
         .select("doc_id", F.posexplode(grams).alias("pos0", "gram"))
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+        # hash-partitioned on gram at birth: the dup aggregate and the
+        # join back both key on gram and ride this one exchange
+        # (guide §2.4; round 11)
+        .repartition("gram")
     ).persist()  # one shingling pass feeds the dup aggregate AND the
     # occurrence side of the join back (same barrier rationale as
     # q_repeated_ngram_spans / ngram_decontaminate)
@@ -1187,6 +1196,10 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.size("w") >= SPAN_N)
         .select("doc_id", F.explode(grams).alias("gram"))
+        # hash(gram) satisfies the distinct's (doc_id, gram) clustering
+        # AND the first-seen aggregate AND the join back — one
+        # corpus-sized exchange instead of three (guide §2.4; round 11)
+        .repartition("gram")
         .distinct()
     ).persist()  # feeds first-seen AND the join back (one shingle pass)
     first_seen = doc_grams.groupBy("gram").agg(
@@ -2109,10 +2122,16 @@ def q_verbatim_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeated windows count once — the (doc, key) frame is distinct).
 
     Plan: tokenize + window-hash in-row (zero UDFs), ONE exchange on
-    the uniform md5 window key for the distinct + per-key min (the
-    min is a window function riding that same partitioning — no
-    second shuffle), then a pair-keyed aggregate. The oracle keeps
-    the same anchored rule via min() OVER (PARTITION BY window).
+    the uniform md5 window key for the distinct + per-key min, then a
+    pair-keyed aggregate. Round 11: the `.distinct()` used to hash on
+    (doc_id, wkey) and the window then re-shuffled on wkey — TWO
+    corpus-sized exchanges of the same frame (guide §2.4). An explicit
+    repartition on wkey alone satisfies BOTH downstream requirements
+    (hash(wkey) clusters every (wkey, doc_id) group, a subset of the
+    distinct's keys, and is exactly the window's partitioning), so the
+    dedup and the per-key min now ride one exchange; plan-pinned.
+    The oracle keeps the anchored rule via min() OVER (PARTITION BY
+    window).
     """
     d = tbl(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
@@ -2130,6 +2149,7 @@ def q_verbatim_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("wkey"),
         )
+        .repartition("wkey")
         .distinct()
     )
     from pyspark.sql import Window
