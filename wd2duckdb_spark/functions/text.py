@@ -346,9 +346,17 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(toks, i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "
         ),
     )
-    occ = d.select(
-        "doc_id", F.posexplode(chunks_arr).alias("pos", "chunk")
-    ).withColumn("occ_key", F.col("doc_id") * 1000000 + F.col("pos"))
+    occ = (
+        d.select("doc_id", F.posexplode(chunks_arr).alias("pos", "chunk"))
+        .withColumn("occ_key", F.col("doc_id") * 1000000 + F.col("pos"))
+        # one hash(chunk) exchange serves BOTH the keeper argmin and
+        # the join back (co-partitioned — guide §2.4), and the chunk
+        # fan-out is computed once into the shuffle files instead of
+        # once per branch; previously the keeper side was an AQE
+        # broadcast of the corpus-LINEAR distinct-chunk table — fine
+        # at fixture scale, the wrong shape at 100 TB (round 11)
+        .repartition("chunk")
+    )
     keeper = occ.groupBy("chunk").agg(F.min("occ_key").alias("keeper_key"))
     return (
         occ.join(keeper, "chunk")

@@ -290,6 +290,10 @@ def q_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ndocs = d.agg(F.count("*").alias("n_total"))  # 1 row
     dfc = (
         d.select("doc_id", F.explode(toks).alias("word"))
+        # hash(word) satisfies both the (doc_id, word) distinct and the
+        # DF aggregate — one exchange instead of two (guide §2.4;
+        # 1.18 s → 0.84 s at sf0.1, round 11)
+        .repartition("word")
         .distinct()
         .groupBy("word")
         .agg(F.count("*").alias("d"))
