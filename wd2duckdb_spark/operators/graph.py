@@ -630,13 +630,13 @@ def q_shortest_path_bounded(
         F.lit(0.0).alias("dist"),
     )
     for i in range(SP_ITERS):
-        # shuffle_hash with dist as build side: the distance vector is
-        # vertex-sized (the small side at any scale); sort-merge would
-        # re-SORT the whole edge table every superstep while the hash
-        # build is one tiny per-partition table (guide §3.1)
+        # deliberately NO join-strategy hint: the distance vector is
+        # the small side at any scale, and AQE picks broadcast at
+        # fixture scale (a pinned shuffle_hash measured +0.75 s here
+        # by blocking exactly that runtime conversion — guide §3.1's
+        # "check which one you got", applied empirically)
         dist = (
-            dist.hint("shuffle_hash")
-            .join(edges, dist.node == edges.src)
+            dist.join(edges, dist.node == edges.src)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min(F.col("dist") + F.col("w")).alias("dist"))
         )
