@@ -42,6 +42,14 @@ def q_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     co = c.join(o, c.c_custkey == o.o_custkey).hint("shuffle_hash")
     return (
         co.join(l, co.o_orderkey == l.l_orderkey)
+        # project to the two consumed columns and repartition ONCE on
+        # the group key: hash(c_custkey) satisfies both phases of the
+        # COUNT DISTINCT (the (c_custkey, l_suppkey) partial dedup by
+        # the subset rule, then the final per-customer count), so the
+        # distinct count rides a single exchange instead of two
+        # (guide §2.3/§2.4; 1.22 s → 0.94 s at sf0.1, round 11)
+        .select("c_custkey", "l_suppkey")
+        .repartition("c_custkey")
         .groupBy("c_custkey")
         .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
         .orderBy("c_custkey")
@@ -435,9 +443,15 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = tbl(spark, sf_dir, "orders")
     l = tbl(spark, sf_dir, "lineitem")
     co = o.join(l, o.o_orderkey == l.l_orderkey).hint("shuffle_hash")
-    edges = co.select(
-        F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
-    ).distinct()
+    edges = (
+        co.select(
+            F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+        )
+        # hash(src) satisfies the (src, dst) dedup AND the degree
+        # aggregate — one exchange instead of two (guide §2.4)
+        .repartition("src")
+        .distinct()
+    )
     degrees = edges.groupBy("src").agg(F.count("*").alias("degree"))
     bin_ = F.floor(F.log2("degree")).cast("int")
     return (
