@@ -338,7 +338,10 @@ def q_q16_parts_supplier_relationship(
     return (
         ps.join(p, ps.ps_partkey == p.p_partkey)
         .join(
-            F.broadcast(bad),
+            # no forced broadcast: supplier is SF-LINEAR (10k×SF), the
+            # same class as the round-11 supplier de-broadcast sweep —
+            # AQE still broadcasts the filtered side at fixture scale
+            bad,
             ps.ps_suppkey == bad.s_suppkey,
             "left_anti",
         )
