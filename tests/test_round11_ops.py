@@ -435,3 +435,147 @@ def test_memoized_frames_repersist_after_clearcache(spark):
     assert sets2.storageLevel.useMemory
     assert prefix2.storageLevel.useMemory
     assert li2.storageLevel.useMemory
+
+
+# ---------------------------------------------------------------------------
+# Round-11 optimization internals — focused pins for the three operators
+# whose ALGORITHM changed this round (not just the plan shape): the
+# in-row SimHash signature fold, the suffix-stripped levenshtein DP,
+# and the self-loop Bellman-Ford superstep.
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_signatures_in_row_zero_exchange_and_values(spark):
+    """The round-11 signature rewrite must stay (a) shuffle-free — a
+    document's tokens live in its own row, so the plan may contain NO
+    Exchange — and (b) value-identical to the definition: majority
+    vote per bit over md5 hashes of the document's DISTINCT lowercase
+    whitespace tokens, with empty/whitespace-only docs excluded."""
+    import hashlib
+
+    from wd2duckdb_spark.functions.dedup import SIMHASH_BITS, simhash_signatures
+    from wd2duckdb_spark.plans import explain_str
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Alpha beta  ALPHA gamma"),  # dup token + double space
+            (2, "   "),                      # whitespace-only: excluded
+            (3, "delta"),                    # single token
+        ],
+        "doc_id long, text string",
+    )
+    sig = simhash_signatures(docs)
+    assert "Exchange" not in explain_str(sig, "simple")
+
+    def ref(text: str) -> int:
+        toks = [t for t in text.strip().lower().split(" ") if t]
+        hs = [
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for t in dict.fromkeys(toks)
+        ]
+        out = 0
+        for j in range(SIMHASH_BITS):
+            if 2 * sum((h >> j) & 1 for h in hs) > len(hs):
+                out |= 1 << j
+        return out
+
+    rows = {r.doc_id: r.sim for r in sig.collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1] == ref("Alpha beta  ALPHA gamma")
+    assert rows[3] == ref("delta")
+
+
+def test_fuzzy_suffix_strip_matches_full_levenshtein(spark, tmp_path):
+    """The suffix-strip DP must report the SAME lev_dist as the
+    full-name levenshtein on every emitted pair — including the
+    single-word guard: ("bolt", "a bolt") share only "bolt", not
+    " bolt", so an unguarded strip would compute lev("", "a") = 1
+    instead of the true lev("bolt", "a bolt") = 2."""
+    from wd2duckdb_spark.functions.dedup import q_fuzzy_name_pairs
+
+    names = [
+        (1, "midnight linen widget"),   # multi/multi: strip path
+        (2, "misty linen widget"),
+        (3, "bolt"),                    # single-word: fallback guard
+        (4, "a bolt"),
+        (5, "x y bolt"),                # strip boundary: base "x y"
+        (6, "xy bolt"),                 #   vs "xy" -> dist 1
+        (7, "aaaaaa widget"),           # base dist 6 > 4: excluded by
+        (8, "zzzzzz widget"),           #   the threshold DP, not length
+    ]
+    spark.createDataFrame(names, "p_partkey long, p_name string").write.parquet(
+        str(tmp_path / "part.parquet")
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    by_name = dict(names)
+    expect = {
+        (a, b): lev(by_name[a], by_name[b])
+        for a in by_name
+        for b in by_name
+        if a < b
+        and by_name[a].split(" ")[-1] == by_name[b].split(" ")[-1]
+        and abs(len(by_name[a]) - len(by_name[b])) <= 4
+        and lev(by_name[a], by_name[b]) <= 4
+    }
+    got = {
+        (r.a_key, r.b_key): r.lev_dist
+        for r in q_fuzzy_name_pairs(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
+    assert got[(3, 4)] == 2  # the guard case, explicitly
+    assert (7, 8) not in got
+
+
+def test_shortest_path_self_loop_keeps_settled_distance(spark, tmp_path):
+    """Self-loop Bellman-Ford on a planted 4-node trade graph: the
+    source's distance 0.0 must survive all 4 supersteps purely via its
+    weight-0 self-loop (every relaxation candidate for it is >= 2.0 —
+    a relax-only superstep without the loop would overwrite it), and a
+    node whose best path appears only at superstep 3 must still
+    improve.  Edges (weight = min extendedprice / 1000, bidirectional):
+    C1-S1 1.0, C1-S2 10.0, C2-S1 1.0, C2-S2 1.0."""
+    import datetime
+
+    from wd2duckdb_spark.operators.graph import (
+        _SUPP_NS,
+        SP_SRC,
+        q_shortest_path_bounded,
+    )
+
+    d = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(101, SP_SRC, d), (201, 2, d)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [
+            (101, 1, 1000.0, d),
+            (101, 2, 10000.0, d),
+            (201, 1, 1000.0, d),
+            (201, 2, 1000.0, d),
+        ],
+        "l_orderkey long, l_suppkey long, l_extendedprice double,"
+        " l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    got = {
+        r.node_id: r.dist
+        for r in q_shortest_path_bounded(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        SP_SRC: 0.0,            # kept by the self-loop, 4 times
+        _SUPP_NS + 1: 1.0,      # settled at superstep 1, kept after
+        2: 2.0,                 # via S1
+        _SUPP_NS + 2: 3.0,      # C1->S1->C2->S2 beats the direct 10.0
+    }
