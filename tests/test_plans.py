@@ -563,8 +563,14 @@ def test_recursive_cte_plans_union_loop(spark):
     import collections
 
     n_max = max(r[0] for r in got) + 1  # ≥ real modulus is fine for check
-    rows = spark.sql("SELECT max(c_custkey) + 1 AS n FROM customer").collect()
-    n = rows[0].n
+    from wd2duckdb_spark.catalog import tbl
+
+    n = (
+        tbl(spark, SF_DIR, "customer")
+        .agg(F.expr("max(c_custkey) + 1").alias("n"))
+        .collect()[0]
+        .n
+    )
     succ = lambda k: [(k * 7 + 3) % n, (k * 3 + 1) % n]
     dist = {1: 0}
     q = collections.deque([1])

@@ -579,3 +579,29 @@ def test_shortest_path_self_loop_keeps_settled_distance(spark, tmp_path):
         2: 2.0,                 # via S1
         _SUPP_NS + 2: 3.0,      # C1->S1->C2->S2 beats the direct 10.0
     }
+
+
+def test_rcte_edges_checkpoint_matches_inline_sql(spark):
+    """The memoized localCheckpoint form of reachability_rcte must
+    return EXACTLY the rows of the original single-statement SQL
+    (which the DuckDB oracle still runs), and repeat invocations must
+    reuse the one materialized edge overlay instead of rebuilding it."""
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.operators.graph import (
+        RCTE_REACHABILITY_SQL,
+        _rcte_edges,
+        q_reachability_rcte,
+    )
+
+    tbl(spark, SF_DIR, "customer").createOrReplaceTempView("customer")
+    ref = spark.sql(RCTE_REACHABILITY_SQL).collect()
+    got = q_reachability_rcte(spark, SF_DIR).collect()
+    assert got == ref
+
+    e1 = _rcte_edges(spark, SF_DIR)
+    e2 = _rcte_edges(spark, SF_DIR)
+    assert e1 is e2  # memoized: one checkpoint per (session, sf_dir)
+    # the frame the recursion references is materialized data, not a
+    # recomputable subtree — UnionLoop re-executes its body per
+    # iteration and must hit block-manager blocks, not the scan
+    assert "LogicalRDD" in e1._jdf.queryExecution().analyzed().toString()
