@@ -605,3 +605,35 @@ def test_rcte_edges_checkpoint_matches_inline_sql(spark):
     # recomputable subtree — UnionLoop re-executes its body per
     # iteration and must hit block-manager blocks, not the scan
     assert "LogicalRDD" in e1._jdf.queryExecution().analyzed().toString()
+
+
+def test_weighted_edges_explode_matches_union_form(spark):
+    """_weighted_edges now materializes the pair aggregate once
+    (localCheckpoint) and emits both directions with one in-row
+    explode; the row MULTISET must equal the textbook
+    ``fwd.union(rev)`` form the oracle still uses, and the frame the
+    supersteps consume must be materialized data (LogicalRDD), not a
+    4x-duplicated join+aggregate subtree."""
+    from pyspark.sql import functions as F
+
+    from wd2duckdb_spark.catalog import tbl
+    from wd2duckdb_spark.operators.graph import _SUPP_NS, _weighted_edges
+
+    o = tbl(spark, SF_DIR, "orders")
+    l = tbl(spark, SF_DIR, "lineitem")
+    pair = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg((F.min("l_extendedprice") / 1000.0).alias("w"))
+    )
+    fwd = pair.select(
+        F.col("c").alias("src"), (F.col("s") + _SUPP_NS).alias("dst"), "w"
+    )
+    rev = pair.select(
+        (F.col("s") + _SUPP_NS).alias("src"), F.col("c").alias("dst"), "w"
+    )
+    ref = sorted(map(tuple, fwd.union(rev).collect()))
+    ew = _weighted_edges(spark, SF_DIR)
+    got = sorted(map(tuple, ew.collect()))
+    assert got == ref
+    assert "LogicalRDD" in ew._jdf.queryExecution().analyzed().toString()

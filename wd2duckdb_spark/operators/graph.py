@@ -639,7 +639,23 @@ SP_SRC = 1
 def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted bidirectional customer↔supplier edges: weight per
     trading pair = min lineitem extended price / 1000 (min is exact
-    over doubles, so both engines derive bit-identical weights)."""
+    over doubles, so both engines derive bit-identical weights).
+
+    Round-11 shape (guide §2.4/§5): the old ``fwd.union(rev)`` form
+    referenced the lineitem⋈orders + pair-aggregate subtree once per
+    direction, and the SSSP caller references the edge frame AGAIN for
+    its vertex set — 4 static copies of the join+aggregate (64 parquet
+    scans in the plan; ReusedExchange deduped the exchanges at runtime
+    but every copy re-ran the post-shuffle final aggregate over the
+    pair rows). Now the aggregated pair frame — trading-PAIR-sized,
+    orders-of-magnitude smaller than lineitem — is materialized once
+    per invocation (``localCheckpoint``; same trade as
+    :func:`_rcte_edges`: blocks survive ``clearCache``, executor-loss
+    recovery is a rebuild) and both directions are emitted by ONE
+    in-row explode, so every consumer reads the materialized blocks.
+    Row multiset is identical to ``fwd.union(rev)``: union is bag
+    semantics and the explode emits exactly the fwd and rev row per
+    pair (pinned in tests/test_round2_ops.py)."""
     o = tbl(spark, sf_dir, "orders")
     l = tbl(spark, sf_dir, "lineitem")
     pair = (
@@ -648,14 +664,23 @@ def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
         )
         .agg((F.min("l_extendedprice") / 1000.0).alias("w"))
+        .localCheckpoint()
     )
-    fwd = pair.select(
-        F.col("c").alias("src"), (F.col("s") + _SUPP_NS).alias("dst"), "w"
+    both = F.explode(
+        F.array(
+            F.struct(
+                F.col("c").alias("src"),
+                (F.col("s") + _SUPP_NS).alias("dst"),
+                F.col("w").alias("w"),
+            ),
+            F.struct(
+                (F.col("s") + _SUPP_NS).alias("src"),
+                F.col("c").alias("dst"),
+                F.col("w").alias("w"),
+            ),
+        )
     )
-    rev = pair.select(
-        (F.col("s") + _SUPP_NS).alias("src"), F.col("c").alias("dst"), "w"
-    )
-    return fwd.union(rev)
+    return pair.select(both.alias("e")).select("e.src", "e.dst", "e.w")
 
 
 def q_shortest_path_bounded(
