@@ -327,11 +327,15 @@ def test_bm25_eval_plan_no_per_query_corpus_sort(spark):
     ]
     assert q_exch, p
     for i in q_exch:
-        child = lines[i + 1]
+        # allow a narrow Project between the exchange and its source
+        child = "\n".join(lines[i + 1 : i + 3])
         assert (
             "HashAggregate" in child
             or "SortAggregate" in child
             or "WindowGroupLimit" in child
+            # the localCheckpointed per-query aggregate (round 11):
+            # |queries| materialized rows, not matched corpus docs
+            or "Scan ExistingRDD" in child
         ), child
     # the tf frame is persisted: branches read the cache, the corpus
     # is scanned+tokenized once per materialization

@@ -685,6 +685,14 @@ def q_bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("_best"),
     )
+    # |queries| rows, consumed TWICE (broadcast into pass B, plain
+    # rows in the final join) — two different exchange types, so
+    # ReusedExchange never dedupes them and the full explode+score+agg
+    # corpus pass ran twice. Materializing the tiny frame once
+    # (localCheckpoint — same trade as graph._rcte_edges) removes a
+    # whole corpus pass per invocation (guide §2.4/§5); this job also
+    # fills the tf-frame persist for passes B and C.
+    bestagg = bestagg.localCheckpoint()
     best = bestagg.select(
         "query",
         F.col("_best.s").alias("_bs"),
