@@ -637,3 +637,102 @@ def test_weighted_edges_explode_matches_union_form(spark):
     got = sorted(map(tuple, ew.collect()))
     assert got == ref
     assert "LogicalRDD" in ew._jdf.queryExecution().analyzed().toString()
+
+
+def test_spread_skips_shuffle_when_scan_is_parallel(spark):
+    """catalog.spread (optimization round 11): the CPU-spread
+    repartition fires in the local single-split regime and is SKIPPED
+    when the scan already has >= defaultParallelism partitions — the
+    100 TB posture where the same repartition would be a pure
+    corpus-payload shuffle (guide §8)."""
+    from pyspark.sql import functions as F
+
+    from wd2duckdb_spark.catalog import spread
+
+    n = spark.sparkContext.defaultParallelism
+    df = spark.range(1000).withColumn("doc_id", F.col("id"))
+
+    # multi-split scan posture: returned UNCHANGED — no new Exchange
+    wide = df.repartition(n + 1)
+    out = spread(wide, "doc_id", scan_parts=n + 1)
+    assert out is wide
+
+    # single-split posture: exactly the previous behavior
+    out = spread(df, "doc_id", scan_parts=1)
+    assert out.rdd.getNumPartitions() == n
+
+    # keyless form
+    out = spread(df, scan_parts=1)
+    assert out.rdd.getNumPartitions() == n
+
+    # unknown provenance (streaming micro-batches, post-shuffle
+    # frames): None keeps the pre-seam unconditional repartition
+    out = spread(wide, "doc_id", scan_parts=None)
+    assert out is not wide
+    assert out.rdd.getNumPartitions() == n
+
+
+def test_spread_consumers_result_identical_both_regimes(spark):
+    """The seam is pure plan shape: an affected doc-keyed aggregate
+    pipeline (simhash_bit_counts) returns identical rows whether the
+    spread fires (scan_parts=1) or is skipped (scan_parts >= cores)."""
+    from pyspark.sql import functions as F
+
+    from wd2duckdb_spark.functions.dedup import (
+        counters_to_signature,
+        simhash_bit_counts,
+    )
+
+    n = spark.sparkContext.defaultParallelism
+    docs = (
+        spark.range(200)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("alpha beta gamma doc "), F.col("id").cast("string")
+            ).alias("text"),
+        )
+        .repartition(n + 3)  # already-parallel scan stand-in
+    )
+    spread_fires = counters_to_signature(
+        simhash_bit_counts(docs, scan_parts=1)
+    )
+    spread_skipped = counters_to_signature(
+        simhash_bit_counts(docs, scan_parts=n + 3)
+    )
+    a = sorted(map(tuple, spread_fires.collect()))
+    b = sorted(map(tuple, spread_skipped.collect()))
+    assert a == b and len(a) == 200
+    # and spread really added no repartition of its own: the fired
+    # plan carries spread's doc_id hash repartition (Catalyst collapses
+    # it with the stand-in round-robin — the keyed one wins), the
+    # skipped plan carries ONLY the stand-in. (Checked on the
+    # single-section optimized LOGICAL plan — the AQE executed-plan
+    # string prints Final + Initial sections and would double-count.)
+    fired_plan = spread_fires._jdf.queryExecution().optimizedPlan().toString()
+    skipped_plan = spread_skipped._jdf.queryExecution().optimizedPlan().toString()
+    assert "RepartitionByExpression [doc_id" in fired_plan
+    assert "RepartitionByExpression" not in skipped_plan
+    assert skipped_plan.count("Repartition") == 1  # the stand-in only
+
+
+def test_scan_partitions_memoized(spark):
+    """scan_partitions probes .rdd once per (session, sf_dir, table) —
+    the probe costs ~100 ms of driver planning, far too much to pay
+    inline on every query invocation."""
+    from wd2duckdb_spark.catalog import (
+        _scan_parts_cache,
+        scan_partitions,
+        session_key,
+    )
+
+    n1 = scan_partitions(spark, SF_DIR, "documents")
+    key = (session_key(spark), SF_DIR, "documents")
+    assert _scan_parts_cache[key] == n1
+    # poison the cache: a re-probe would overwrite, a memo hit returns it
+    _scan_parts_cache[key] = -7
+    try:
+        assert scan_partitions(spark, SF_DIR, "documents") == -7
+    finally:
+        _scan_parts_cache[key] = n1
+    assert n1 >= 1

@@ -164,6 +164,64 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: Physical scan partition count per testdata table — probed once per
+#: (session, sf_dir, table) because the probe itself (``.rdd`` plan
+#: materialization) costs ~100 ms of driver planning per fresh
+#: DataFrame, far too much to pay inline on every query invocation.
+_scan_parts_cache: dict[tuple[str, str, str], int] = register_memo({})
+
+
+def scan_partitions(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Number of physical scan partitions (input splits) of one
+    testdata table — the signal :func:`spread` keys on. Memoized per
+    (session, sf_dir, table); the fixture files are immutable per run,
+    so the count cannot go stale within a session."""
+    key = (session_key(spark), sf_dir, name)
+    n = _scan_parts_cache.get(key)
+    if n is None:
+        n = tbl(spark, sf_dir, name).rdd.getNumPartitions()
+        _scan_parts_cache[key] = n
+    return n
+
+
+def spread(df: DataFrame, *keys: str, scan_parts: int | None = None) -> DataFrame:
+    """Scale-adaptive CPU-spread repartition (guide §2.4/§8).
+
+    The fixture corpus is a single parquet split, so per-row CPU work
+    (shingling, per-token md5, PQ encoding, interpreted higher-order
+    functions) would run on ONE core without an explicit
+    ``repartition(defaultParallelism, ...)`` — and AQE's bytes-based
+    coalescing would shrink a bare key-repartition back to one task,
+    which is why every such site pins the count explicitly. But on a
+    real multi-split corpus the scan itself already provides at least
+    one task per core, and the same repartition becomes a pure
+    corpus-payload shuffle: heavy text/embedding bytes moved only to
+    spread per-row CPU the splits would have spread anyway (the exact
+    heavy-bytes anti-pattern of guide §8). This helper keeps the local
+    single-split behavior bit-for-bit and removes the shuffle when the
+    scan is already parallel:
+
+    - ``scan_parts >= defaultParallelism`` (a multi-split scan at
+      cluster scale): return ``df`` unchanged — zero exchanges; a
+      downstream key aggregate re-adds its own exchange of map-side
+      PARTIAL rows, orders of magnitude smaller than the raw payload.
+    - ``scan_parts < defaultParallelism`` (the local single-split
+      regime, or the driver's lower-core bench): exactly the previous
+      ``repartition(defaultParallelism, *keys)``.
+    - ``scan_parts=None`` (callers that cannot cheaply know the scan
+      layout: streaming micro-batches, post-shuffle frames whose AQE
+      partition count is bytes-coalesced): unconditional repartition —
+      the pre-seam behavior, still correct, never semantics-changing.
+
+    ``repartition`` only redistributes rows, so consumers are
+    result-identical either way; the choice is pure plan shape.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if scan_parts is not None and not df.isStreaming and scan_parts >= n:
+        return df
+    return df.repartition(n, *keys) if keys else df.repartition(n)
+
+
 #: Temporal columns the driver has shipped (or may ship) in varying
 #: parquet types across regenerations; each is normalized to
 #: TIMESTAMP_LTZ on read so every query sees one stable type.

@@ -30,7 +30,9 @@ from pyspark.sql import functions as F
 from wd2duckdb_spark.catalog import (
     eager_checkpoint,
     register_memo,
+    scan_partitions,
     session_key,
+    spread,
     tbl,
 )
 
@@ -74,7 +76,12 @@ def _minhash_cols() -> list[Column]:
     ]
 
 
-def _with_shingles(d: DataFrame, tokenizer: str = "whitespace") -> DataFrame:
+def _with_shingles(
+    d: DataFrame,
+    tokenizer: str = "whitespace",
+    *,
+    scan_parts: int | None = None,
+) -> DataFrame:
     """documents → (doc_id, sh: array<string>) distinct word-3-grams.
 
     ``tokenizer`` selects the token stream the shingles are built from
@@ -102,11 +109,17 @@ def _with_shingles(d: DataFrame, tokenizer: str = "whitespace") -> DataFrame:
     tiny pre-explosion), silently re-serializing the shingle work.
     Cost is per-shingle CPU, not input bytes, so bytes-based coalescing
     is the wrong heuristic here.
+
+    ``scan_parts`` (optimization round 11): callers that read straight
+    from a parquet scan pass its memoized split count and the
+    repartition is SKIPPED when the scan already provides a task per
+    core — see :func:`wd2duckdb_spark.catalog.spread`. None (streaming
+    micro-batches, derived frames) keeps the unconditional exchange.
     """
     from wd2duckdb_spark.functions.text import tokens
 
     return (
-        d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
+        spread(d, "doc_id", scan_parts=scan_parts)
         .select("doc_id", tokens(F.col("text"), tokenizer).alias("toks"))
         .filter(F.size("toks") >= 3)
         .select(
@@ -137,19 +150,22 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     below the exchange — a 15x slowdown observed at sf0.1. Inline, the
     Generate evaluates it once per input row.
     """
-    return _shingled_docs(tbl(spark, sf_dir, "documents"))
+    return _shingled_docs(
+        tbl(spark, sf_dir, "documents"),
+        scan_parts=scan_partitions(spark, sf_dir, "documents"),
+    )
 
 
-def _shingled_docs(d: DataFrame) -> DataFrame:
+def _shingled_docs(d: DataFrame, *, scan_parts: int | None = None) -> DataFrame:
     """DataFrame-level body of :func:`_shingled` — also feeds
     :func:`band_keys`, so batch queries and the streaming ingest index
-    share ONE tokenize→shingle pipeline."""
+    share ONE tokenize→shingle pipeline. ``scan_parts``: see
+    :func:`_with_shingles`."""
     toks = (
         # explicit count: see _with_shingles — AQE would coalesce a
-        # bare key-repartition to 1 task and single-thread the md5s
-        d.repartition(
-            d.sparkSession.sparkContext.defaultParallelism, "doc_id"
-        )
+        # bare key-repartition to 1 task and single-thread the md5s;
+        # skipped entirely when the scan is already multi-split
+        spread(d, "doc_id", scan_parts=scan_parts)
         .select(
             "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks")
         )
@@ -198,7 +214,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(spark, sf_dir).orderBy("doc_id")
 
 
-def band_keys(docs: DataFrame) -> DataFrame:
+def band_keys(docs: DataFrame, *, scan_parts: int | None = None) -> DataFrame:
     """``documents``-shaped DataFrame → (doc_id, band, key): the
     MinHash LSH band keys of every document with ≥3 tokens (shorter
     docs emit no keys — they cannot near-duplicate under word-3-gram
@@ -207,12 +223,19 @@ def band_keys(docs: DataFrame) -> DataFrame:
     Composed from the SAME helpers as the batch tier
     (:func:`_shingled_docs` → :func:`_minhash_cols` →
     :func:`_band_key_cols`), so batch pair generation and the
-    streaming ingest index cannot drift on signature semantics."""
-    sig = _shingled_docs(docs).groupBy("doc_id").agg(*_minhash_cols())
+    streaming ingest index cannot drift on signature semantics.
+    ``scan_parts``: see :func:`_with_shingles`."""
+    sig = (
+        _shingled_docs(docs, scan_parts=scan_parts)
+        .groupBy("doc_id")
+        .agg(*_minhash_cols())
+    )
     return _band_key_cols(sig)
 
 
-def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(
+    docs: DataFrame, *, scan_parts: int | None = None
+) -> DataFrame:
     """Distinct LSH candidate pairs ``(a_id, b_id)``, ``a_id < b_id``,
     of a ``documents``-shaped frame — the shared pair pipeline behind
     :func:`q_minhash_lsh_pairs` and the split-leakage audit
@@ -226,7 +249,7 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     parameters (pathological all-identical corpora excepted, which is
     inherent to the operator)."""
     buckets = (
-        band_keys(docs)
+        band_keys(docs, scan_parts=scan_parts)
         .groupBy("band", "key")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
@@ -250,9 +273,10 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band = md5 of 2 adjacent signature values). The join is on band
     keys — the production-scale path (never all-pairs). See
     :func:`lsh_candidate_pairs` for the plan shape."""
-    return lsh_candidate_pairs(tbl(spark, sf_dir, "documents")).orderBy(
-        "a_id", "b_id"
-    )
+    return lsh_candidate_pairs(
+        tbl(spark, sf_dir, "documents"),
+        scan_parts=scan_partitions(spark, sf_dir, "documents"),
+    ).orderBy("a_id", "b_id")
 
 
 def connected_components(
@@ -549,7 +573,10 @@ def q_lsh_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = tbl(spark, sf_dir, "documents").select("doc_id")
-    bands = band_keys(tbl(spark, sf_dir, "documents"))
+    bands = band_keys(
+        tbl(spark, sf_dir, "documents"),
+        scan_parts=scan_partitions(spark, sf_dir, "documents"),
+    )
     w = Window.partitionBy("band", "key")
     dup_ids = (
         bands.withColumn("_mn", F.min("doc_id").over(w))
@@ -585,10 +612,12 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per doc over distinct tokens: bit j of the
     signature = majority vote of bit j across token hashes."""
     d = tbl(spark, sf_dir, "documents")
-    toks = d.repartition(
-        # explicit count: see _with_shingles — the md5-per-token work
-        # must spread over all cores, AQE would coalesce to 1 task
-        spark.sparkContext.defaultParallelism, "doc_id"
+    toks = spread(
+        # see _with_shingles — the md5-per-token work must spread over
+        # all cores locally; skipped when the scan is multi-split
+        d,
+        "doc_id",
+        scan_parts=scan_partitions(spark, sf_dir, "documents"),
     ).select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), " "))).alias(
@@ -691,6 +720,7 @@ def simhash_bit_counts(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = SIMHASH_BITS,
+    scan_parts: int | None = None,
 ) -> DataFrame:
     """The MERGEABLE half of SimHash: per-document per-bit counters
     ``(id_col, n, c0..c{bits-1})`` over the document's DISTINCT
@@ -701,9 +731,7 @@ def simhash_bit_counts(
     if not 1 <= bits <= 60:
         raise ValueError(f"bits must be in [1, 60] (15 md5 hex chars), got {bits}")
     toks = (
-        docs.repartition(
-            docs.sparkSession.sparkContext.defaultParallelism, id_col
-        )
+        spread(docs, id_col, scan_parts=scan_parts)
         .select(
             id_col,
             F.explode(
@@ -961,7 +989,10 @@ def q_simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard similarity — the verification operator
     for candidate pairs, demonstrated on consecutive-id pairs."""
-    s = _with_shingles(tbl(spark, sf_dir, "documents")).cache()
+    s = _with_shingles(
+        tbl(spark, sf_dir, "documents"),
+        scan_parts=scan_partitions(spark, sf_dir, "documents"),
+    ).cache()
     a = s.alias("a")
     b = s.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
@@ -996,7 +1027,10 @@ def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside the one-task scan stage, per branch (measured 6.3 s → 1.5 s
     at sf0.1 with the barrier). The cached relation also shares ONE
     shingling pass between the benchmark and corpus branches."""
-    d = _with_shingles(tbl(spark, sf_dir, "documents")).persist()
+    d = _with_shingles(
+        tbl(spark, sf_dir, "documents"),
+        scan_parts=scan_partitions(spark, sf_dir, "documents"),
+    ).persist()
     bench = (
         d.filter(F.col("doc_id") < 10)
         .select(F.explode("sh").alias("gram"))
@@ -1359,15 +1393,16 @@ def q_dedup_stage_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _source_shingles(d: DataFrame) -> DataFrame:
+def _source_shingles(
+    d: DataFrame, *, scan_parts: int | None = None
+) -> DataFrame:
     """documents → (source, shingle) exploded word-3-grams — the
     source-keyed sibling of :func:`_shingled_docs` (same tokenize →
     inline-explode discipline; NOT per-doc-distinct, which both
-    consumers tolerate: collect_set and min are duplicate-invariant)."""
+    consumers tolerate: collect_set and min are duplicate-invariant).
+    ``scan_parts``: see :func:`_with_shingles`."""
     toks = (
-        d.repartition(
-            d.sparkSession.sparkContext.defaultParallelism, "doc_id"
-        )
+        spread(d, "doc_id", scan_parts=scan_parts)
         .select(
             "source",
             F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks"),
@@ -1411,7 +1446,13 @@ def q_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     <3 tokens have no shingle set and are absent, symmetrically.
     """
     d = tbl(spark, sf_dir, "documents")
-    sig = _source_shingles(d).groupBy("source").agg(*_minhash_cols())
+    sig = (
+        _source_shingles(
+            d, scan_parts=scan_partitions(spark, sf_dir, "documents")
+        )
+        .groupBy("source")
+        .agg(*_minhash_cols())
+    )
     return overlap_from_signatures(sig)
 
 
@@ -1468,7 +1509,9 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = tbl(spark, sf_dir, "documents")
     sets = (
-        _source_shingles(d)
+        _source_shingles(
+            d, scan_parts=scan_partitions(spark, sf_dir, "documents")
+        )
         .groupBy("shingle")
         .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
     )
@@ -1898,7 +1941,9 @@ def _prefix_frames(
 
     d = tbl(spark, sf_dir, "documents")
     sets = (
-        _with_shingles(d)
+        _with_shingles(
+            d, scan_parts=scan_partitions(spark, sf_dir, "documents")
+        )
         .select("doc_id", F.array_sort("sh").alias("ts"))
         .persist()
     )
@@ -2107,8 +2152,8 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_exact` pays, at chunk granularity.
     """
     d = tbl(spark, sf_dir, "documents")
-    toks = d.repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    toks = spread(
+        d, "doc_id", scan_parts=scan_partitions(spark, sf_dir, "documents")
     ).select(
         "doc_id",
         F.expr(
@@ -2179,8 +2224,9 @@ def q_verbatim_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle keeps the anchored rule via min() OVER (PARTITION BY
     window).
     """
-    d = tbl(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    d = spread(
+        tbl(spark, sf_dir, "documents"),
+        scan_parts=scan_partitions(spark, sf_dir, "documents"),
     )
     tk = F.expr("filter(split(lower(trim(text)), ' '), x -> x <> '')")
     wins = (
@@ -2236,8 +2282,9 @@ def q_verbatim_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeat 16 straight tokens). Window keys shuffle as md5 digests —
     the same uniform 32-char key the pairs query exchanges — instead
     of ~16-word raw gram strings."""
-    d = tbl(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    d = spread(
+        tbl(spark, sf_dir, "documents"),
+        scan_parts=scan_partitions(spark, sf_dir, "documents"),
     )
     toks = d.select(
         "doc_id",
@@ -2344,7 +2391,10 @@ def q_lsh_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeds both component oracles verbatim, so ground truth and
     candidates cannot drift from the queries they evaluate."""
     cand = (
-        lsh_candidate_pairs(tbl(spark, sf_dir, "documents"))
+        lsh_candidate_pairs(
+            tbl(spark, sf_dir, "documents"),
+            scan_parts=scan_partitions(spark, sf_dir, "documents"),
+        )
         .select("a_id", "b_id")
         .withColumn("_c", F.lit(1))
     )
@@ -2397,7 +2447,13 @@ def q_neardup_method_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row reduction.
     """
     pairs = [
-        ("l", lsh_candidate_pairs(tbl(spark, sf_dir, "documents"))),
+        (
+            "l",
+            lsh_candidate_pairs(
+                tbl(spark, sf_dir, "documents"),
+                scan_parts=scan_partitions(spark, sf_dir, "documents"),
+            ),
+        ),
         ("j", q_jaccard_prefix_join(spark, sf_dir)),
         ("s", q_simhash_hamming_pairs(spark, sf_dir)),
     ]

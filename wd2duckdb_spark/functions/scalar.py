@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wd2duckdb_spark.catalog import tbl
+from wd2duckdb_spark.catalog import scan_partitions, spread, tbl
 from wd2duckdb_spark.ids import encode_id_col
 
 
@@ -117,8 +117,9 @@ def q_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         # round-robin repartition: the corpus is one input split, and
         # the tokenize+explode work must spread across cores (AQE's
-        # bytes-based view of the pre-explosion input says "tiny")
-        d.repartition(spark.sparkContext.defaultParallelism)
+        # bytes-based view of the pre-explosion input says "tiny");
+        # skipped when the scan is already multi-split (catalog.spread)
+        spread(d, scan_parts=scan_partitions(spark, sf_dir, "documents"))
         .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")

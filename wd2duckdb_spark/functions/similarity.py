@@ -26,7 +26,9 @@ from wd2duckdb_spark.catalog import (
 from wd2duckdb_spark.catalog import (
     eager_checkpoint,
     register_memo,
+    scan_partitions,
     session_key,
+    spread,
     tbl,
 )
 
@@ -998,15 +1000,13 @@ def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for j in range(PQ_SUBSPACES)
             ],
         )
-    e = (
-        tbl(spark, sf_dir, "embeddings")
-        .filter(
+    e = spread(
+        tbl(spark, sf_dir, "embeddings").filter(
             F.col("embedding").isNotNull()
             & (F.size("embedding") == EMB_DIM)  # dirty rows: no code
-        )
-        .repartition(spark.sparkContext.defaultParallelism)
-        .withColumn("_v", _as_double(F.col("embedding")))
-    )
+        ),
+        scan_parts=scan_partitions(spark, sf_dir, "embeddings"),
+    ).withColumn("_v", _as_double(F.col("embedding")))
     cols = [
         pq_code_col("_v", cb, j).alias(f"code{j}")
         for j in range(PQ_SUBSPACES)
@@ -1106,8 +1106,9 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each generated method small.
     codes = (
         # repartition: the fixture table is one parquet split and the
-        # PQ encode is CPU-bound — spread it; at scale, splits do this.
-        e.repartition(spark.sparkContext.defaultParallelism)
+        # PQ encode is CPU-bound — spread it; at scale, splits do this
+        # (and catalog.spread then skips the shuffle outright).
+        spread(e, scan_parts=scan_partitions(spark, sf_dir, "embeddings"))
         .withColumn("_v", v)
         .select(
             "vec_id",

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from wd2duckdb_spark.catalog import tbl
+from wd2duckdb_spark.catalog import scan_partitions, spread, tbl
 
 #: Tiny high-frequency English function-word set for the n-gram/stopword
 #: language heuristic. Deliberately small + deterministic — this is the
@@ -288,9 +288,11 @@ def q_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # round-robin repartition: the corpus arrives as ONE input split,
     # and AQE's bytes-based sizing would leave the CPU-bound tokenize +
-    # explode on a single core (same trap as q_explode_words)
-    d = tbl(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    # explode on a single core (same trap as q_explode_words); skipped
+    # when the scan is already multi-split (catalog.spread)
+    d = spread(
+        tbl(spark, sf_dir, "documents"),
+        scan_parts=scan_partitions(spark, sf_dir, "documents"),
     )
     words = d.select(
         "doc_id",
@@ -335,8 +337,9 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the argmin is a plain numeric min (same trick in the oracle).
     """
     # spread the CPU-bound chunk fan-out across cores (single-split input)
-    d = tbl(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    d = spread(
+        tbl(spark, sf_dir, "documents"),
+        scan_parts=scan_partitions(spark, sf_dir, "documents"),
     )
     toks = F.split(F.lower(F.trim("text")), " ")
     n_chunks = F.ceil(F.size(toks) / float(CHUNK_TOKENS)).cast("int")
@@ -382,7 +385,9 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     and it is bounded by |vocab|, not corpus size.
     """
     d = tbl(spark, sf_dir, "documents")
-    words = d.repartition(spark.sparkContext.defaultParallelism).select(
+    words = spread(
+        d, scan_parts=scan_partitions(spark, sf_dir, "documents")
+    ).select(
         "source",
         F.explode(F.split(F.lower(F.trim("text")), " ")).alias("word"),
     )
@@ -800,7 +805,7 @@ def q_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     W, S = RAG_CHUNK_TOKENS, RAG_CHUNK_STRIDE
     d = tbl(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     # spread the CPU-bound fan-out across cores (single-split corpus)
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = spread(d, scan_parts=scan_partitions(spark, sf_dir, "documents"))
     toks = F.split(F.trim("text"), " ")
     n = F.size(toks)
     n_chunks = F.when(n <= W, F.lit(1)).otherwise(
@@ -835,8 +840,9 @@ def q_vocab_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # round-robin repartition: single-split corpus + CPU-bound tokenize
     # (same trap documented at q_word_repetition)
-    d = tbl(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    d = spread(
+        tbl(spark, sf_dir, "documents"),
+        scan_parts=scan_partitions(spark, sf_dir, "documents"),
     )
     words = d.select(
         "source",

@@ -23,7 +23,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from wd2duckdb_spark.catalog import register_memo, session_key, tbl
+from wd2duckdb_spark.catalog import (
+    register_memo,
+    scan_partitions,
+    session_key,
+    spread,
+    tbl,
+)
 
 #: Context-window capacity (tokens) for q_pack_sequences. Small because
 #: the synthetic docs average ~55 tokens; the operator is
@@ -196,7 +202,10 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from wd2duckdb_spark.functions.dedup import lsh_candidate_pairs
 
-    pairs = lsh_candidate_pairs(tbl(spark, sf_dir, "documents"))
+    pairs = lsh_candidate_pairs(
+        tbl(spark, sf_dir, "documents"),
+        scan_parts=scan_partitions(spark, sf_dir, "documents"),
+    )
     sa = split_label(F.col("a_id"))
     sb = split_label(F.col("b_id"))
     return (
@@ -283,8 +292,9 @@ def q_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the only data-sized pass is the DF count; the rewrite pass
     is scan-bound.
     """
-    d = tbl(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    d = spread(
+        tbl(spark, sf_dir, "documents"),
+        scan_parts=scan_partitions(spark, sf_dir, "documents"),
     )
     toks = F.split(F.lower(F.trim("text")), " ")
     ndocs = d.agg(F.count("*").alias("n_total"))  # 1 row
@@ -329,8 +339,9 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-checked against these exact counts in
     tests/test_training.py.
     """
-    d = tbl(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    d = spread(
+        tbl(spark, sf_dir, "documents"),
+        scan_parts=scan_partitions(spark, sf_dir, "documents"),
     )
     words = d.select(
         F.explode(F.split(F.lower(F.trim("text")), " ")).alias("word")
