@@ -736,3 +736,32 @@ def test_scan_partitions_memoized(spark):
     finally:
         _scan_parts_cache[key] = n1
     assert n1 >= 1
+
+
+def test_weighted_pair_frame_memoized_and_stable(spark):
+    """The SSSP weighted-edge build memoizes its localCheckpointed
+    pair aggregate per (session, sf_dir) — the _rcte_edges /
+    _pr_trans_cache discipline. Invocation 2 must return the SAME
+    materialized frame (no re-run of the lineitem⋈orders join), it
+    must survive clearCache() (checkpoint blocks are not CacheManager
+    entries), and the composed query's rows must be identical before
+    and after the memo hit."""
+    from wd2duckdb_spark.operators.graph import (
+        _weighted_edges,
+        _weighted_pair_cache,
+        q_shortest_path_bounded,
+    )
+    from wd2duckdb_spark.catalog import session_key
+
+    _weighted_pair_cache.pop((session_key(spark), SF_DIR), None)
+    r1 = q_shortest_path_bounded(spark, SF_DIR).collect()
+    key = (session_key(spark), SF_DIR)
+    pair1 = _weighted_pair_cache[key]
+    spark.catalog.clearCache()
+    e2 = _weighted_edges(spark, SF_DIR)
+    assert _weighted_pair_cache[key] is pair1  # memo hit, not a rebuild
+    # the memoized plan is materialized data, not a parquet subtree
+    assert "Scan parquet" not in pair1._jdf.queryExecution().toString()
+    r2 = q_shortest_path_bounded(spark, SF_DIR).collect()
+    assert r1 == r2
+    assert e2.count() == 2 * pair1.count()  # explode emits fwd+rev per pair
