@@ -765,3 +765,35 @@ def test_weighted_pair_frame_memoized_and_stable(spark):
     r2 = q_shortest_path_bounded(spark, SF_DIR).collect()
     assert r1 == r2
     assert e2.count() == 2 * pair1.count()  # explode emits fwd+rev per pair
+
+
+def test_bm25_tfs_memoized_shared_and_rearmed(spark):
+    """The BM25 tf frame memoizes per (session, sf_dir, term tuple):
+    bm25_topk and hybrid_rrf_topk share one entry (same BM25_TERMS),
+    bm25_eval keys its wider eval-term tuple; a clearCache between
+    bench queries must RE-ARM the persist on the next memo hit; and
+    query rows must be identical before/after the memo hit."""
+    from wd2duckdb_spark.catalog import session_key
+    from wd2duckdb_spark.functions.retrieval import q_hybrid_rrf_topk
+    from wd2duckdb_spark.functions.text import (
+        BM25_TERMS,
+        _bm25_tfs_cache,
+        q_bm25_eval,
+        q_bm25_topk,
+    )
+
+    _bm25_tfs_cache.clear()
+    r1 = q_bm25_topk(spark, SF_DIR).collect()
+    key = (session_key(spark), SF_DIR, tuple(sorted(set(BM25_TERMS))))
+    tfs = _bm25_tfs_cache[key]
+    assert tfs.storageLevel.useMemory
+    q_hybrid_rrf_topk(spark, SF_DIR)  # same terms -> same entry
+    assert len(_bm25_tfs_cache) == 1 and _bm25_tfs_cache[key] is tfs
+    q_bm25_eval(spark, SF_DIR)  # wider eval terms -> its own entry
+    assert len(_bm25_tfs_cache) == 2
+    spark.catalog.clearCache()
+    assert not tfs.storageLevel.useMemory
+    r2 = q_bm25_topk(spark, SF_DIR).collect()
+    assert _bm25_tfs_cache[key] is tfs  # memo hit, not a rebuild
+    assert tfs.storageLevel.useMemory  # re-armed
+    assert r1 == r2
