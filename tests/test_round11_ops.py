@@ -830,3 +830,29 @@ def test_gram_frames_memoized_shared_and_rearmed(spark):
     assert sets.storageLevel.useMemory  # re-armed
     assert r1 == r2
     assert s1 == q_repeated_ngram_spans(spark, SF_DIR).collect()
+
+
+def test_bigram_lm_memoized_and_rearmed(spark):
+    """doc_surprisal's trained LM table memoizes per (session,
+    sf_dir), re-arms its persist after clearCache, and both consumers
+    return identical rows across the memo hit."""
+    from wd2duckdb_spark.catalog import session_key
+    from wd2duckdb_spark.functions.text import (
+        _lm_cache,
+        q_bigram_surprisal,
+        q_perplexity_bucket_sample,
+    )
+
+    _lm_cache.clear()
+    r1 = q_bigram_surprisal(spark, SF_DIR).collect()
+    key = (session_key(spark), SF_DIR)
+    lm = _lm_cache[key]
+    assert lm.storageLevel.useMemory
+    q_perplexity_bucket_sample(spark, SF_DIR)  # shares the model
+    assert _lm_cache[key] is lm and len(_lm_cache) == 1
+    spark.catalog.clearCache()
+    assert not lm.storageLevel.useMemory
+    r2 = q_bigram_surprisal(spark, SF_DIR).collect()
+    assert _lm_cache[key] is lm  # memo hit, not a retrain
+    assert lm.storageLevel.useMemory  # re-armed
+    assert r1 == r2

@@ -1238,6 +1238,11 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 BIGRAM_K = 0.5
 
 
+#: Memoized persisted bigram-LM tables per (session, sf_dir) — the
+#: corpus-trained model :func:`doc_surprisal` scores against.
+_lm_cache: dict[tuple[str, str], DataFrame] = register_memo({})
+
+
 def doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document corpus-trained bigram language-model score
     ``(doc_id, source, doc_surprisal)`` — the perplexity-style quality
@@ -1268,6 +1273,7 @@ def doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical inputs on both engines. Per-source means are floored
     again; the argmax doc ties break on doc_id via min-struct.
     """
+    key = (session_key(spark), sf_dir)
     d = tbl(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim("text")), " ")
     bigrams = F.expr(
@@ -1288,26 +1294,38 @@ def doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("bg", " ").getItem(0).alias("w1"), "c12"
     ).groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = uni.agg(F.count("*").alias("v"))  # 1 row
-    lm = (
-        bg_counts.select(
-            "bg", F.split("bg", " ").getItem(0).alias("w1"), "c12"
-        )
-        .join(uni, "w1")
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            "bg",
-            F.floor(
-                -F.log(
-                    (F.col("c12") + F.lit(BIGRAM_K))
-                    / (F.col("c1") + F.lit(BIGRAM_K) * F.col("v"))
-                )
-                * 1e12
-                + F.lit(0.5)
+    # the trained LM table is vocabulary²-bounded, deterministic and
+    # invocation-invariant — memoized persisted per (session, sf_dir)
+    # (round 11; the _bm25_tfs_cache discipline incl. the clearCache
+    # re-arm), so repeat invocations and the two consumers
+    # (q_bigram_surprisal, q_perplexity_bucket_sample) skip the
+    # training passes and score against the cached model
+    lm = _lm_cache.get(key)
+    if lm is None:
+        lm = (
+            bg_counts.select(
+                "bg", F.split("bg", " ").getItem(0).alias("w1"), "c12"
             )
-            .cast("decimal(38,0)")
-            .alias("smicro"),
+            .join(uni, "w1")
+            .crossJoin(F.broadcast(vocab))
+            .select(
+                "bg",
+                F.floor(
+                    -F.log(
+                        (F.col("c12") + F.lit(BIGRAM_K))
+                        / (F.col("c1") + F.lit(BIGRAM_K) * F.col("v"))
+                    )
+                    * 1e12
+                    + F.lit(0.5)
+                )
+                .cast("decimal(38,0)")
+                .alias("smicro"),
+            )
+            .persist()
         )
-    )
+        _lm_cache[key] = lm
+    elif not lm.storageLevel.useMemory:
+        lm.persist()
     per_doc = (
         base.join(lm, "bg")
         .groupBy("doc_id", "source")
