@@ -856,3 +856,37 @@ def test_bigram_lm_memoized_and_rearmed(spark):
     assert _lm_cache[key] is lm  # memo hit, not a retrain
     assert lm.storageLevel.useMemory  # re-armed
     assert r1 == r2
+
+
+def test_minhash_sig_memoized_and_consistent(spark):
+    """The MinHash pair consumers share one memoized signature frame;
+    pairs from the memoized path equal pairs from the fresh
+    (sig=None) path; and q_minhash_signatures' fresh build matches
+    the memoized frame's values."""
+    from wd2duckdb_spark.catalog import scan_partitions, session_key, tbl
+    from wd2duckdb_spark.functions.dedup import (
+        _gram_frame_cache,
+        _minhash_sig,
+        lsh_candidate_pairs,
+        q_minhash_lsh_pairs,
+        q_minhash_signatures,
+    )
+
+    _gram_frame_cache.pop(
+        (session_key(spark), SF_DIR, "minhash_sig"), None
+    )
+    memo_pairs = q_minhash_lsh_pairs(spark, SF_DIR).collect()
+    sig = _gram_frame_cache[(session_key(spark), SF_DIR, "minhash_sig")]
+    fresh_pairs = (
+        lsh_candidate_pairs(
+            tbl(spark, SF_DIR, "documents"),
+            scan_parts=scan_partitions(spark, SF_DIR, "documents"),
+        )
+        .orderBy("a_id", "b_id")
+        .collect()
+    )
+    assert memo_pairs == fresh_pairs
+    assert _minhash_sig(spark, SF_DIR) is sig  # memo hit
+    memo_rows = sorted(sig.collect(), key=lambda r: r["doc_id"])
+    fresh_rows = q_minhash_signatures(spark, SF_DIR).collect()
+    assert memo_rows == fresh_rows

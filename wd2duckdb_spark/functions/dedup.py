@@ -233,7 +233,27 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(spark, sf_dir).orderBy("doc_id")
 
 
-def band_keys(docs: DataFrame, *, scan_parts: int | None = None) -> DataFrame:
+def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized persisted MinHash signature frame (doc_id,
+    h0..h7) over the fixture documents — the ``_simhash_sig`` twin for
+    the MinHash tier's PAIR consumers (q_minhash_lsh_pairs,
+    q_lsh_keep_list and the two composition diagnostics), which all
+    re-derived shingles + 8 md5-minima per invocation. Banding,
+    bucketing, pairing and the evals still compute from it per
+    invocation; :func:`q_minhash_signatures` keeps its own fresh
+    build."""
+    return _memo_frame(
+        (session_key(spark), sf_dir, "minhash_sig"),
+        lambda: minhash_signatures(spark, sf_dir),
+    )
+
+
+def band_keys(
+    docs: DataFrame,
+    *,
+    scan_parts: int | None = None,
+    sig: DataFrame | None = None,
+) -> DataFrame:
     """``documents``-shaped DataFrame → (doc_id, band, key): the
     MinHash LSH band keys of every document with ≥3 tokens (shorter
     docs emit no keys — they cannot near-duplicate under word-3-gram
@@ -243,17 +263,24 @@ def band_keys(docs: DataFrame, *, scan_parts: int | None = None) -> DataFrame:
     (:func:`_shingled_docs` → :func:`_minhash_cols` →
     :func:`_band_key_cols`), so batch pair generation and the
     streaming ingest index cannot drift on signature semantics.
-    ``scan_parts``: see :func:`_with_shingles`."""
-    sig = (
-        _shingled_docs(docs, scan_parts=scan_parts)
-        .groupBy("doc_id")
-        .agg(*_minhash_cols())
-    )
+    ``scan_parts``: see :func:`_with_shingles`. ``sig``: a
+    pre-computed signature frame (e.g. the :func:`_minhash_sig` memo)
+    — band keys are derived from it in-row, skipping the
+    shingle+minhash rebuild."""
+    if sig is None:
+        sig = (
+            _shingled_docs(docs, scan_parts=scan_parts)
+            .groupBy("doc_id")
+            .agg(*_minhash_cols())
+        )
     return _band_key_cols(sig)
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame, *, scan_parts: int | None = None
+    docs: DataFrame,
+    *,
+    scan_parts: int | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct LSH candidate pairs ``(a_id, b_id)``, ``a_id < b_id``,
     of a ``documents``-shaped frame — the shared pair pipeline behind
@@ -268,7 +295,7 @@ def lsh_candidate_pairs(
     parameters (pathological all-identical corpora excepted, which is
     inherent to the operator)."""
     buckets = (
-        band_keys(docs, scan_parts=scan_parts)
+        band_keys(docs, scan_parts=scan_parts, sig=sig)
         .groupBy("band", "key")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
@@ -294,7 +321,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`lsh_candidate_pairs` for the plan shape."""
     return lsh_candidate_pairs(
         tbl(spark, sf_dir, "documents"),
-        scan_parts=scan_partitions(spark, sf_dir, "documents"),
+        sig=_minhash_sig(spark, sf_dir),
     ).orderBy("a_id", "b_id")
 
 
@@ -594,7 +621,7 @@ def q_lsh_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents").select("doc_id")
     bands = band_keys(
         tbl(spark, sf_dir, "documents"),
-        scan_parts=scan_partitions(spark, sf_dir, "documents"),
+        sig=_minhash_sig(spark, sf_dir),
     )
     w = Window.partitionBy("band", "key")
     dup_ids = (
@@ -2452,7 +2479,7 @@ def q_lsh_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         lsh_candidate_pairs(
             tbl(spark, sf_dir, "documents"),
-            scan_parts=scan_partitions(spark, sf_dir, "documents"),
+            sig=_minhash_sig(spark, sf_dir),
         )
         .select("a_id", "b_id")
         .withColumn("_c", F.lit(1))
@@ -2510,7 +2537,7 @@ def q_neardup_method_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l",
             lsh_candidate_pairs(
                 tbl(spark, sf_dir, "documents"),
-                scan_parts=scan_partitions(spark, sf_dir, "documents"),
+                sig=_minhash_sig(spark, sf_dir),
             ),
         ),
         ("j", q_jaccard_prefix_join(spark, sf_dir)),
