@@ -890,3 +890,26 @@ def test_minhash_sig_memoized_and_consistent(spark):
     memo_rows = sorted(sig.collect(), key=lambda r: r["doc_id"])
     fresh_rows = q_minhash_signatures(spark, SF_DIR).collect()
     assert memo_rows == fresh_rows
+
+
+def test_chunk_and_boilerplate_memos_rearm_and_match(spark):
+    """chunk_dedup's occurrence frame and boilerplate_prune's high-DF
+    vocabulary row memoize per (session, sf_dir), re-arm after
+    clearCache, and return identical rows across the memo hit."""
+    from wd2duckdb_spark.catalog import _frame_cache, session_key
+    from wd2duckdb_spark.functions.text import q_chunk_dedup
+    from wd2duckdb_spark.functions.training import q_boilerplate_prune
+
+    for k in [k for k in _frame_cache if k[0] == session_key(spark)]:
+        _frame_cache.pop(k)
+    c1 = q_chunk_dedup(spark, SF_DIR).collect()
+    b1 = q_boilerplate_prune(spark, SF_DIR).collect()
+    tags = sorted(k[2] for k in _frame_cache)
+    assert tags == ["boilerplate_hiwords", "chunk_occ"]
+    frames = dict((k[2], v) for k, v in _frame_cache.items())
+    spark.catalog.clearCache()
+    assert not frames["chunk_occ"].storageLevel.useMemory
+    c2 = q_chunk_dedup(spark, SF_DIR).collect()
+    b2 = q_boilerplate_prune(spark, SF_DIR).collect()
+    assert frames["chunk_occ"].storageLevel.useMemory  # re-armed
+    assert c1 == c2 and b1 == b2

