@@ -122,21 +122,28 @@ def test_supplier_aqe_broadcasts_at_fixture_scale(spark):
 # ---------------------------------------------------------------------------
 
 
-def test_prefix_frames_memoized_per_session(spark):
-    """Repeat invocations must reuse the SAME persisted frames instead
-    of stacking a new cache entry per call (the r10 leak)."""
+def test_prefix_frames_fresh_per_invocation_no_cache_leak(spark):
+    """Optimization round 12: the prefix machinery persists per
+    INVOCATION (within-plan reuse only — no session memo), and repeat
+    invocations do NOT leak CacheManager entries because the
+    canonicalized plans are identical (Spark dedupes them) — the r10
+    leak stays fixed without the memo."""
     from wd2duckdb_spark.functions.dedup import (
         JACCARD_DEN,
         JACCARD_NUM,
-        _prefix_cache,
         _prefix_frames,
     )
 
-    _prefix_cache.clear()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
     a = _prefix_frames(spark, SF_DIR, JACCARD_NUM, JACCARD_DEN)
+    n_after_one = cm.cachedData().size()
     b = _prefix_frames(spark, SF_DIR, JACCARD_NUM, JACCARD_DEN)
-    assert a[0] is b[0] and a[2] is b[2]
-    assert len(_prefix_cache) == 1
+    n_after_two = cm.cachedData().size()
+    assert a[0] is not b[0]  # fresh frames, no session memo
+    assert n_after_two == n_after_one  # identical plans share entries
+    assert b[0].storageLevel.useMemory and b[2].storageLevel.useMemory
+    spark.catalog.clearCache()
 
 
 def test_pagerank_structure_memoized_per_session(spark):
@@ -410,9 +417,11 @@ def test_verbatim_span_removal_cuts_later_doc_only(spark):
 
 
 def test_memoized_frames_repersist_after_clearcache(spark):
-    """clearCache() between bench queries unpersists the memoized
-    frames; the next memo hit must RE-ARM the persist instead of
-    returning a silently-uncached frame."""
+    """clearCache() between bench queries unpersists frames. The
+    retained model/fixture-bridge memos (lineitem_ext — VERDICT r10
+    item 6) must RE-ARM their persist on the next hit; the
+    de-memoized prefix machinery must come back fresh AND persisted
+    per invocation (optimization round 12)."""
     from wd2duckdb_spark.functions.dedup import (
         JACCARD_DEN,
         JACCARD_NUM,
@@ -431,7 +440,8 @@ def test_memoized_frames_repersist_after_clearcache(spark):
         spark, SF_DIR, JACCARD_NUM, JACCARD_DEN
     )
     li2 = lineitem_ext(spark, SF_DIR)
-    assert sets2 is sets and li2 is li  # same memoized objects
+    assert li2 is li  # memoized fixture bridge: same object, re-armed
+    assert sets2 is not sets  # per-invocation: a fresh frame
     assert sets2.storageLevel.useMemory
     assert prefix2.storageLevel.useMemory
     assert li2.storageLevel.useMemory
@@ -582,10 +592,10 @@ def test_shortest_path_self_loop_keeps_settled_distance(spark, tmp_path):
 
 
 def test_rcte_edges_checkpoint_matches_inline_sql(spark):
-    """The memoized localCheckpoint form of reachability_rcte must
-    return EXACTLY the rows of the original single-statement SQL
-    (which the DuckDB oracle still runs), and repeat invocations must
-    reuse the one materialized edge overlay instead of rebuilding it."""
+    """The localCheckpoint form of reachability_rcte must return
+    EXACTLY the rows of the original single-statement SQL (which the
+    DuckDB oracle still runs); since round 12 each invocation builds
+    its own edge overlay (no session memo)."""
     from wd2duckdb_spark.catalog import tbl
     from wd2duckdb_spark.operators.graph import (
         RCTE_REACHABILITY_SQL,
@@ -600,7 +610,7 @@ def test_rcte_edges_checkpoint_matches_inline_sql(spark):
 
     e1 = _rcte_edges(spark, SF_DIR)
     e2 = _rcte_edges(spark, SF_DIR)
-    assert e1 is e2  # memoized: one checkpoint per (session, sf_dir)
+    assert e1 is not e2  # per-invocation checkpoint (round 12, no memo)
     # the frame the recursion references is materialized data, not a
     # recomputable subtree — UnionLoop re-executes its body per
     # iteration and must hit block-manager blocks, not the scan
@@ -738,98 +748,105 @@ def test_scan_partitions_memoized(spark):
     assert n1 >= 1
 
 
-def test_weighted_pair_frame_memoized_and_stable(spark):
-    """The SSSP weighted-edge build memoizes its localCheckpointed
-    pair aggregate per (session, sf_dir) — the _rcte_edges /
-    _pr_trans_cache discipline. Invocation 2 must return the SAME
-    materialized frame (no re-run of the lineitem⋈orders join), it
-    must survive clearCache() (checkpoint blocks are not CacheManager
-    entries), and the composed query's rows must be identical before
-    and after the memo hit."""
+def test_weighted_pair_frame_fresh_per_invocation_and_stable(spark):
+    """Optimization round 12 (VERDICT r11 item 1): the SSSP
+    weighted-edge build localCheckpoints its pair aggregate PER
+    INVOCATION — no session memo, so every invocation measures (and
+    recovers from executor loss by) its own build — while the frame
+    the supersteps consume is still materialized data, not a
+    4x-duplicated join+aggregate subtree. Rows must be identical
+    across invocations and clearCache()."""
     from wd2duckdb_spark.operators.graph import (
         _weighted_edges,
-        _weighted_pair_cache,
         q_shortest_path_bounded,
     )
-    from wd2duckdb_spark.catalog import session_key
 
-    _weighted_pair_cache.pop((session_key(spark), SF_DIR), None)
-    r1 = q_shortest_path_bounded(spark, SF_DIR).collect()
-    key = (session_key(spark), SF_DIR)
-    pair1 = _weighted_pair_cache[key]
-    spark.catalog.clearCache()
+    e1 = _weighted_edges(spark, SF_DIR)
     e2 = _weighted_edges(spark, SF_DIR)
-    assert _weighted_pair_cache[key] is pair1  # memo hit, not a rebuild
-    # the memoized plan is materialized data, not a parquet subtree
-    assert "Scan parquet" not in pair1._jdf.queryExecution().toString()
+    assert e1 is not e2  # fresh checkpoint per invocation
+    # the materialized plan is data, not a parquet subtree
+    assert "Scan parquet" not in e1._jdf.queryExecution().toString()
+    r1 = q_shortest_path_bounded(spark, SF_DIR).collect()
+    spark.catalog.clearCache()
     r2 = q_shortest_path_bounded(spark, SF_DIR).collect()
     assert r1 == r2
-    assert e2.count() == 2 * pair1.count()  # explode emits fwd+rev per pair
 
 
-def test_bm25_tfs_memoized_shared_and_rearmed(spark):
-    """The BM25 tf frame memoizes per (session, sf_dir, term tuple):
-    bm25_topk and hybrid_rrf_topk share one entry (same BM25_TERMS),
-    bm25_eval keys its wider eval-term tuple; a clearCache between
-    bench queries must RE-ARM the persist on the next memo hit; and
-    query rows must be identical before/after the memo hit."""
-    from wd2duckdb_spark.catalog import session_key
-    from wd2duckdb_spark.functions.retrieval import q_hybrid_rrf_topk
-    from wd2duckdb_spark.functions.text import (
-        BM25_TERMS,
-        _bm25_tfs_cache,
-        q_bm25_eval,
-        q_bm25_topk,
-    )
+def test_bm25_tier_no_session_cache_and_stable(spark):
+    """Optimization round 12 (VERDICT r11 items 1/5): the BM25 tier
+    has NO per-session tf cache — every invocation re-derives the tf
+    frame from the docs it was given (so a filtered docs frame can
+    never read another caller's cached rows, ADVICE r11 item 1) — and
+    rows are identical across invocations and clearCache()."""
+    import wd2duckdb_spark.functions.text as text_mod
+    from wd2duckdb_spark.functions.text import q_bm25_eval, q_bm25_topk
 
-    _bm25_tfs_cache.clear()
+    assert not hasattr(text_mod, "_bm25_tfs_cache")
     r1 = q_bm25_topk(spark, SF_DIR).collect()
-    key = (session_key(spark), SF_DIR, tuple(sorted(set(BM25_TERMS))))
-    tfs = _bm25_tfs_cache[key]
-    assert tfs.storageLevel.useMemory
-    q_hybrid_rrf_topk(spark, SF_DIR)  # same terms -> same entry
-    assert len(_bm25_tfs_cache) == 1 and _bm25_tfs_cache[key] is tfs
-    q_bm25_eval(spark, SF_DIR)  # wider eval terms -> its own entry
-    assert len(_bm25_tfs_cache) == 2
+    e1 = q_bm25_eval(spark, SF_DIR).collect()
     spark.catalog.clearCache()
-    assert not tfs.storageLevel.useMemory
-    r2 = q_bm25_topk(spark, SF_DIR).collect()
-    assert _bm25_tfs_cache[key] is tfs  # memo hit, not a rebuild
-    assert tfs.storageLevel.useMemory  # re-armed
-    assert r1 == r2
+    assert r1 == q_bm25_topk(spark, SF_DIR).collect()
+    assert e1 == q_bm25_eval(spark, SF_DIR).collect()
+    spark.catalog.clearCache()
 
 
-def test_gram_frames_memoized_shared_and_rearmed(spark):
-    """The n-gram tier's input frames memoize per (session, sf_dir,
-    shape tag): ngram_jaccard and ngram_decontaminate share ONE
-    shingle-sets entry; the span/novelty occurrence frames key their
-    (tag, n[, hash_grams]) shapes separately; clearCache re-arms the
-    persist on the next hit; and query rows are identical across the
-    memo hit."""
-    from wd2duckdb_spark.catalog import session_key
+def test_bm25_eval_single_score_pass(spark):
+    """VERDICT r11 item 4: bm25_eval's three barrier aggregates read
+    ONE persisted scored frame instead of each re-running the
+    explode + K-term scoring — the executed plan contains at most one
+    Generate (explode) OUTSIDE InMemoryTableScan reads, and ≥2
+    in-memory reads of the scored cache."""
+    from wd2duckdb_spark.functions.text import q_bm25_eval
+
+    spark.catalog.clearCache()
+    df = q_bm25_eval(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2
+    spark.catalog.clearCache()
+
+
+def test_gram_tier_no_session_cache_and_stable(spark):
+    """Optimization round 12 (VERDICT r11 items 1/5): the n-gram
+    tier's input frames persist per INVOCATION only (within-plan
+    reuse) — the module-level session cache is gone — and rows are
+    identical across invocations and clearCache()."""
+    import wd2duckdb_spark.functions.dedup as dedup_mod
     from wd2duckdb_spark.functions.dedup import (
-        _gram_frame_cache,
         q_ngram_decontaminate,
         q_ngram_jaccard,
         q_repeated_ngram_spans,
     )
 
-    _gram_frame_cache.clear()
+    assert not hasattr(dedup_mod, "_gram_frame_cache")
     r1 = q_ngram_jaccard(spark, SF_DIR).collect()
-    skey = (session_key(spark), SF_DIR, "shingle_sets")
-    sets = _gram_frame_cache[skey]
-    assert sets.storageLevel.useMemory
-    q_ngram_decontaminate(spark, SF_DIR)  # shares the same entry
-    assert _gram_frame_cache[skey] is sets
+    d1 = q_ngram_decontaminate(spark, SF_DIR).collect()
     s1 = q_repeated_ngram_spans(spark, SF_DIR).collect()
-    assert any(k[2] == "span_occ" for k in _gram_frame_cache)
     spark.catalog.clearCache()
-    assert not sets.storageLevel.useMemory
-    r2 = q_ngram_jaccard(spark, SF_DIR).collect()
-    assert _gram_frame_cache[skey] is sets  # memo hit, not a rebuild
-    assert sets.storageLevel.useMemory  # re-armed
-    assert r1 == r2
+    assert r1 == q_ngram_jaccard(spark, SF_DIR).collect()
+    assert d1 == q_ngram_decontaminate(spark, SF_DIR).collect()
     assert s1 == q_repeated_ngram_spans(spark, SF_DIR).collect()
+    spark.catalog.clearCache()
+
+
+def test_repeated_ngram_spans_no_upfront_gram_exchange(spark):
+    """Round-12 A/B (guide §2.2/§2.4): repeated_ngram_spans persists
+    its occurrence frame straight off the scan — the dup aggregate's
+    map-side partial combine shuffles (gram, count) partials instead
+    of an up-front repartition("gram") moving every occurrence row
+    (interleaved min-of-3 at sf0.1: 1.63 s / 5.7 MB shuffle-write vs
+    1.81 s / 8.8 MB). The cached subtree must contain NO shuffle."""
+    from wd2duckdb_spark.functions.dedup import q_repeated_ngram_spans
+
+    spark.catalog.clearCache()
+    df = q_repeated_ngram_spans(spark, SF_DIR)
+    plan = df._jdf.queryExecution().withCachedData().toString()
+    # the InMemoryRelation's cache-build plan: scan -> posexplode,
+    # no Exchange before the persist boundary
+    cache_part = plan.split("InMemoryRelation", 1)[1].split(
+        "InMemoryTableScan", 1
+    )[0] if "InMemoryRelation" in plan else ""
+    assert "Exchange hashpartitioning(gram" not in cache_part
+    spark.catalog.clearCache()
 
 
 def test_bigram_lm_memoized_and_rearmed(spark):
@@ -858,25 +875,20 @@ def test_bigram_lm_memoized_and_rearmed(spark):
     assert r1 == r2
 
 
-def test_minhash_sig_memoized_and_consistent(spark):
-    """The MinHash pair consumers share one memoized signature frame;
-    pairs from the memoized path equal pairs from the fresh
-    (sig=None) path; and q_minhash_signatures' fresh build matches
-    the memoized frame's values."""
-    from wd2duckdb_spark.catalog import scan_partitions, session_key, tbl
+def test_minhash_sig_fresh_and_consistent(spark):
+    """Optimization round 12: _minhash_sig builds a FRESH signature
+    frame per invocation (no session memo); pairs from the sig= path
+    equal pairs from the inline (sig=None) path; and the frame's
+    values match q_minhash_signatures' registered build."""
+    from wd2duckdb_spark.catalog import scan_partitions, tbl
     from wd2duckdb_spark.functions.dedup import (
-        _gram_frame_cache,
         _minhash_sig,
         lsh_candidate_pairs,
         q_minhash_lsh_pairs,
         q_minhash_signatures,
     )
 
-    _gram_frame_cache.pop(
-        (session_key(spark), SF_DIR, "minhash_sig"), None
-    )
-    memo_pairs = q_minhash_lsh_pairs(spark, SF_DIR).collect()
-    sig = _gram_frame_cache[(session_key(spark), SF_DIR, "minhash_sig")]
+    sig_pairs = q_minhash_lsh_pairs(spark, SF_DIR).collect()
     fresh_pairs = (
         lsh_candidate_pairs(
             tbl(spark, SF_DIR, "documents"),
@@ -885,31 +897,30 @@ def test_minhash_sig_memoized_and_consistent(spark):
         .orderBy("a_id", "b_id")
         .collect()
     )
-    assert memo_pairs == fresh_pairs
-    assert _minhash_sig(spark, SF_DIR) is sig  # memo hit
-    memo_rows = sorted(sig.collect(), key=lambda r: r["doc_id"])
+    assert sig_pairs == fresh_pairs
+    s1 = _minhash_sig(spark, SF_DIR)
+    s2 = _minhash_sig(spark, SF_DIR)
+    assert s1 is not s2  # fresh per invocation, no session memo
+    sig_rows = sorted(s1.collect(), key=lambda r: r["doc_id"])
     fresh_rows = q_minhash_signatures(spark, SF_DIR).collect()
-    assert memo_rows == fresh_rows
+    assert sig_rows == fresh_rows
 
 
-def test_chunk_and_boilerplate_memos_rearm_and_match(spark):
-    """chunk_dedup's occurrence frame and boilerplate_prune's high-DF
-    vocabulary row memoize per (session, sf_dir), re-arm after
-    clearCache, and return identical rows across the memo hit."""
-    from wd2duckdb_spark.catalog import _frame_cache, session_key
+def test_chunk_and_boilerplate_no_session_cache_and_stable(spark):
+    """Optimization round 12: chunk_dedup persists its occurrence
+    frame per invocation (within-plan reuse: keeper argmin + join
+    back); boilerplate_prune's 1-row vocabulary is consumed once and
+    not cached at all; the generic catalog.memo_frame session cache is
+    gone; rows are identical across invocations and clearCache()."""
+    import wd2duckdb_spark.catalog as catalog_mod
     from wd2duckdb_spark.functions.text import q_chunk_dedup
     from wd2duckdb_spark.functions.training import q_boilerplate_prune
 
-    for k in [k for k in _frame_cache if k[0] == session_key(spark)]:
-        _frame_cache.pop(k)
+    assert not hasattr(catalog_mod, "_frame_cache")
+    assert not hasattr(catalog_mod, "memo_frame")
     c1 = q_chunk_dedup(spark, SF_DIR).collect()
     b1 = q_boilerplate_prune(spark, SF_DIR).collect()
-    tags = sorted(k[2] for k in _frame_cache)
-    assert tags == ["boilerplate_hiwords", "chunk_occ"]
-    frames = dict((k[2], v) for k, v in _frame_cache.items())
     spark.catalog.clearCache()
-    assert not frames["chunk_occ"].storageLevel.useMemory
-    c2 = q_chunk_dedup(spark, SF_DIR).collect()
-    b2 = q_boilerplate_prune(spark, SF_DIR).collect()
-    assert frames["chunk_occ"].storageLevel.useMemory  # re-armed
-    assert c1 == c2 and b1 == b2
+    assert c1 == q_chunk_dedup(spark, SF_DIR).collect()
+    assert b1 == q_boilerplate_prune(spark, SF_DIR).collect()
+    spark.catalog.clearCache()

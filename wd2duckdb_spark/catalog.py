@@ -45,33 +45,26 @@ def register_memo(d: dict) -> dict:
     return d
 
 
-#: Generic session-memoized persisted frames (optimization round 11) —
-#: deterministic INPUT structures (tokenized projections, vocabulary /
-#: model tables) that queries re-derived per invocation. Keys embed
-#: :func:`session_key` + sf_dir + a shape tag.
-_frame_cache: dict[tuple, "DataFrame"] = register_memo({})
-
-
-def memo_frame(key: tuple, build) -> "DataFrame":
-    """Build (and persist) a frame once per key; a memo hit after an
-    intervening ``clearCache()`` RE-ARMS the persist instead of
-    returning a silently-uncached frame — the same discipline as the
-    dedup tier's ``_prefix_cache``."""
-    f = _frame_cache.get(key)
-    if f is None:
-        f = build().persist()
-        _frame_cache[key] = f
-    elif not f.storageLevel.useMemory:
-        f.persist()
-    return f
-
-
 def clear_memos() -> None:
     """Empty every registered memo (scan cache, probe vectors, IVF
-    centroids, PQ codebook, PCA models, CC keep-lists). Needed only
-    when fixture parquet is rewritten IN PLACE under an sf_dir a live
-    session already memoized (ADVICE r4)."""
+    centroids, PQ codebook, PCA models, CC keep-lists, trained LM/LR
+    model tables). Needed only when fixture parquet is rewritten IN
+    PLACE under an sf_dir a live session already memoized (ADVICE r4).
+
+    Persisted DataFrame values are best-effort unpersisted before the
+    references are dropped (ADVICE r11 item 5): without it a fixture
+    regeneration leaked the old frames in the CacheManager until
+    GC/clearCache. Values from a stopped session raise on unpersist —
+    ignored, the entry is unreachable either way."""
     for d in _MEMO_REGISTRY:
+        for v in d.values():
+            vals = v if isinstance(v, tuple) else (v,)
+            for f in vals:
+                if isinstance(f, DataFrame):
+                    try:
+                        f.unpersist()
+                    except Exception:
+                        pass
         d.clear()
 
 

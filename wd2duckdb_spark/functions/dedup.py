@@ -40,25 +40,6 @@ from wd2duckdb_spark.catalog import (
 #: a cycle): the embedding schema contract used in the neardup oracle
 _EMB_DIM = 64
 
-#: Memoized persisted gram/shingle INPUT frames per (session, sf_dir,
-#: shape tag[, params]) — the deterministic tokenized-corpus
-#: projections the n-gram tier re-derived per invocation. Same memo +
-#: re-arm discipline as ``_prefix_cache`` / text's ``_bm25_tfs_cache``.
-_gram_frame_cache: dict[tuple, "DataFrame"] = register_memo({})
-
-
-def _memo_frame(key: tuple, build) -> DataFrame:
-    """Session-memoized persisted frame: builds (and persists) once
-    per key; a memo hit after an intervening ``clearCache()`` RE-ARMS
-    the persist instead of returning a silently-uncached frame."""
-    f = _gram_frame_cache.get(key)
-    if f is None:
-        f = build().persist()
-        _gram_frame_cache[key] = f
-    elif not f.storageLevel.useMemory:
-        f.persist()
-    return f
-
 N_MINHASH = 8  #: hash functions in the MinHash signature
 N_BANDS = 4  #: LSH bands (rows per band = N_MINHASH // N_BANDS = 2)
 
@@ -234,18 +215,16 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-memoized persisted MinHash signature frame (doc_id,
-    h0..h7) over the fixture documents — the ``_simhash_sig`` twin for
-    the MinHash tier's PAIR consumers (q_minhash_lsh_pairs,
-    q_lsh_keep_list and the two composition diagnostics), which all
-    re-derived shingles + 8 md5-minima per invocation. Banding,
-    bucketing, pairing and the evals still compute from it per
-    invocation; :func:`q_minhash_signatures` keeps its own fresh
-    build."""
-    return _memo_frame(
-        (session_key(spark), sf_dir, "minhash_sig"),
-        lambda: minhash_signatures(spark, sf_dir),
-    )
+    """Fresh MinHash signature frame (doc_id, h0..h7) over the fixture
+    documents — the shared construction of the MinHash tier's PAIR
+    consumers (q_minhash_lsh_pairs, q_lsh_keep_list and the two
+    composition diagnostics). Each consumer references the frame ONCE
+    in its plan (banding is a single downstream pass), so there is no
+    within-plan reuse to persist for; the round-11 session memo that
+    lived here only excluded the signature pass from warm benchmark
+    reps and is gone (optimization round 12 — every invocation now
+    measures cold-representative work)."""
+    return minhash_signatures(spark, sf_dir)
 
 
 def band_keys(
@@ -966,27 +945,17 @@ def simhash_pairs(
     )
 
 
-#: Memoized 60-bit signature frame per (app, sf): the narrow- and
-#: wide-banded pair queries (and the bench's candidate audit) share
-#: ONE signature computation — the signature aggregate is the
-#: dominant cost, the banding is cheap.
-_simhash_sig_cache: dict[tuple[str, str], DataFrame] = register_memo({})
-
-
 def _simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (session_key(spark), sf_dir)
-    f = _simhash_sig_cache.get(key)
-    if f is None:
-        f = simhash_signatures(tbl(spark, sf_dir, "documents")).persist()
-        _simhash_sig_cache[key] = f
-    elif not f.storageLevel.useMemory:
-        # re-arm a persist dropped by an intervening clearCache() —
-        # without it the signature aggregate (the dominant cost; the
-        # banding is cheap) is recomputed on EVERY pair query and by
-        # BOTH sides of the banded self-join (the memo discipline of
-        # _pr_trans_cache/_li_ext_cache/_prefix_cache)
-        f.persist()
-    return f
+    """Persisted 60-bit signature frame for the banded pair queries.
+    The persist is within-plan reuse (guide §5): BOTH sides of the
+    banded self-join (every probe table of the wide layout) read the
+    one materialized signature aggregate — the dominant cost; the
+    banding is cheap. Armed per invocation, not per session
+    (optimization round 12 — the round-11 session memo only excluded
+    the signature pass from warm benchmark reps; Spark's CacheManager
+    dedupes the identical canonicalized plan, so repeat invocations in
+    one session still share a single cache entry)."""
+    return simhash_signatures(tbl(spark, sf_dir, "documents")).persist()
 
 
 def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1033,19 +1002,18 @@ def q_simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-memoized persisted (doc_id, sh) distinct word-3-gram
-    sets of the documents table — the shared input frame of
-    :func:`q_ngram_jaccard` and :func:`q_ngram_decontaminate` (one
-    shingling pass per session instead of one per invocation per
-    query; persist doubles as the optimizer barrier both docstrings
-    describe)."""
-    return _memo_frame(
-        (session_key(spark), sf_dir, "shingle_sets"),
-        lambda: _with_shingles(
-            tbl(spark, sf_dir, "documents"),
-            scan_parts=scan_partitions(spark, sf_dir, "documents"),
-        ),
-    )
+    """Persisted (doc_id, sh) distinct word-3-gram sets of the
+    documents table — the shared input frame of :func:`q_ngram_jaccard`
+    (both sides of its self-join) and :func:`q_ngram_decontaminate`
+    (its benchmark and corpus branches). The persist is a within-plan
+    optimizer barrier AND shares one shingling pass between the two
+    branches of a single invocation; it is armed per invocation, not
+    per session (optimization round 12 — the round-11 session memo only
+    excluded the shingle pass from warm benchmark reps)."""
+    return _with_shingles(
+        tbl(spark, sf_dir, "documents"),
+        scan_parts=scan_partitions(spark, sf_dir, "documents"),
+    ).persist()
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1139,23 +1107,27 @@ def q_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(1, size(w) - {SPAN_N - 1}),"
         f" i -> concat_ws(' ', slice(w, i, {SPAN_N})))"
     )
-    base = _memo_frame(
-        # session-memoized: one shingling pass per session feeds the
-        # dup set, marking and totals across ALL invocations
-        (session_key(spark), sf_dir, "span_occ", SPAN_N),
-        lambda: (
-            d.select(
-                "doc_id", F.split(F.lower(F.trim("text")), " ").alias("w")
-            )
-            # sequence(1, 0) counts DOWN (same guard as _with_shingles)
-            .filter(F.size("w") >= SPAN_N)
-            .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
-            # cache the frame ALREADY hash-partitioned on gram: the dup
-            # aggregate and the mark-join both key on gram, so both ride
-            # this one exchange instead of re-shuffling the corpus-sized
-            # occurrence frame each (guide §2.4; round 11)
-            .repartition("gram")
-        ),
+    base = (
+        d.select(
+            "doc_id", F.split(F.lower(F.trim("text")), " ").alias("w")
+        )
+        # sequence(1, 0) counts DOWN (same guard as _with_shingles)
+        .filter(F.size("w") >= SPAN_N)
+        .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+        # persisted straight off the scan, NOT pre-partitioned on gram
+        # (optimization round 12, guide §2.2/§2.4): of this frame's
+        # three consumers only the dup aggregate keys on gram — and its
+        # map-side partial combine shuffles (gram, count) partials, far
+        # fewer bytes than the full occurrence rows an up-front
+        # repartition("gram") moves; the mark-join's dup side is
+        # contamination-sized (broadcastable) and `totals` keys on
+        # doc_id, so neither benefits from gram partitioning.
+        # Interleaved A/B min-of-3 at sf0.1: repartition 1.81 s /
+        # 8.8 MB shuffle-write vs combine-first 1.63 s / 5.7 MB.
+        # (ngram_novelty and the span-removal twins KEEP their explicit
+        # gram exchange — there ALL consumers key on gram and the same
+        # A/B shows it winning: see their comments.)
+        .persist()
     )
     dupg = (
         base.groupBy("gram")
@@ -1225,14 +1197,13 @@ def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.split(F.lower(F.trim("text")), " ").alias("w")
     )
-    return _span_removal_frame(toks, SPAN_N, memo=(spark, sf_dir))
+    return _span_removal_frame(toks, SPAN_N)
 
 
 def _span_removal_frame(
     toks: DataFrame,
     n: int,
     hash_grams: bool = False,
-    memo: tuple[SparkSession, str] | None = None,
 ) -> DataFrame:
     """Shared remove-later-occurrences machinery of
     :func:`q_dedup_span_removal` (word 5-grams) and
@@ -1253,30 +1224,23 @@ def _span_removal_frame(
     grams = F.expr(
         f"transform(sequence(1, size(w) - {n - 1}), i -> {gram_sql})"
     )
-    def _build() -> DataFrame:
-        return (
-            toks.filter(F.size("w") >= n)
-            .select("doc_id", F.posexplode(grams).alias("pos0", "gram"))
-            .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
-            # hash-partitioned on gram at birth: the dup aggregate and
-            # the join back both key on gram and ride this one exchange
-            # (guide §2.4; round 11)
-            .repartition("gram")
-        )
-
     # one shingling pass feeds the dup aggregate AND the occurrence
     # side of the join back (same barrier rationale as
-    # q_repeated_ngram_spans / ngram_decontaminate); registered-query
-    # callers over the immutable fixture pass ``memo=(spark, sf_dir)``
-    # so the pass runs once per session, not once per invocation
-    if memo is not None:
-        spark, sf_dir = memo
-        occ = _memo_frame(
-            (session_key(spark), sf_dir, "span_removal_occ", n, hash_grams),
-            _build,
-        )
-    else:
-        occ = _build().persist()
+    # q_repeated_ngram_spans / ngram_decontaminate); the persist is
+    # armed per invocation — the round-11 session memo that lived here
+    # is gone (optimization round 12). The explicit gram exchange
+    # STAYS: both consumers key on gram, and the interleaved A/B
+    # min-of-3 at sf0.1 shows it winning (word-5-gram 1.53 s vs
+    # 2.39 s combine-first; 16-token verbatim 1.71 s vs 2.23 s;
+    # shuffle-write bytes equal either way because the dup aggregate's
+    # min-struct payload barely combines on mostly-unique grams).
+    occ = (
+        toks.filter(F.size("w") >= n)
+        .select("doc_id", F.posexplode(grams).alias("pos0", "gram"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+        .repartition("gram")
+        .persist()
+    )
     dup = (
         occ.groupBy("gram")
         .agg(
@@ -1348,23 +1312,26 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(1, size(w) - {SPAN_N - 1}),"
         f" i -> concat_ws(' ', slice(w, i, {SPAN_N})))"
     )
-    doc_grams = _memo_frame(
-        # session-memoized: feeds first-seen AND the join back (one
-        # shingle pass per session)
-        (session_key(spark), sf_dir, "novelty_doc_grams", SPAN_N),
-        lambda: (
-            d.select(
-                "doc_id", F.split(F.lower(F.trim("text")), " ").alias("w")
-            )
-            .filter(F.size("w") >= SPAN_N)
-            .select("doc_id", F.explode(grams).alias("gram"))
-            # hash(gram) satisfies the distinct's (doc_id, gram)
-            # clustering AND the first-seen aggregate AND the join back
-            # — one corpus-sized exchange instead of three (guide §2.4;
-            # round 11)
-            .repartition("gram")
-            .distinct()
-        ),
+    doc_grams = (
+        d.select(
+            "doc_id", F.split(F.lower(F.trim("text")), " ").alias("w")
+        )
+        .filter(F.size("w") >= SPAN_N)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        # hash(gram) satisfies the distinct's (doc_id, gram)
+        # clustering AND the first-seen aggregate AND the join back
+        # — one corpus-sized exchange instead of three (guide §2.4;
+        # round 11; re-proven round 12 by interleaved A/B min-of-3 at
+        # sf0.1: 2.07 s / 7.6 MB shuffle-write with the shared gram
+        # exchange vs 2.41 s / 14.4 MB combine-first — here, unlike
+        # repeated_ngram_spans, EVERY consumer keys on gram, including
+        # the corpus-sized first-seen join back). The persist feeds
+        # first-seen, the join back and the max_id ceiling within ONE
+        # invocation; it is armed per invocation — the round-11 session
+        # memo is gone (optimization round 12).
+        .repartition("gram")
+        .distinct()
+        .persist()
     )
     first_seen = doc_grams.groupBy("gram").agg(
         F.min("doc_id").alias("first_doc")
@@ -1972,15 +1939,6 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: arithmetic — no FP ceil() off-by-one can shorten a prefix.
 JACCARD_NUM, JACCARD_DEN = 4, 5  # t = 0.8
 
-#: (applicationId, sf_dir, num, den) → (sets, toks, prefix) with sets
-#: and prefix persisted ONCE per session — ADVICE r10: per-invocation
-#: persist() leaked a new cache entry every call in a long-lived
-#: session; the memo bounds the footprint to one entry per
-#: (sf_dir, threshold) and lets repeat invocations reuse the warm
-#: frames. clear_memos() / clearCache() invalidate as usual.
-_prefix_cache: dict[tuple[str, str, int, int], tuple] = register_memo({})
-
-
 def _prefix_frames(
     spark: SparkSession, sf_dir: str, num: int, den: int
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -2008,20 +1966,18 @@ def _prefix_frames(
     improves as fixed overhead amortizes. Plan-pinned in
     tests/test_round10_ops.py: no BroadcastExchange survives
     threshold=-1.
+
+    Both persists are WITHIN-PLAN reuse (guide §5): the Jaccard
+    self-join consumes ``prefix`` twice and the verification join
+    consumes ``sets`` twice (and containment probes ``prefix`` against
+    the ``toks`` projection of ``sets``). They are armed per
+    invocation — the round-11/ADVICE-r10 session memo that lived here
+    only excluded the DF-count + window pipeline from warm benchmark
+    reps, and Spark's CacheManager dedupes the identical canonicalized
+    plans, so repeat invocations in one session still share a single
+    cache entry per frame (no unbounded-entry leak).
     """
     from pyspark.sql import Window
-
-    key = (session_key(spark), sf_dir, num, den)
-    cached = _prefix_cache.get(key)
-    if cached is not None:
-        # clearCache() (bench hygiene between queries) unpersists the
-        # memoized frames without touching the memo — re-arm the
-        # barriers so the self-join/probe consumers don't silently
-        # recompute the DF-count + window pipeline per branch
-        for f in (cached[0], cached[2]):
-            if not f.storageLevel.useMemory:
-                f.persist()
-        return cached
 
     d = tbl(spark, sf_dir, "documents")
     sets = (
@@ -2051,10 +2007,9 @@ def _prefix_frames(
         # barrier each consumer re-derives the whole DF-count +
         # window pipeline (measured sf0.1: 2.7 → 1.8-2.3 s). ~n/5
         # rare shingles per doc — the same bounded-intermediate class
-        # as `sets`. Persisted once per session via _prefix_cache.
+        # as `sets`.
         .persist()
     )
-    _prefix_cache[key] = (sets, toks, prefix)
     return sets, toks, prefix
 
 
@@ -2376,9 +2331,7 @@ def q_verbatim_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w"
         ),
     )
-    return _span_removal_frame(
-        toks, VERBATIM_K, hash_grams=True, memo=(spark, sf_dir)
-    )
+    return _span_removal_frame(toks, VERBATIM_K, hash_grams=True)
 
 
 #: Containment threshold t = |A∩B|/|A| ≥ 9/10 as an exact integer

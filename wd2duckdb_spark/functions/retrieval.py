@@ -87,11 +87,7 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wd2duckdb_spark.functions.text import BM25_TERMS, bm25_scored
 
     lex100 = (
-        bm25_scored(
-            tbl(spark, sf_dir, "documents"),
-            BM25_TERMS,
-            memo=(spark, sf_dir),
-        )
+        bm25_scored(tbl(spark, sf_dir, "documents"), BM25_TERMS)
         .orderBy(F.desc("score"), "doc_id")
         .limit(RRF_DEPTH)
     )

@@ -14,7 +14,6 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wd2duckdb_spark.catalog import (
-    memo_frame,
     register_memo,
     scan_partitions,
     session_key,
@@ -356,22 +355,19 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(toks, i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "
         ),
     )
-    occ = memo_frame(
-        # session-memoized chunk-occurrence input frame (round 11)
-        (session_key(spark), sf_dir, "chunk_occ", CHUNK_TOKENS),
-        lambda: (
-            d.select(
-                "doc_id", F.posexplode(chunks_arr).alias("pos", "chunk")
-            )
-            .withColumn("occ_key", F.col("doc_id") * 1000000 + F.col("pos"))
-            # one hash(chunk) exchange serves BOTH the keeper argmin and
-            # the join back (co-partitioned — guide §2.4), and the chunk
-            # fan-out is computed once into the shuffle files instead of
-            # once per branch; previously the keeper side was an AQE
-            # broadcast of the corpus-LINEAR distinct-chunk table — fine
-            # at fixture scale, the wrong shape at 100 TB (round 11)
-            .repartition("chunk")
-        ),
+    occ = (
+        d.select("doc_id", F.posexplode(chunks_arr).alias("pos", "chunk"))
+        .withColumn("occ_key", F.col("doc_id") * 1000000 + F.col("pos"))
+        # one hash(chunk) exchange serves BOTH the keeper argmin and
+        # the join back (co-partitioned — guide §2.4), and the chunk
+        # fan-out is computed once into the persisted frame instead of
+        # once per branch; previously the keeper side was an AQE
+        # broadcast of the corpus-LINEAR distinct-chunk table — fine
+        # at fixture scale, the wrong shape at 100 TB (round 11). The
+        # persist is armed per invocation — the round-11 session memo
+        # is gone (optimization round 12).
+        .repartition("chunk")
+        .persist()
     )
     keeper = occ.groupBy("chunk").agg(F.min("occ_key").alias("keeper_key"))
     return (
@@ -504,51 +500,27 @@ def _bm25_tfs(docs: DataFrame, all_terms: tuple[str, ...]) -> DataFrame:
     )
 
 
-#: Memoized persisted tf frames per (session, sf_dir, term tuple) —
-#: the tokenized-corpus INPUT structure of the BM25 tier, the same
-#: memo discipline as dedup's ``_prefix_cache``/``_simhash_sig``
-#: (clearCache between bench queries unpersists; the memo hit
-#: RE-ARMS the persist instead of returning an uncached frame).
-_bm25_tfs_cache: dict[tuple[str, str, tuple], DataFrame] = register_memo({})
-
-
 def _bm25_base(
     docs: DataFrame,
     all_terms: tuple[str, ...],
     persist: bool = False,
-    memo: tuple[SparkSession, str] | None = None,
 ) -> DataFrame:
     """Shared two-scan BM25 base: per-doc ``tf_<term>`` columns plus
     the ONE broadcast stats row (n_docs, avgdl, df per term) — exactly
     two corpus scans and zero wide shuffles regardless of how many
     queries consume it. ``persist=True`` caches the (narrow: doc_id,
     dl, k tf columns) tf frame so a MULTI-BRANCH consumer (bm25_eval's
-    three aggregate passes) tokenizes the corpus once instead of once
-    per branch — the same documented optimizer-barrier persist()
-    pattern as ngram_decontaminate/jaccard_prefix_join.
-
-    ``memo=(spark, sf_dir)`` (optimization round 11): registered
-    queries over the immutable fixture tables memoize the persisted tf
-    frame per (session, sf_dir, term tuple) — bm25_topk and
-    hybrid_rrf_topk share one entry (same ``BM25_TERMS``), bm25_eval
-    keys its wider eval-term tuple — so repeat invocations and
-    cross-query reuse read the cache instead of re-tokenizing the
-    corpus. The frame is an input structure (tokenized-corpus
-    projection), deterministic per fixture; consumers still compute
-    their stats/scores/rankings from it on every invocation."""
-    if memo is not None:
-        spark, sf_dir = memo
-        key = (session_key(spark), sf_dir, all_terms)
-        tfs = _bm25_tfs_cache.get(key)
-        if tfs is None:
-            tfs = _bm25_tfs(docs, all_terms).persist()
-            _bm25_tfs_cache[key] = tfs
-        elif not tfs.storageLevel.useMemory:
-            tfs.persist()  # re-arm after an intervening clearCache
-    else:
-        tfs = _bm25_tfs(docs, all_terms)
-        if persist:
-            tfs = tfs.persist()
+    aggregate passes) tokenizes the corpus once instead of once per
+    branch — the same documented optimizer-barrier persist() pattern
+    as ngram_decontaminate/jaccard_prefix_join, armed per invocation.
+    (The round-11 per-session tf-frame memo that lived here is gone —
+    optimization round 12: it only excluded the tokenize pass from
+    warm benchmark reps, and a cross-caller cache keyed without the
+    ``docs`` frame could serve one caller's tf rows to another's
+    filtered docs, ADVICE r11 item 1.)"""
+    tfs = _bm25_tfs(docs, all_terms)
+    if persist:
+        tfs = tfs.persist()
     stats = tfs.agg(
         F.count("*").alias("n_docs"),
         _f6(F.avg("dl")).alias("avgdl"),
@@ -573,9 +545,7 @@ def _bm25_query_cols(terms: tuple[str, ...]) -> tuple[Column, Column]:
     return n_terms, score
 
 
-def bm25_scored(
-    docs: DataFrame, terms, memo: tuple[SparkSession, str] | None = None
-) -> DataFrame:
+def bm25_scored(docs: DataFrame, terms) -> DataFrame:
     """Parameterized BM25 scorer (VERDICT r6 item 4): score every doc
     of ``docs`` matching ≥1 of ``terms`` against the query, returning
     ``(doc_id, n_terms, score)`` unranked — callers add their own
@@ -583,6 +553,12 @@ def bm25_scored(
     floor4 of floor6-snapped per-term contributions folded in sorted
     term order, so results are engine-deterministic (see q_bm25_topk
     for the full contract). Terms are deduplicated and sorted.
+
+    Exactly two corpus scans, zero wide shuffles, no caching: the
+    round-11 ``memo=`` parameter (a per-session tf-frame cache) is
+    gone — its key ignored ``docs``, so a caller passing a filtered
+    frame could silently read another caller's cached tf rows
+    (ADVICE r11 item 1).
 
     Terms must match ``^[a-z0-9_]+$`` (ADVICE r7): they are spliced
     into derived column names and a filter expression, so a space,
@@ -600,7 +576,7 @@ def bm25_scored(
             "bm25_scored: query terms must match ^[a-z0-9_]+$ "
             f"(lowercased identifiers): {bad!r}"
         )
-    base = _bm25_base(docs, terms, memo=memo)
+    base = _bm25_base(docs, terms)
     n_terms, score = _bm25_query_cols(terms)
     return base.filter(
         " OR ".join(f"tf_{t} > 0" for t in terms)
@@ -636,11 +612,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetrically.
     """
     return (
-        bm25_scored(
-            tbl(spark, sf_dir, "documents"),
-            BM25_TERMS,
-            memo=(spark, sf_dir),
-        )
+        bm25_scored(tbl(spark, sf_dir, "documents"), BM25_TERMS)
         .orderBy(F.desc("score"), "doc_id")
         .limit(BM25_TOPK)
     )
@@ -694,9 +666,16 @@ def q_bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch reads the cache (MEMORY_AND_DISK at production scale) —
     without it each branch re-ran the scan+tokenize (measured 2.6 s vs
     1.8 s for the window form at sf0.1; with the cache the aggregate
-    form is the faster one as well as the scale-safe one). The oracle
-    keeps the window formulation — rank semantics are identical by the
-    argument above.
+    form is the faster one as well as the scale-safe one). Since
+    optimization round 12 the exploded per-(doc, query) scored frame
+    ``ex`` is persisted too (VERDICT r11 item 4): passes A/B/C used to
+    each re-run the explode + K-term scoring from the tf cache —
+    three score passes per invocation — and now the scores are
+    computed once and the three barrier aggregates read the (narrow:
+    doc_id, query, score, rel) cache. Both persists are within ONE
+    invocation's plan; nothing is cached across invocations. The
+    oracle keeps the window formulation — rank semantics are identical
+    by the argument above.
 
     Ties at equal floor4 score break by doc_id in BOTH engines; rr is
     0.0 when a query has no relevant doc (never true on the fixtures).
@@ -708,7 +687,7 @@ def q_bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     qsets = [tuple(sorted(set(q))) for q in BM25_EVAL_QUERIES]
     all_terms = tuple(sorted({t for q in qsets for t in q}))
     base = _bm25_base(
-        tbl(spark, sf_dir, "documents"), all_terms, memo=(spark, sf_dir)
+        tbl(spark, sf_dir, "documents"), all_terms, persist=True
     )
 
     structs = []
@@ -726,6 +705,10 @@ def q_bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select("doc_id", F.explode(F.array(*structs)).alias("q"))
         .select("doc_id", "q.*")
         .filter(F.col("nt") > 0)
+        # score once, aggregate thrice: passes A/B/C below read this
+        # materialization instead of re-running the explode + K-term
+        # scoring per pass (VERDICT r11 item 4; within-invocation only)
+        .persist()
     )
     f4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
 
@@ -1303,10 +1286,11 @@ def doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = uni.agg(F.count("*").alias("v"))  # 1 row
     # the trained LM table is vocabulary²-bounded, deterministic and
     # invocation-invariant — memoized persisted per (session, sf_dir)
-    # (round 11; the _bm25_tfs_cache discipline incl. the clearCache
-    # re-arm), so repeat invocations and the two consumers
-    # (q_bigram_surprisal, q_perplexity_bucket_sample) skip the
-    # training passes and score against the cached model
+    # with a clearCache re-arm. Deliberately KEPT through the round-12
+    # memo scope-down: this is trained MODEL state (the VERDICT r11
+    # keep-list class: LM table / centroids / ANN index / fixture
+    # bridge), not a corpus-sized input projection — a production
+    # pipeline trains once and scores many times.
     lm = _lm_cache.get(key)
     if lm is None:
         lm = (

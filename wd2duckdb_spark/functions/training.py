@@ -24,7 +24,6 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wd2duckdb_spark.catalog import (
-    memo_frame,
     register_memo,
     scan_partitions,
     session_key,
@@ -312,17 +311,14 @@ def q_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("d"))
     )
-    hi = memo_frame(
-        # session-memoized high-DF vocabulary row (round 11): the DF
-        # count is the only data-sized pass — with the 1-row model
-        # persisted, repeat invocations pay only the scan-bound rewrite
-        (session_key(spark), sf_dir, "boilerplate_hiwords"),
-        lambda: (
-            dfc.crossJoin(F.broadcast(ndocs))
-            .filter(F.col("d") / F.col("n_total") > BOILERPLATE_DF)
-            .agg(F.sort_array(F.collect_list("word")).alias("hiwords"))
-        ),
-    )  # 1 row (possibly empty array)
+    # 1 row (possibly empty array), consumed once under the broadcast —
+    # no persist, no memo: the round-11 session memo here only excluded
+    # the corpus DF pass from warm benchmark reps (optimization round 12)
+    hi = (
+        dfc.crossJoin(F.broadcast(ndocs))
+        .filter(F.col("d") / F.col("n_total") > BOILERPLATE_DF)
+        .agg(F.sort_array(F.collect_list("word")).alias("hiwords"))
+    )
     kept = F.filter(
         toks, lambda x: ~F.array_contains(F.col("hiwords"), x)
     )

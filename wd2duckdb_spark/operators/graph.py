@@ -542,52 +542,42 @@ FROM reach GROUP BY node ORDER BY node
 """
 
 
-#: (session, sf_dir) → persisted deterministic edge overlay for the
-#: recursive-CTE reachability query (same memo + re-arm discipline as
-#: _pr_trans_cache / _simhash_sig).
-_rcte_edges_cache: dict[tuple[str, str], DataFrame] = register_memo({})
-
-
 def _rcte_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The static ``edges`` CTE of :data:`RCTE_REACHABILITY_SQL` as a
-    memoized LOCALLY-CHECKPOINTED frame: one customer scan + one
-    broadcast 1-row max, with both successor rules emitted by a single
-    explode — row-multiset identical to the SQL's two-branch UNION ALL.
+    LOCALLY-CHECKPOINTED frame: one customer scan + one broadcast
+    1-row max, with both successor rules emitted by a single explode —
+    row-multiset identical to the SQL's two-branch UNION ALL.
 
     ``localCheckpoint`` (not ``persist``): UnionLoop re-plans its body
     per iteration and the CacheManager does NOT substitute cached plans
     into the loop (verified empirically — a persisted edges frame's
     subtree was re-EXECUTED by every iteration), so the only way to
     make the loop read materialized data is to hand it a plan that IS
-    materialized data — the checkpoint's LogicalRDD. Blocks live in
-    the block manager (MEMORY_AND_DISK), are NOT dropped by
-    ``clearCache()`` (no re-arm branch needed), and cost one
-    vertex-table-sized materialization per session (~0.15 s at sf0.1,
-    paid inside the first invocation's timed region). On a cluster,
-    executor loss makes a localCheckpoint unrecoverable — a
-    deployment that cares flips this to the reliable
-    ``eager_checkpoint``; for a fixed-point diagnostic the rebuild-on-
-    failure trade is right."""
-    key = (session_key(spark), sf_dir)
-    f = _rcte_edges_cache.get(key)
-    if f is None:
-        c = tbl(spark, sf_dir, "customer").select("c_custkey")
-        n = c.agg((F.max("c_custkey") + 1).alias("n"))
-        f = (
-            c.crossJoin(F.broadcast(n))
-            .select(
-                F.col("c_custkey").alias("src"),
-                F.explode(
-                    F.array(
-                        (F.col("c_custkey") * 7 + 3) % F.col("n"),
-                        (F.col("c_custkey") * 3 + 1) % F.col("n"),
-                    )
-                ).alias("dst"),
-            )
-            .localCheckpoint()
+    materialized data — the checkpoint's LogicalRDD. The
+    materialization is paid PER INVOCATION (~0.15 s at sf0.1): the
+    round-11 session memo here survived even ``clearCache()``, so no
+    benchmark rep after the first ever measured the edge build
+    (optimization round 12 — VERDICT r11 item 1). Within one
+    invocation the checkpoint still saves 24 scans / 12 aggregates:
+    the 6 supersteps each re-execute the loop body. On a cluster,
+    executor loss makes a localCheckpoint unrecoverable — a deployment
+    that cares flips this to the reliable ``eager_checkpoint``; for a
+    fixed-point diagnostic the rebuild-on-failure trade is right."""
+    c = tbl(spark, sf_dir, "customer").select("c_custkey")
+    n = c.agg((F.max("c_custkey") + 1).alias("n"))
+    return (
+        c.crossJoin(F.broadcast(n))
+        .select(
+            F.col("c_custkey").alias("src"),
+            F.explode(
+                F.array(
+                    (F.col("c_custkey") * 7 + 3) % F.col("n"),
+                    (F.col("c_custkey") * 3 + 1) % F.col("n"),
+                )
+            ).alias("dst"),
         )
-        _rcte_edges_cache[key] = f
-    return f
+        .localCheckpoint()
+    )
 
 
 #: The recursion of :data:`RCTE_REACHABILITY_SQL` alone, over a
@@ -636,12 +626,6 @@ SP_ITERS = 4
 SP_SRC = 1
 
 
-#: Memoized aggregated trading-pair frame per (session, sf_dir) —
-#: the deterministic, iteration- AND invocation-invariant input of
-#: :func:`_weighted_edges`.
-_weighted_pair_cache: dict[tuple[str, str], DataFrame] = register_memo({})
-
-
 def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted bidirectional customer↔supplier edges: weight per
     trading pair = min lineitem extended price / 1000 (min is exact
@@ -653,34 +637,29 @@ def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     its vertex set — 4 static copies of the join+aggregate (64 parquet
     scans in the plan; ReusedExchange deduped the exchanges at runtime
     but every copy re-ran the post-shuffle final aggregate over the
-    pair rows). Now the aggregated pair frame — trading-PAIR-sized,
-    orders-of-magnitude smaller than lineitem — is materialized once
-    per SESSION (``localCheckpoint`` memoized per (session, sf_dir),
-    the same discipline as :func:`_rcte_edges`, PageRank's
-    ``_pr_trans_cache`` and q12/q21's ``_li_ext_cache``: the frame is
-    deterministic and the fixture files are immutable per run, so
-    invocation 2+ reads block-manager blocks instead of re-running the
-    lineitem⋈orders join + aggregate; blocks survive ``clearCache``,
-    executor-loss recovery is a rebuild) and both directions are
-    emitted by ONE in-row explode, so every consumer reads the
-    materialized blocks. Row multiset is identical to
-    ``fwd.union(rev)``: union is bag semantics and the explode emits
-    exactly the fwd and rev row per pair (pinned in
+    pair rows). The aggregated pair frame — trading-PAIR-sized, orders
+    of magnitude smaller than lineitem — is therefore materialized
+    ONCE PER INVOCATION (``localCheckpoint``) and both directions are
+    emitted by ONE in-row explode, so every consumer inside the SSSP
+    plan (each superstep's relax join + the vertex seed) reads the
+    materialized blocks instead of re-running the join+aggregate. The
+    round-11 version memoized the checkpoint per session, which even
+    survived ``clearCache()`` — no benchmark rep after the first ever
+    measured the ~1 s pair aggregate (optimization round 12 — VERDICT
+    r11 item 1); now every invocation pays its own build. Row multiset
+    is identical to ``fwd.union(rev)``: union is bag semantics and the
+    explode emits exactly the fwd and rev row per pair (pinned in
     tests/test_round2_ops.py)."""
-    key = (session_key(spark), sf_dir)
-    pair = _weighted_pair_cache.get(key)
-    if pair is None:
-        o = tbl(spark, sf_dir, "orders")
-        l = tbl(spark, sf_dir, "lineitem")
-        pair = (
-            l.join(o, l.l_orderkey == o.o_orderkey)
-            .groupBy(
-                F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
-            )
-            .agg((F.min("l_extendedprice") / 1000.0).alias("w"))
-            .localCheckpoint()
+    o = tbl(spark, sf_dir, "orders")
+    l = tbl(spark, sf_dir, "lineitem")
+    pair = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
         )
-        _weighted_pair_cache[key] = pair
+        .agg((F.min("l_extendedprice") / 1000.0).alias("w"))
+        .localCheckpoint()
+    )
     both = F.explode(
         F.array(
             F.struct(
