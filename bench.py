@@ -147,14 +147,24 @@ def main() -> None:
     # timings on this box swing 3-20x run-to-run (virtualized host,
     # CPU steal under load, JIT compile of each query's codegen on
     # first execution) — min-of-2 measures the engine, not the noise.
+    # The FIRST-rep time is additionally reported per query (the
+    # "queries_cold" sibling map — an additive key, the existing
+    # contract is unchanged): rep 1 computes with nothing cached, so
+    # cold vs min separates plan-shape wins from cache-warm wins
+    # (VERDICT r11 item 2). Cold numbers carry full single-shot host
+    # noise — compare them across runs only in aggregate.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
-        for _ in range(2):
+        for rep in range(2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if rep == 0:
+                cold[name] = round(dt, 3)
+            best = min(best, dt)
         timings[name] = round(best, 3)
         # A few queries persist() small intermediates as optimizer
         # barriers (ngram_decontaminate, jaccard_prefix_join,
@@ -177,6 +187,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": cold,
                 "sf": sf,
                 "ingest": ingest_stats,
             }
