@@ -548,7 +548,7 @@ def _rcte_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row max, with both successor rules emitted by a single explode —
     row-multiset identical to the SQL's two-branch UNION ALL.
 
-    ``localCheckpoint`` (not ``persist``): UnionLoop re-plans its body
+    Checkpoint (not ``persist``): UnionLoop re-plans its body
     per iteration and the CacheManager does NOT substitute cached plans
     into the loop (verified empirically — a persisted edges frame's
     subtree was re-EXECUTED by every iteration), so the only way to
@@ -559,13 +559,14 @@ def _rcte_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark rep after the first ever measured the edge build
     (optimization round 12 — VERDICT r11 item 1). Within one
     invocation the checkpoint still saves 24 scans / 12 aggregates:
-    the 6 supersteps each re-execute the loop body. On a cluster,
-    executor loss makes a localCheckpoint unrecoverable — a deployment
-    that cares flips this to the reliable ``eager_checkpoint``; for a
-    fixed-point diagnostic the rebuild-on-failure trade is right."""
+    the 6 supersteps each re-execute the loop body. Materialization
+    goes through :func:`eager_checkpoint` (ADVICE r11 item 3):
+    executor-local blocks by default, durable ``df.checkpoint`` when
+    the session selects :data:`RELIABLE_CKPT_CONF` — the right cluster
+    posture where executor loss is routine."""
     c = tbl(spark, sf_dir, "customer").select("c_custkey")
     n = c.agg((F.max("c_custkey") + 1).alias("n"))
-    return (
+    f = (
         c.crossJoin(F.broadcast(n))
         .select(
             F.col("c_custkey").alias("src"),
@@ -576,8 +577,8 @@ def _rcte_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("dst"),
         )
-        .localCheckpoint()
     )
+    return eager_checkpoint(f)
 
 
 #: The recursion of :data:`RCTE_REACHABILITY_SQL` alone, over a
@@ -652,13 +653,15 @@ def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_round2_ops.py)."""
     o = tbl(spark, sf_dir, "orders")
     l = tbl(spark, sf_dir, "lineitem")
-    pair = (
+    # materialized via eager_checkpoint (ADVICE r11 item 3):
+    # executor-local blocks by default, durable df.checkpoint when the
+    # session selects RELIABLE_CKPT_CONF
+    pair = eager_checkpoint(
         l.join(o, l.l_orderkey == o.o_orderkey)
         .groupBy(
             F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
         )
         .agg((F.min("l_extendedprice") / 1000.0).alias("w"))
-        .localCheckpoint()
     )
     both = F.explode(
         F.array(
