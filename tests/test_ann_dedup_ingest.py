@@ -66,6 +66,7 @@ def _batch_keep_set(spark):
     }
 
 
+@pytest.mark.slow
 def test_l2_assign_col_matches_lloyd_assignment(spark):
     """The in-row L2 argmin reproduces the Lloyd min-struct
     assignment for EVERY clean vector (same floor-6 snap, same
@@ -91,6 +92,7 @@ def test_l2_assign_col_matches_lloyd_assignment(spark):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_streamed_semantic_dedup_matches_batch_twin_across_layouts(
     spark, tmp_path
 ):
@@ -107,6 +109,7 @@ def test_streamed_semantic_dedup_matches_batch_twin_across_layouts(
         assert got == want, (splits, len(got), len(want))
 
 
+@pytest.mark.slow
 def test_replayed_batch_is_idempotent(spark, tmp_path):
     """Re-running a batch against the index it already wrote must not
     self-dup its vectors or change the kept set (the batch != id
@@ -130,6 +133,7 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_metrics_reconcile_with_kept_corpus(spark, tmp_path):
     """sum(n_kept) == |kept corpus| and n_in covers the clean feed."""
     from wd2duckdb_spark.streaming.semantic_ingest import (
@@ -143,6 +147,7 @@ def test_metrics_reconcile_with_kept_corpus(spark, tmp_path):
     assert all(r.n_in == r.n_dups + r.n_kept for r in m)
 
 
+@pytest.mark.slow
 def test_history_probe_streams_index_not_broadcast(spark, tmp_path):
     """Join orientation at scale: the history probe must broadcast
     the MICRO-BATCH side and stream the index — the index FileScan

@@ -81,6 +81,7 @@ def _probe_rows(spark, index_dir):
     ]
 
 
+@pytest.mark.slow
 def test_streamed_index_probe_matches_batch_twin_across_layouts(
     spark, tmp_path
 ):
@@ -99,6 +100,7 @@ def test_streamed_index_probe_matches_batch_twin_across_layouts(
         assert _probe_rows(spark, idx) == want, splits
 
 
+@pytest.mark.slow
 def test_replayed_batch_rewrites_not_duplicates(spark, tmp_path):
     """Re-running a batch id overwrite-rewrites its partition: row
     counts and probe results are unchanged (the dedup-index replay
@@ -209,6 +211,7 @@ def test_ingest_without_bootstrap_fails_fast(spark, tmp_path):
         ann_index_ingest(batch, 0, str(tmp_path / "nonexistent_index"))
 
 
+@pytest.mark.slow
 def test_compact_ann_index_preserves_probe_and_prunes_dirs(spark, tmp_path):
     """Folding all batches ≤ through_batch into batch=-1 keeps probe
     results identical, keeps cell-level partition pruning, and
@@ -358,6 +361,7 @@ def test_ivf_pq_composed_probe_matches_cell_restricted_adc(spark, tmp_path):
     assert got == want and len(got) == 10
 
 
+@pytest.mark.slow
 def test_ann_index_metrics_reconcile_and_quarantine(spark, tmp_path):
     """The per-batch sidecar reconciles against the assignments table
     (sum(n_indexed) == assignments − bootstrap) and counts the

@@ -86,6 +86,7 @@ def test_read_back(spark, kg_parquet, tmp_path):
         read_duckdb_table(spark, db, "nope", str(tmp_path))
 
 
+@pytest.mark.slow
 def test_cli_end_to_end(tmp_path):
     """python -m wd2duckdb_spark --json X --database Y — the reference's
     exact CLI surface (main.rs:21-31) — builds an indexed 6-table DB.
@@ -120,6 +121,7 @@ def test_cli_end_to_end(tmp_path):
     assert r2.returncode == 1 and "already exists" in r2.stderr
 
 
+@pytest.mark.slow
 def test_cli_stdin_dash(tmp_path):
     """`bzcat dump | python -m wd2duckdb_spark --json - --database Y`
     — the reference's stdin contract (main.rs:261-269, README.md:31-55).
@@ -149,6 +151,7 @@ def test_cli_stdin_dash(tmp_path):
     con.close()
 
 
+@pytest.mark.slow
 def test_cli_empty_and_garbage_dumps(tmp_path):
     """Degenerate CLI inputs (round-3 sweep discipline at the e2e
     surface): an empty dump ('[' ']' only) builds a valid 6-table DB

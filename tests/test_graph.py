@@ -3,6 +3,8 @@ on the ingested wikidata fixture."""
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from tests.conftest import SF_DIR
@@ -61,6 +63,7 @@ def test_k_hop_on_fixture_kg(spark, kg_tables):
     assert got == want
 
 
+@pytest.mark.slow
 def test_connected_components_long_chain(spark):
     """A 41-node chain (40 rounds of propagation) — the shape that
     OOMed the driver before per-round lineage truncation — converges
@@ -88,6 +91,7 @@ def test_connected_components_unconverged_raises(spark):
         connected_components(pairs, max_iters=3)
 
 
+@pytest.mark.slow
 def test_reliable_checkpoint_conf_flows_through_iterative_ops(spark, tmp_path):
     """Round 6: the engine-wide reliable-checkpoint path
     (catalog.eager_checkpoint + RELIABLE_CKPT_CONF) must carry every

@@ -6,6 +6,8 @@ behavioral spec for the six-table output (SURVEY §1.2 numbered list).
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -367,6 +369,7 @@ def _entity(draw):
 
 @_settings(deadline=None, max_examples=6)
 @_given(_st.lists(_entity(), min_size=1, max_size=6), _st.randoms())
+@pytest.mark.slow
 def test_ingest_roundtrip_invariants(spark, tmp_path_factory, ents, rng):
     import json as _json
 

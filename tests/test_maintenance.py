@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import pathlib
 
 import pyspark.sql.functions as F
@@ -400,6 +402,7 @@ def test_snapshot_stream_commits_per_batch(spark, tmp_path):
     assert snapshot_read(spark, t, 0).count() == 10
 
 
+@pytest.mark.slow
 def test_snapshot_model_based_random_ops(spark, tmp_path):
     """Model-based check: a random interleaving of overwrite/append
     commits, time-travel reads, and vacuums must always agree with a

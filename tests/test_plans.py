@@ -108,6 +108,7 @@ def test_embedding_neardup_plan_is_blocked_gemm(spark):
     assert s["exchange"] <= 6
 
 
+@pytest.mark.slow
 def test_embedding_neardup_equals_exhaustive(spark):
     """The margin-guarded BLAS pre-filter plus exact JVM re-verify must
     reproduce the exhaustive all-pairs result exactly on the
@@ -195,6 +196,7 @@ def test_window_range_frame_is_range(spark):
     assert "RangeFrame" in explain_str(q_window_range_frame(spark, SF_DIR))
 
 
+@pytest.mark.slow
 def test_no_python_udf_in_core_queries(spark):
     """Every core operator stays JVM-side (SURVEY §2.3 UDF row)."""
     from wd2duckdb_spark.registry import all_queries
@@ -877,6 +879,7 @@ def test_semantic_dedup_pair_join_is_grid_shuffle(spark):
         vecs.unpersist()
 
 
+@pytest.mark.slow
 def test_grid_self_join_correctness_and_plan(spark):
     """grid_self_join == plain inner join, row-for-row (duplicate
     multisets included), on a pathologically hot key — with the

@@ -392,6 +392,7 @@ def test_cdc_cuts_match_python_reference(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_verbatim_overlap_planted_quotation(spark, tmp_path):
     """The case the Jaccard/containment joins miss by construction: a
     single 40-token quotation copied into two otherwise-unrelated
@@ -473,6 +474,7 @@ def _doc(i: int, text: str) -> tuple:
     return (i, text, "en", "w", len(text))
 
 
+@pytest.mark.slow
 def test_simhash_ingest_batch_twin_parity(spark, tmp_path):
     """The stream's keep set over the real fixture corpus, fed as 3
     doc_id-ordered shards (maxFilesPerTrigger=1 → 3 micro-batches),
@@ -517,6 +519,7 @@ def test_simhash_ingest_batch_twin_parity(spark, tmp_path):
     assert kept == expected
 
 
+@pytest.mark.slow
 def test_simhash_ingest_drops_edited_near_copy_cross_batch(spark, tmp_path):
     """The mode's reason to exist: a batch-2 doc that EDITS a batch-1
     doc (few words changed → few SimHash bits flipped) is dropped by
@@ -572,6 +575,7 @@ def test_simhash_ingest_drops_edited_near_copy_cross_batch(spark, tmp_path):
     assert kept == [1, 2, 4, 5]
 
 
+@pytest.mark.slow
 def test_simhash_ingest_drops_edit_of_dropped_doc_and_replay(
     spark, tmp_path
 ):
@@ -650,6 +654,7 @@ def test_simhash_ingest_drops_edit_of_dropped_doc_and_replay(
         [(3,)], "doc_id long").collect()[0]]
 
 
+@pytest.mark.slow
 def test_simhash_ingest_index_archive_then_probe(spark, tmp_path):
     """The SimHash signature index speaks the same batch=<id> layout
     as the MinHash band-key index, so the SAME maintenance loop

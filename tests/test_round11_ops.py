@@ -591,6 +591,7 @@ def test_shortest_path_self_loop_keeps_settled_distance(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_rcte_edges_checkpoint_matches_inline_sql(spark):
     """The localCheckpoint form of reachability_rcte must return
     EXACTLY the rows of the original single-statement SQL (which the

@@ -26,6 +26,7 @@ def _union_find_labels(n_edges):
     return {x: find(x) for x in parent}
 
 
+@pytest.mark.slow
 def test_star_cc_converges_logarithmically_on_10k_path(spark):
     """A 10k-node path graph has diameter 10k: min-label propagation
     would need ~10k rounds, the star alternation tens (O(log n)).

@@ -777,6 +777,7 @@ def test_cdc_chunks_resynchronize_after_insertion(spark, tmp_path):
     assert not (grid(base) & grid(edited))
 
 
+@pytest.mark.slow
 def test_cdc_chunks_reconstruct_document(spark):
     """Losslessness: concatenating a document's CDC chunks in order
     reproduces its token stream exactly (checked corpus-wide via

@@ -3,6 +3,8 @@ LSH-bucketed ANN recall vs. the exact brute-force baseline."""
 
 from __future__ import annotations
 
+import pytest
+
 from tests.conftest import SF_DIR
 from wd2duckdb_spark.functions.similarity import (
     lsh_bucket_ann,
@@ -277,6 +279,7 @@ def test_cluster_once_memo_shared_and_clearable(spark):
     assert similarity._asg_memo[key] is not seeded
 
 
+@pytest.mark.slow
 def test_cluster_once_memo_reliable_checkpoint_path(spark, tmp_path):
     """VERDICT r5 item 3: the documented 1000-executor posture —
     materialize the cluster-once memo with a RELIABLE df.checkpoint()

@@ -116,6 +116,7 @@ def test_state_profile_accounts_for_every_key(spark, agg_checkpoint):
     )
 
 
+@pytest.mark.slow
 def test_batch_id_time_travel(spark, tmp_path):
     """State AS OF batch N: feed two files through two micro-batches;
     batchId=0 must show only the first file's keys."""
@@ -164,6 +165,7 @@ def test_batch_id_time_travel(spark, tmp_path):
     assert asof0 == {1, 2}
 
 
+@pytest.mark.slow
 def test_transform_with_state_variable_readback(spark, tmp_path):
     """transformWithStateInPandas checkpoints hold one store per
     typed variable; reading stateVarName='agg' back must equal the
@@ -213,6 +215,7 @@ def test_transform_with_state_variable_readback(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_registered_timers_readback_open_sessions(spark, tmp_path):
     """session_timer_stream registers one event-time timer per OPEN
     session; the checkpoint's timer registry must list exactly the

@@ -3,6 +3,8 @@ incremental appends across micro-batches, windowed event analytics."""
 
 from __future__ import annotations
 
+import pytest
+
 import shutil
 
 import pyspark.sql.functions as F
@@ -312,6 +314,7 @@ def test_enrich_stream_static_broadcast_parity(spark, tmp_path):
     assert got == want and len(got) == e.count()
 
 
+@pytest.mark.slow
 def test_stream_stream_interval_join_parity(spark, tmp_path):
     """Watermarked stream-stream interval join (purchase attribution):
     clicks and purchases arrive as separate 2-batch streams; the inner
@@ -631,6 +634,7 @@ def test_windowed_distinct_users_stream_matches_batch(spark, tmp_path):
         assert abs(approx - exact[w]) <= max(3, 0.05 * exact[w]), (w, approx, exact[w])
 
 
+@pytest.mark.slow
 def test_neardup_ingest_stream_drops_cross_batch_duplicates(spark, tmp_path):
     """Dedup-at-ingest against the persisted LSH index: a batch-2 doc
     near-duplicating a batch-1 doc is dropped even though exact-key
@@ -1012,6 +1016,7 @@ def test_neardup_ingest_index_layout_is_key_sorted(spark, tmp_path):
     assert_sorted_per_file()
 
 
+@pytest.mark.slow
 def test_archive_index_folds_old_batches(spark, tmp_path):
     """Round-5: archive_index merges every batch ≤ through_batch into
     one key-range-sorted batch=-1 partition (disjoint file ranges —
@@ -1144,6 +1149,7 @@ def test_neardup_ingest_metrics_sidecar(spark, tmp_path):
     assert [r.batch_id for r in rows] == [0, 1]
 
 
+@pytest.mark.slow
 def test_neardup_ingest_catchup_tier_end_to_end(spark, tmp_path, monkeypatch):
     """The shuffled-hash catch-up tier must produce the SAME keep
     decisions as the broadcast tier when driven through the real
@@ -1240,6 +1246,7 @@ def test_neardup_ingest_in_threshold_raise_is_monotonic(spark, tmp_path):
         spark.conf.set(_IN_THRESHOLD_CONF, old)
 
 
+@pytest.mark.slow
 def test_neardup_ingest_midband_probe_still_prunes(spark, tmp_path, monkeypatch):
     """VERDICT r5 item 1: the pruned regime must extend through the
     mid-band — more than the old 16 scan branches (the cliff is
@@ -1368,6 +1375,7 @@ def test_source_signature_stream_matches_batch_twin(spark, tmp_path):
     assert again == batch
 
 
+@pytest.mark.slow
 def test_archive_signatures_folds_partials_losslessly(spark, tmp_path):
     """Round 7 (VERDICT r6 item 1): archive_signatures folds partials
     ≤ through_batch (plus any existing archive) into ONE batch=-1
@@ -1434,6 +1442,7 @@ def test_archive_signatures_folds_partials_losslessly(spark, tmp_path):
     assert not os.path.exists(sig_dir + "._compact")
     assert not os.path.exists(sig_dir + "._prearchive")
 
+@pytest.mark.slow
 def test_source_signature_stream_auto_archive(spark, tmp_path):
     """Round 8 (VERDICT r7 item 4): archive_every=N folds the store
     from INSIDE the stream's foreachBatch — after B micro-batches the
@@ -1496,6 +1505,7 @@ def test_source_signature_stream_auto_archive(spark, tmp_path):
     assert not os.path.exists(sig_auto + "._prearchive")
 
 
+@pytest.mark.slow
 def test_simhash_signature_stream_matches_batch_twin(spark, tmp_path):
     """Round 9 (VERDICT r8 item 6): per-doc SimHash bit counters
     maintained incrementally (per-batch partials, component-wise SUM
@@ -1558,6 +1568,7 @@ def test_simhash_signature_stream_matches_batch_twin(spark, tmp_path):
     assert keys.groupBy("doc_id").count().filter("count != 4").count() == 0
 
 
+@pytest.mark.slow
 def test_archive_bit_counts_folds_and_refuses_newest(spark, tmp_path):
     """The sum-merge archive: folding old partials into batch=-1 is
     lossless for the merged signatures, re-archiving is a no-op, and

@@ -70,6 +70,7 @@ def _run(stream_df, name, ckpt, mode):
     q.awaitTermination(180)
 
 
+@pytest.mark.slow
 def test_session_timer_stream_seals_all_on_watermark(spark, tmp_path):
     """Timer-closed sessions (append mode): once the watermark passes
     every real session's end+gap, the emitted set equals the batch
@@ -150,6 +151,7 @@ def test_recent_values_stream_matches_batch(spark, tmp_path):
     assert final == want
 
 
+@pytest.mark.slow
 def test_recent_values_ttl_expires_idle_state(spark, tmp_path):
     """ListState TTL: state written in run 1 is gone after the TTL
     elapses, so run 2's updates reflect only run-2 data — the
@@ -334,6 +336,7 @@ def test_lifetime_value_initial_state_bootstrap(spark, tmp_path):
     assert final == want
 
 
+@pytest.mark.slow
 def test_session_timer_out_of_order_bridge_merges_not_contradicts(
     spark, tmp_path
 ):
