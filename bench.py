@@ -159,6 +159,9 @@ def main() -> None:
         fn = queries[name]
         best = float("inf")
         for rep in range(2):
+            # UI/event-log readability only (guide §1.5); no effect on
+            # the timed work
+            spark.sparkContext.setJobDescription(f"bench: {name} rep{rep}")
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
