@@ -55,11 +55,17 @@ def word_shingles_expr(n: int = 3) -> str:
 
 
 def _minhash_cols() -> list[Column]:
-    """k md5-derived minhash aggregates over the exploded shingle col.
+    """k md5-derived minhash AGGREGATES over an exploded shingle col.
 
     One md5 yields four independent 32-bit values (128/32), so the 8
     hash functions cost 2 md5 evaluations per shingle, not 8.
-    """
+
+    Kept for the consumers whose groups span MANY rows — the
+    source-keyed signatures (:func:`q_source_signatures`) and the
+    streaming per-source incremental index
+    (streaming/signatures.py), where min() must MERGE across
+    micro-batches/documents. Per-DOCUMENT signatures use the in-row
+    :func:`_minhash_sig_frame` instead (same values, no aggregate)."""
     return [
         F.min(
             F.conv(
@@ -74,6 +80,67 @@ def _minhash_cols() -> list[Column]:
         ).alias(f"h{i}")
         for i in range(N_MINHASH)
     ]
+
+
+def _minhash_sig_frame(
+    d: DataFrame, *, scan_parts: int | None = None
+) -> DataFrame:
+    """``documents``-shaped frame → (doc_id, h0..h7) MinHash signature,
+    computed ENTIRELY IN-ROW (optimization round 12, the
+    :func:`simhash_signatures` move applied to the MinHash tier): a
+    document's shingles live in its own row, so each of the 8 minima
+    is an ``array_min`` over an in-row transform — ZERO aggregation
+    exchanges. The previous formulation exploded shingles and ran a
+    doc-keyed 8-min aggregate: locally that hash-aggregated ~n_shingle
+    rows per doc; at scale it shuffled doc-keyed partials. One md5
+    yields four independent 32-bit values (128/32), so the 8 hash
+    functions cost 2 md5 evaluations per shingle — the two digests are
+    computed ONCE per shingle into a 64-hex-char column that the 8
+    window extractions then slice (the multi-referenced expensive
+    array survives CollapseProject, so the md5 work is not duplicated
+    per h-column; the same guard the SimHash fold relies on). Shingles
+    are NOT deduplicated per doc: min() is invariant to duplicates and
+    the per-doc ``array_distinct`` pass is pure cost here (the DuckDB
+    oracle keeps ``list_distinct`` and matches bit-for-bit).
+
+    Values are exactly the previous aggregate's: min over the same
+    multiset of ``conv(substr(md5(seed|shingle)))`` longs — pinned
+    against the registered oracle and the r11 formulation in
+    tests/test_round11_ops.py. ``scan_parts``: see
+    :func:`wd2duckdb_spark.catalog.spread` (the repartition spreads
+    per-row md5 CPU on a single-split local scan and disappears on a
+    multi-split one)."""
+    gram = F.expr(
+        "transform(sequence(1, size(_tk) - 2), i -> concat_ws(' ',"
+        " element_at(_tk, i), element_at(_tk, i + 1),"
+        " element_at(_tk, i + 2)))"
+    )
+    wt = (
+        spread(d, "doc_id", scan_parts=scan_parts)
+        .select(
+            "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("_tk")
+        )
+        .filter(F.size("_tk") >= 3)
+    )
+    hs = F.transform(
+        gram,
+        lambda s: F.concat(
+            F.md5(F.concat(F.lit("0|"), s)), F.md5(F.concat(F.lit("1|"), s))
+        ),
+    )
+    wh = wt.select("doc_id", hs.alias("_hh"))
+    cols = [
+        F.array_min(
+            F.transform(
+                F.col("_hh"),
+                lambda x: F.conv(
+                    F.substring(x, 1 + 8 * (i % 4) + 32 * (i // 4), 8), 16, 10
+                ).cast("long"),
+            )
+        ).alias(f"h{i}")
+        for i in range(N_MINHASH)
+    ]
+    return wh.select("doc_id", *cols)
 
 
 def _with_shingles(
@@ -133,56 +200,6 @@ def _with_shingles(
     )
 
 
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → (doc_id, shingle) exploded word-3-grams.
-
-    NOT deduplicated per doc: the only consumer is the MinHash min()
-    aggregation, which is invariant to duplicate shingles, so the
-    per-doc ``array_distinct`` pass (interpreted, O(n·k)) is pure
-    cost here. The DuckDB oracle keeps ``list_distinct`` and matches
-    bit-for-bit. Jaccard (set semantics) uses ``_with_shingles``,
-    which stays distinct.
-
-    The generator expression is inlined into ``explode`` rather than
-    projected first: with a separate projection, Catalyst infers a
-    ``size(sh) > 0 AND isnotnull(sh)`` filter from the Generate and
-    pushes the WHOLE shingle expression (re-expanded, evaluated twice)
-    below the exchange — a 15x slowdown observed at sf0.1. Inline, the
-    Generate evaluates it once per input row.
-    """
-    return _shingled_docs(
-        tbl(spark, sf_dir, "documents"),
-        scan_parts=scan_partitions(spark, sf_dir, "documents"),
-    )
-
-
-def _shingled_docs(d: DataFrame, *, scan_parts: int | None = None) -> DataFrame:
-    """DataFrame-level body of :func:`_shingled` — also feeds
-    :func:`band_keys`, so batch queries and the streaming ingest index
-    share ONE tokenize→shingle pipeline. ``scan_parts``: see
-    :func:`_with_shingles`."""
-    toks = (
-        # explicit count: see _with_shingles — AQE would coalesce a
-        # bare key-repartition to 1 task and single-thread the md5s;
-        # skipped entirely when the scan is already multi-split
-        spread(d, "doc_id", scan_parts=scan_parts)
-        .select(
-            "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks")
-        )
-        .filter(F.size("toks") >= 3)
-    )
-    return toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(toks) - 2),"
-                " i -> concat_ws(' ', element_at(toks, i),"
-                " element_at(toks, i + 1), element_at(toks, i + 2)))"
-            )
-        ).alias("shingle"),
-    )
-
-
 def _band_key_cols(sig: DataFrame) -> DataFrame:
     """(doc_id, h0..h7) signatures → (doc_id, band, key) band keys."""
     return sig.select(
@@ -206,8 +223,12 @@ def _band_key_cols(sig: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc MinHash signature (h0..h7) — one shuffle (groupBy doc_id)."""
-    return _shingled(spark, sf_dir).groupBy("doc_id").agg(*_minhash_cols())
+    """Per-doc MinHash signature (h0..h7) — in-row, zero aggregation
+    exchanges (see :func:`_minhash_sig_frame`)."""
+    return _minhash_sig_frame(
+        tbl(spark, sf_dir, "documents"),
+        scan_parts=scan_partitions(spark, sf_dir, "documents"),
+    )
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,19 +260,13 @@ def band_keys(
     shingles and are always kept).
 
     Composed from the SAME helpers as the batch tier
-    (:func:`_shingled_docs` → :func:`_minhash_cols` →
-    :func:`_band_key_cols`), so batch pair generation and the
-    streaming ingest index cannot drift on signature semantics.
-    ``scan_parts``: see :func:`_with_shingles`. ``sig``: a
-    pre-computed signature frame (e.g. the :func:`_minhash_sig` memo)
-    — band keys are derived from it in-row, skipping the
-    shingle+minhash rebuild."""
+    (:func:`_minhash_sig_frame` → :func:`_band_key_cols`), so batch
+    pair generation and the streaming ingest index cannot drift on
+    signature semantics. ``scan_parts``: see :func:`_with_shingles`.
+    ``sig``: a pre-computed signature frame — band keys are derived
+    from it in-row, skipping the shingle+minhash rebuild."""
     if sig is None:
-        sig = (
-            _shingled_docs(docs, scan_parts=scan_parts)
-            .groupBy("doc_id")
-            .agg(*_minhash_cols())
-        )
+        sig = _minhash_sig_frame(docs, scan_parts=scan_parts)
     return _band_key_cols(sig)
 
 
@@ -1447,10 +1462,11 @@ def q_dedup_stage_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _source_shingles(
     d: DataFrame, *, scan_parts: int | None = None
 ) -> DataFrame:
-    """documents → (source, shingle) exploded word-3-grams — the
-    source-keyed sibling of :func:`_shingled_docs` (same tokenize →
-    inline-explode discipline; NOT per-doc-distinct, which both
-    consumers tolerate: collect_set and min are duplicate-invariant).
+    """documents → (source, shingle) exploded word-3-grams (tokenize →
+    inline-explode; NOT per-doc-distinct, which both consumers
+    tolerate: collect_set and min are duplicate-invariant — groups
+    span many documents here, so the exploded+aggregate form is the
+    right one, unlike the per-doc in-row :func:`_minhash_sig_frame`).
     ``scan_parts``: see :func:`_with_shingles`."""
     toks = (
         spread(d, "doc_id", scan_parts=scan_parts)
